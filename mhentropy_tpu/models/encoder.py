@@ -1,0 +1,90 @@
+"""BasicEnc: backbone + two linear heads (mu, sigma) with reparameterised
+sampling.
+
+Capability parity with /root/reference/hand/network.py:27-140: resnet18/50
+features -> l1 (mu) and l2 (sigma) heads, sigma activation 'exp' (l2 is a
+log-variance) or 'sigmoid', z = mu + sigma * eps unless deterministic. The
+MHEnt model consumes the mu head as the conditioning feature
+(network.py:779).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mhentropy_tpu.models import resnet
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class EncoderConfig(NamedTuple):
+    backbone: str = "resnet50"
+    n_latent: tuple = (512, 512)  # (mu dim, sigma dim)
+    feat_dim: int | None = None  # backbone feature dim override
+    sigma_act: str = "exp"
+    deterministic: bool = False
+    dtype: str = "bfloat16"
+
+    def resolved_feat_dim(self) -> int:
+        return self.feat_dim or resnet.FEAT_DIMS[self.backbone]
+
+
+def init(key: jax.Array, cfg: EncoderConfig, image_size: int = 256) -> dict:
+    k_bb, k_l1, k_l2 = jax.random.split(key, 3)
+    bb = resnet.make_backbone(cfg.backbone, dtype=jnp.dtype(cfg.dtype))
+    dummy = jnp.zeros((1, image_size, image_size, 3))
+    variables = bb.init(k_bb, dummy, train=False)
+    f = cfg.resolved_feat_dim()
+
+    def linear(key, din, dout):
+        lim = (1.0 / din) ** 0.5  # torch nn.Linear default init
+        kw, kb = jax.random.split(key)
+        return {
+            "w": jax.random.uniform(kw, (din, dout), jnp.float32, -lim, lim),
+            "b": jax.random.uniform(kb, (dout,), jnp.float32, -lim, lim),
+        }
+
+    return {
+        "backbone": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "l1": linear(k_l1, f, cfg.n_latent[0]),
+        "l2": linear(k_l2, f, cfg.n_latent[1]),
+    }
+
+
+def apply(
+    params: dict,
+    cfg: EncoderConfig,
+    image: jax.Array,
+    key: jax.Array | None = None,
+    train: bool = False,
+    deterministic: bool = False,
+):
+    """Returns (z, mn, sd, new_batch_stats).
+
+    image: (B, H, W, 3) NHWC in the dataset's normalisation.
+    """
+    bb = resnet.make_backbone(cfg.backbone, dtype=jnp.dtype(cfg.dtype))
+    variables = {"params": params["backbone"], "batch_stats": params["batch_stats"]}
+    if train:
+        feats, mutated = bb.apply(variables, image, train=True, mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        feats = bb.apply(variables, image, train=False)
+        new_stats = params["batch_stats"]
+
+    mn = jnp.dot(feats, params["l1"]["w"], precision=_PREC) + params["l1"]["b"]
+    sd = jnp.dot(feats, params["l2"]["w"], precision=_PREC) + params["l2"]["b"]
+    if cfg.sigma_act == "exp":
+        sd = jnp.exp(0.5 * sd)
+    elif cfg.sigma_act == "sigmoid":
+        sd = jax.nn.sigmoid(sd)
+
+    if cfg.deterministic or deterministic or mn.shape != sd.shape or key is None:
+        z = mn
+    else:
+        z = mn + sd * jax.random.normal(key, mn.shape)
+    return z, mn, sd, new_stats

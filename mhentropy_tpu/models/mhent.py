@@ -1,0 +1,353 @@
+"""MHEnt: the probabilistic hand-mesh-recovery model (the paper's method).
+
+Capability parity with /root/reference/hand/network.py:309-887 — the PGM
+I -> z = (theta3, theta45, beta, log s, t) -> y with:
+
+* a ResNet conditioning feature (the mu head of BasicEnc, network.py:779),
+* a conditional RealNVP posterior over theta45 (network.py:339-341),
+* a deterministic head for (theta3, beta, log s, t) (network.py:376-385),
+* MANO decode + orthographic reprojection (network.py:541-558),
+* Laplace-with-deadzone reprojection likelihood on visible 2D keypoints
+  (network.py:390-400, 627-643),
+* smooth-uniform priors on theta45 (PCA +-2), theta3 (ball pi), beta
+  (+-0.03) (network.py:429-435),
+* the entropy term of the reverse-KL objective (network.py:796-808),
+* N-hypothesis sampling with optional top-N_quant filtering by log q
+  (network.py:846-883) and KLD-weight annealing (network.py:885-887).
+
+TPU-first design: everything is a pure function of (params, batch, rng); the
+hypothesis axis folds into the row axis so all matmuls stay large on the MXU;
+the flow conditioning projections are computed once per image and broadcast
+across hypotheses (see flows/realnvp.py); `sample_and_log_prob` yields the
+entropy term from the same forward pass instead of a second inverse pass.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mhentropy_tpu.core import camera, mano, skeletons
+from mhentropy_tpu.core.mano import ManoConfig, ManoModel
+from mhentropy_tpu.flows import priors, realnvp
+from mhentropy_tpu.flows.realnvp import RealNVPConfig
+from mhentropy_tpu.models import encoder
+from mhentropy_tpu.models.encoder import EncoderConfig
+
+_PREC = jax.lax.Precision.HIGHEST
+
+# z layout (network.py:367-373).
+ZDIMS = (("th3", 3), ("th45", 45), ("bt", 10), ("logs", 1), ("t", 2))
+Z_TOTAL = 61
+TH_BT = 58  # theta(48) ++ beta(10)
+
+
+class MHEntConfig(NamedTuple):
+    encoder: EncoderConfig = EncoderConfig()
+    flow: RealNVPConfig = RealNVPConfig(dim=45, cond_dim=512, h_dim=512, num_steps=6)
+    mano: ManoConfig = ManoConfig(use_pca=True, ncomps=45, flat_hand_mean=False)
+    regressor: str = "realnvp"  # 'realnvp' | 'glow' | 'det'
+    ds: str = "ho3d"
+    image_size: int = 256
+    feat_dim: int = 512  # conditioning feature dim (the mu head)
+    b_2d: float = 0.03  # Laplace scale for p(uv | z)
+    b_3d: float = 0.03  # Laplace scale for p(xyz | z)
+    th45_ref_alpha: float = 50.0
+    th3_ref_alpha: float = 5.0
+    bt_alpha: float = 50.0
+    temperature: float = 1.0  # T in log_p / T
+    entropy: bool = True
+    kld_w: float = 1.0
+    kld_w_annealing: tuple = (1.0, 24000)
+    n_train_hypotheses: int = 10  # N (network.py:780)
+
+    def det_dims(self) -> int:
+        # th45 is deterministic only in 'det' mode; everything else always is.
+        d = 3 + 10 + 1 + 2
+        if self.regressor == "det":
+            d += 45
+        return d
+
+
+def make_priors(cfg: MHEntConfig) -> dict:
+    """The operative z-priors (network.py:427-435)."""
+    out = {}
+    if cfg.mano.use_pca:
+        out["th45_ref"] = priors.ApproxUniform(-2.0, 2.0, alpha=cfg.th45_ref_alpha)
+    else:
+        out["th45_ref"] = priors.ApproxUniform(
+            jnp.zeros(45), math.pi, alpha=cfg.th45_ref_alpha, sup="ball"
+        )
+    out["th3_ref"] = priors.ApproxUniform(
+        jnp.zeros(3), math.pi, alpha=cfg.th3_ref_alpha, sup="ball"
+    )
+    out["bt"] = priors.ApproxUniform(-0.03, 0.03, alpha=cfg.bt_alpha)
+    return out
+
+
+def init(key: jax.Array, cfg: MHEntConfig) -> dict:
+    k_enc, k_flow, k_d0, k_d1 = jax.random.split(key, 4)
+    params = {"encoder": encoder.init(k_enc, cfg.encoder, cfg.image_size)}
+    if cfg.regressor == "realnvp":
+        params["flow"] = realnvp.init_params(k_flow, cfg.flow)
+    elif cfg.regressor == "glow":
+        from mhentropy_tpu.flows import glow as glow_lib
+
+        params["flow"] = glow_lib.init_params(k_flow, glow_lib.GlowConfig(
+            features=45, hidden=512, context_features=cfg.feat_dim))
+    f, h, o = cfg.feat_dim, cfg.feat_dim, cfg.det_dims()
+
+    def linear(key, din, dout):
+        lim = (1.0 / din) ** 0.5
+        kw, kb = jax.random.split(key)
+        return {
+            "w": jax.random.uniform(kw, (din, dout), jnp.float32, -lim, lim),
+            "b": jax.random.uniform(kb, (dout,), jnp.float32, -lim, lim),
+        }
+
+    params["det_head"] = {"l0": linear(k_d0, f, h), "l1": linear(k_d1, h, o)}
+    return params
+
+
+def det_head_apply(params: dict, feat: jax.Array) -> jax.Array:
+    h = jnp.dot(feat, params["l0"]["w"], precision=_PREC) + params["l0"]["b"]
+    h = jax.nn.relu(h)
+    return jnp.dot(h, params["l1"]["w"], precision=_PREC) + params["l1"]["b"]
+
+
+def extract_feat(
+    params: dict, cfg: MHEntConfig, image: jax.Array, train: bool = False
+):
+    """Conditioning feature = the encoder's mu head (network.py:779)."""
+    _, mn, _, new_stats = encoder.apply(
+        params["encoder"], cfg.encoder, image, key=None, train=train
+    )
+    return mn, new_stats
+
+
+def combine_z(cfg: MHEntConfig, z_det: jax.Array, z_flow: jax.Array | None) -> jax.Array:
+    """Interleave det-head dims and flow dims into the canonical z layout
+    (network.py:703-717)."""
+    parts = []
+    p_det = 0
+    for name, nd in ZDIMS:
+        is_det = name != "th45" or cfg.regressor == "det"
+        if is_det:
+            parts.append(z_det[:, p_det : p_det + nd])
+            p_det += nd
+        else:
+            parts.append(z_flow)
+    return jnp.concatenate(parts, axis=1)
+
+
+def sample_q_z(
+    params: dict,
+    cfg: MHEntConfig,
+    feat: jax.Array,
+    key: jax.Array,
+    n: int,
+    temp: float = 1.0,
+):
+    """Draw N hypotheses per image from q(z | I) (network.py:719-758).
+
+    Rows are ordered as N blocks of B (hypothesis-major), matching the
+    reference's `.repeat(N, 1)` layout.
+
+    Returns:
+        z: (N*B, 61), log_q: (N*B,) log density of the flow block (zeros in
+        'det' mode).
+    """
+    b = feat.shape[0]
+    z_flow, log_q = None, jnp.zeros(n * b)
+    if cfg.regressor == "realnvp":
+        cond = realnvp.make_cond(params["flow"], cfg.flow, feat)
+        cproj = realnvp.cond_cache(params["flow"], cfg.flow, cond)
+        cproj_n = jnp.tile(cproj, (1, 1, n, 1))  # reuse image projections
+        z_flow, log_q = realnvp.sample(
+            params["flow"], cfg.flow, key, n * b, cproj=cproj_n, temp=temp,
+            return_log_prob=True,
+        )
+    elif cfg.regressor == "glow":
+        from mhentropy_tpu.flows import glow as glow_lib
+
+        z_flow, log_q = glow_lib.sample_and_log_prob(
+            params["flow"], feat, key, n, temp=temp
+        )
+    z_det = jnp.tile(det_head_apply(params["det_head"], feat), (n, 1))
+    return combine_z(cfg, z_det, z_flow), log_q
+
+
+def log_q_z(params: dict, cfg: MHEntConfig, z: jax.Array, feat_rows: jax.Array):
+    """log q of the flow block of z rows (network.py:669-701)."""
+    th45 = z[:, 3:48]
+    if cfg.regressor == "realnvp":
+        return realnvp.log_prob(params["flow"], cfg.flow, th45, feat=feat_rows)
+    if cfg.regressor == "glow":
+        from mhentropy_tpu.flows import glow as glow_lib
+
+        return glow_lib.log_prob(params["flow"], th45, feat_rows)
+    return jnp.zeros(z.shape[0])
+
+
+def decode(
+    model: ManoModel,
+    cfg: MHEntConfig,
+    th_bt: jax.Array,
+    logs_t: jax.Array,
+    mods=("uv",),
+    inv_norm: bool = False,
+) -> dict:
+    """MANO decode + normalisation + orthographic projection
+    (network.py:455-558).
+
+    Args:
+        th_bt: (R, 58); logs_t: (R, 3).
+
+    Returns:
+        dict with xyz (R, K, 3) normalised-relative, verts (R, 778, 3)
+        normalised-relative, uv (R, K, 2) if requested, bone (R,).
+    """
+    theta, beta = th_bt[:, :48], th_bt[:, -10:]
+    out = mano.mano_decode(model, theta, beta, skeidx="RHD")
+    xyz = out["mano_joints"]  # mm (network.py:472-473)
+    normed, root, bone = camera.batch_normalize_pose3d(
+        xyz,
+        skeletons.ROOT_IDX[cfg.ds],
+        norm_idx=skeletons.NORM_IDX[cfg.ds],
+        return_st=True,
+    )
+    result = {"xyz": normed, "bone": bone}
+    result["verts"] = (out["mesh"] - root) / bone[:, None, None]
+    if "uv" in mods:
+        scale = jnp.exp(logs_t[:, 0:1])
+        result["uv"] = camera.orth_project(
+            normed, scale, logs_t[:, 1:3], cfg.image_size, inv_norm=inv_norm
+        )
+    return result
+
+
+def forward_log_p(
+    model: ManoModel,
+    cfg: MHEntConfig,
+    z: jax.Array,
+    y: dict,
+    mods=("uv",),
+) -> dict:
+    """log p(y | z) + log p̃(z) per row (network.py:612-667).
+
+    Args:
+        z: (N*B, 61) hypothesis-major rows.
+        y: target dict with crop_uv (B, 42), pose3d (B, 63), vis (B, 21).
+    """
+    pr = make_priors(cfg)
+    th_bt, logs_t = z[:, :TH_BT], z[:, -3:]
+    dec = decode(model, cfg, th_bt, logs_t, mods=mods, inv_norm=False)
+    b = y["crop_uv"].shape[0]
+    n = z.shape[0] // b
+    out = {}
+    for mod, gt_key, d, b_scale in (
+        ("uv", "crop_uv", 2, cfg.b_2d),
+        ("xyz", "pose3d", 3, cfg.b_3d),
+    ):
+        if mod not in mods:
+            continue
+        mu = dec[mod].reshape(z.shape[0], -1)
+        gt = jnp.tile(y[gt_key], (n, 1))
+        vis = jnp.tile(y["vis"], (n, 1))
+        weights = jnp.repeat(vis, d, axis=1)
+        out[f"log_p_{mod}_giv_z"] = priors.laplace_deadzone_log_prob(
+            gt, mu, b_scale, weights=weights
+        )
+    th3, th45, bt = z[:, :3], z[:, 3:48], z[:, 48:58]
+    out["log_p_th3"] = pr["th3_ref"].log_prob(th3)
+    out["log_p_th45"] = pr["th45_ref"].log_prob(th45)
+    out["log_p_bt"] = pr["bt"].log_prob(bt)
+    out["log_p"] = sum(v for k, v in out.items() if k != "log_p") / cfg.temperature
+    return out
+
+
+def reverse_kld(
+    model: ManoModel,
+    params: dict,
+    cfg: MHEntConfig,
+    y: dict,
+    image: jax.Array,
+    key: jax.Array,
+    train: bool = True,
+    mods=("uv",),
+) -> tuple[dict, dict]:
+    """The training objective: -KL(q(z|I) || p(y|z) p̃(z)) up to a constant
+    (network.py:760-831). Returns (output dict incl. per-image log_p,
+    new batch stats)."""
+    feat, new_stats = extract_feat(params, cfg, image, train=train)
+    n = cfg.n_train_hypotheses
+    b = feat.shape[0]
+    z, log_q = sample_q_z(params, cfg, feat, key, n, temp=1.0)
+
+    out = {}
+    th_bt = z[:, :TH_BT]
+    out["th_norm"] = jnp.linalg.norm(th_bt[:, :48], axis=1)
+    out["bt_norm"] = jnp.linalg.norm(th_bt[:, -10:], axis=1)
+
+    flp = forward_log_p(model, cfg, z, y, mods=mods)
+    q_log_p = flp["log_p"].reshape(n, b).mean(0)
+    out["q_log_p_z_giv_y"] = q_log_p
+
+    log_p = q_log_p
+    if cfg.entropy:
+        h = (-log_q).reshape(n, b).mean(0)
+        out["h_q_z_giv_i"] = h
+        log_p = log_p + h
+    out["log_p"] = log_p
+    return out, new_stats
+
+
+def sample_hypotheses(
+    model: ManoModel,
+    params: dict,
+    cfg: MHEntConfig,
+    image: jax.Array,
+    key: jax.Array,
+    n: int = 200,
+    n_quant: int | None = None,
+    temp: float = 0.8,
+    mods=("xyz", "uv", "verts"),
+) -> dict:
+    """Multi-hypothesis inference (network.py:846-883).
+
+    Returns dict with th_bt / logs_t (N', B, .), xyz (N', B, 63),
+    uv (N', B, 42) in pixel space, verts (N', B, 2334), faces.
+    """
+    feat, _ = extract_feat(params, cfg, image, train=False)
+    b = image.shape[0]
+    z, log_q = sample_q_z(params, cfg, feat, key, n, temp=temp)
+    z = z.reshape(n, b, Z_TOTAL)
+    if n_quant is not None and n_quant < n:
+        # Keep the n_quant most likely hypotheses per image (network.py:866-871).
+        lq = log_q.reshape(n, b)
+        _, idx = jax.lax.top_k(lq.T, n_quant)  # (B, Q)
+        z = jnp.take_along_axis(z, idx.T[:, :, None], axis=0)
+        n = n_quant
+    out = {"th_bt": z[..., :TH_BT], "logs_t": z[..., -3:]}
+    dec = decode(
+        model, cfg,
+        z.reshape(n * b, Z_TOTAL)[:, :TH_BT],
+        z.reshape(n * b, Z_TOTAL)[:, -3:],
+        mods=mods, inv_norm=True,
+    )
+    for mod in ("verts", "xyz", "uv"):
+        if mod in mods:
+            out[mod] = dec[mod].reshape(n, b, -1)
+    if "verts" in mods:
+        out["faces"] = model.faces
+    return out
+
+
+def kld_weight(cfg: MHEntConfig, step) -> jax.Array:
+    """Linear KLD-weight annealing (network.py:885-887)."""
+    w0, steps = cfg.kld_w_annealing
+    frac = jnp.minimum(1.0, step / steps)
+    return w0 + (cfg.kld_w - w0) * frac
