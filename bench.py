@@ -1,0 +1,74 @@
+"""Benchmark: hypotheses/sec/chip at N=100 on the flagship MHEnt pipeline
+(resnet50 conditioning + 12-layer conditional RealNVP + full MANO decode +
+orthographic reprojection, i.e. everything network.py:846-883 does per
+hypothesis).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the BASELINE.json target of 20k hypotheses/sec/chip.
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mhentropy_tpu.core import mano
+    from mhentropy_tpu.flows.realnvp import RealNVPConfig
+    from mhentropy_tpu.models import mhent
+    from mhentropy_tpu.models.encoder import EncoderConfig
+    from mhentropy_tpu.models.mhent import MHEntConfig
+
+    n_hypo = 100
+    batch = 32
+    img = 256
+
+    cfg = MHEntConfig(
+        encoder=EncoderConfig(backbone="resnet50", n_latent=(512, 512)),
+        flow=RealNVPConfig(dim=45, cond_dim=512, h_dim=512, num_steps=6),
+        feat_dim=512,
+        image_size=img,
+    )
+    model = mano.synthetic_mano_model(0)
+    params, batch_stats = mhent.init(jax.random.key(0), cfg)
+
+    @jax.jit
+    def step(params, batch_stats, image, key):
+        out = mhent.sample_hypotheses(
+            model, params, batch_stats, cfg, image, key, n=n_hypo, temp=0.8,
+            mods=("xyz", "uv"),
+        )
+        return out["xyz"], out["uv"]
+
+    key = jax.random.key(1)
+    image = jax.random.uniform(jax.random.key(2), (batch, img, img, 3)) * 2 - 1
+
+    # Warm up / compile.
+    xyz, uv = step(params, batch_stats, image, key)
+    jax.block_until_ready(xyz)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        xyz, uv = step(params, batch_stats, image, jax.random.fold_in(key, i))
+    jax.block_until_ready(xyz)
+    dt = time.perf_counter() - t0
+
+    hypos_per_sec = n_hypo * batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"hypotheses/sec/chip (N={n_hypo}, B={batch}, full pipeline)",
+                "value": round(hypos_per_sec, 1),
+                "unit": "hypos/s",
+                "vs_baseline": round(hypos_per_sec / 20000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

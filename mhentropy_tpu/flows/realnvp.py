@@ -85,8 +85,8 @@ class RealNVPParams(NamedTuple):
     t_b1: jax.Array
     t_w2: jax.Array
     t_b2: jax.Array
-    # Conditional projections (zeros-shaped (L, 0, H) when unconditional).
-    s_c0: jax.Array  # (L, C, H)
+    # Conditional projections (None when unconditional).
+    s_c0: jax.Array | None  # (L, C, H)
     s_cb0: jax.Array  # (L, H)
     s_c1: jax.Array
     s_cb1: jax.Array
@@ -136,14 +136,18 @@ def init_params(key: jax.Array, cfg: RealNVPConfig) -> RealNVPParams:
         t_w0=lin((d, h)), t_b0=zeros(h),
         t_w1=lin((h, h)), t_b1=zeros(h),
         t_w2=lin((h, d)), t_b2=zeros(d),
-        s_c0=lin((c, h)) if c else zeros(0, h),
-        s_cb0=zeros(h), s_c1=lin((c, h)) if c else zeros(0, h), s_cb1=zeros(h),
-        t_c0=lin((c, h)) if c else zeros(0, h),
-        t_cb0=zeros(h), t_c1=lin((c, h)) if c else zeros(0, h), t_cb1=zeros(h),
-        kemb_w0=_xavier(k0, (kd, kd)) if kd else jnp.zeros((0, 0)),
-        kemb_b0=jnp.zeros((kd,)),
-        kemb_w1=_xavier(k1, (kd, kd)) if kd else jnp.zeros((0, 0)),
-        kemb_b1=jnp.zeros((kd,)),
+        s_c0=lin((c, h)) if c else None,
+        s_cb0=zeros(h) if c else None,
+        s_c1=lin((c, h)) if c else None,
+        s_cb1=zeros(h) if c else None,
+        t_c0=lin((c, h)) if c else None,
+        t_cb0=zeros(h) if c else None,
+        t_c1=lin((c, h)) if c else None,
+        t_cb1=zeros(h) if c else None,
+        kemb_w0=_xavier(k0, (kd, kd)) if kd else None,
+        kemb_b0=jnp.zeros((kd,)) if kd else None,
+        kemb_w1=_xavier(k1, (kd, kd)) if kd else None,
+        kemb_b1=jnp.zeros((kd,)) if kd else None,
         part_ws=tuple(
             _xavier(k, (in_f, out_f))
             for k, (in_f, out_f) in zip(

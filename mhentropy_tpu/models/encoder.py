@@ -32,7 +32,8 @@ class EncoderConfig(NamedTuple):
         return self.feat_dim or resnet.FEAT_DIMS[self.backbone]
 
 
-def init(key: jax.Array, cfg: EncoderConfig, image_size: int = 256) -> dict:
+def init(key: jax.Array, cfg: EncoderConfig, image_size: int = 256):
+    """Returns (params, batch_stats) — stats are model state, not trainables."""
     k_bb, k_l1, k_l2 = jax.random.split(key, 3)
     bb = resnet.make_backbone(cfg.backbone, dtype=jnp.dtype(cfg.dtype))
     dummy = jnp.zeros((1, image_size, image_size, 3))
@@ -47,16 +48,17 @@ def init(key: jax.Array, cfg: EncoderConfig, image_size: int = 256) -> dict:
             "b": jax.random.uniform(kb, (dout,), jnp.float32, -lim, lim),
         }
 
-    return {
+    params = {
         "backbone": variables["params"],
-        "batch_stats": variables.get("batch_stats", {}),
         "l1": linear(k_l1, f, cfg.n_latent[0]),
         "l2": linear(k_l2, f, cfg.n_latent[1]),
     }
+    return params, variables.get("batch_stats", {})
 
 
 def apply(
     params: dict,
+    batch_stats: dict,
     cfg: EncoderConfig,
     image: jax.Array,
     key: jax.Array | None = None,
@@ -68,13 +70,13 @@ def apply(
     image: (B, H, W, 3) NHWC in the dataset's normalisation.
     """
     bb = resnet.make_backbone(cfg.backbone, dtype=jnp.dtype(cfg.dtype))
-    variables = {"params": params["backbone"], "batch_stats": params["batch_stats"]}
+    variables = {"params": params["backbone"], "batch_stats": batch_stats}
     if train:
         feats, mutated = bb.apply(variables, image, train=True, mutable=["batch_stats"])
         new_stats = mutated["batch_stats"]
     else:
         feats = bb.apply(variables, image, train=False)
-        new_stats = params["batch_stats"]
+        new_stats = batch_stats
 
     mn = jnp.dot(feats, params["l1"]["w"], precision=_PREC) + params["l1"]["b"]
     sd = jnp.dot(feats, params["l2"]["w"], precision=_PREC) + params["l2"]["b"]

@@ -88,9 +88,11 @@ def make_priors(cfg: MHEntConfig) -> dict:
     return out
 
 
-def init(key: jax.Array, cfg: MHEntConfig) -> dict:
+def init(key: jax.Array, cfg: MHEntConfig):
+    """Returns (params, batch_stats)."""
     k_enc, k_flow, k_d0, k_d1 = jax.random.split(key, 4)
-    params = {"encoder": encoder.init(k_enc, cfg.encoder, cfg.image_size)}
+    enc_params, batch_stats = encoder.init(k_enc, cfg.encoder, cfg.image_size)
+    params = {"encoder": enc_params}
     if cfg.regressor == "realnvp":
         params["flow"] = realnvp.init_params(k_flow, cfg.flow)
     elif cfg.regressor == "glow":
@@ -109,7 +111,7 @@ def init(key: jax.Array, cfg: MHEntConfig) -> dict:
         }
 
     params["det_head"] = {"l0": linear(k_d0, f, h), "l1": linear(k_d1, h, o)}
-    return params
+    return params, batch_stats
 
 
 def det_head_apply(params: dict, feat: jax.Array) -> jax.Array:
@@ -119,11 +121,12 @@ def det_head_apply(params: dict, feat: jax.Array) -> jax.Array:
 
 
 def extract_feat(
-    params: dict, cfg: MHEntConfig, image: jax.Array, train: bool = False
+    params: dict, batch_stats: dict, cfg: MHEntConfig, image: jax.Array,
+    train: bool = False,
 ):
     """Conditioning feature = the encoder's mu head (network.py:779)."""
     _, mn, _, new_stats = encoder.apply(
-        params["encoder"], cfg.encoder, image, key=None, train=train
+        params["encoder"], batch_stats, cfg.encoder, image, key=None, train=train
     )
     return mn, new_stats
 
@@ -272,6 +275,7 @@ def forward_log_p(
 def reverse_kld(
     model: ManoModel,
     params: dict,
+    batch_stats: dict,
     cfg: MHEntConfig,
     y: dict,
     image: jax.Array,
@@ -282,7 +286,7 @@ def reverse_kld(
     """The training objective: -KL(q(z|I) || p(y|z) p̃(z)) up to a constant
     (network.py:760-831). Returns (output dict incl. per-image log_p,
     new batch stats)."""
-    feat, new_stats = extract_feat(params, cfg, image, train=train)
+    feat, new_stats = extract_feat(params, batch_stats, cfg, image, train=train)
     n = cfg.n_train_hypotheses
     b = feat.shape[0]
     z, log_q = sample_q_z(params, cfg, feat, key, n, temp=1.0)
@@ -308,6 +312,7 @@ def reverse_kld(
 def sample_hypotheses(
     model: ManoModel,
     params: dict,
+    batch_stats: dict,
     cfg: MHEntConfig,
     image: jax.Array,
     key: jax.Array,
@@ -321,7 +326,7 @@ def sample_hypotheses(
     Returns dict with th_bt / logs_t (N', B, .), xyz (N', B, 63),
     uv (N', B, 42) in pixel space, verts (N', B, 2334), faces.
     """
-    feat, _ = extract_feat(params, cfg, image, train=False)
+    feat, _ = extract_feat(params, batch_stats, cfg, image, train=False)
     b = image.shape[0]
     z, log_q = sample_q_z(params, cfg, feat, key, n, temp=temp)
     z = z.reshape(n, b, Z_TOTAL)

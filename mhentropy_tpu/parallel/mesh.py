@@ -1,0 +1,69 @@
+"""Device mesh + sharding policy.
+
+The reference is single-process single-GPU (SURVEY.md §2.3 — no DP/TP/PP of
+any kind); this module is the TPU-native scaling design that replaces that
+absence: a 2-D (data, hypo) mesh over ICI where
+
+* training shards the image batch over 'data' (plain data parallelism —
+  gradients all-reduce over ICI, inserted by the partitioner),
+* multi-hypothesis inference additionally shards the N-hypothesis axis over
+  'hypo' (the model is tiny, N is the scaling axis: N=200 eval hypotheses
+  per image spread across chips; per-image features are broadcast once).
+
+Everything uses jit + NamedSharding + with_sharding_constraint — XLA inserts
+the collectives.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+HYPO_AXIS = "hypo"
+
+
+def make_mesh(n_devices: int | None = None, hypo: int = 1, devices=None) -> Mesh:
+    """A (data, hypo) mesh. hypo=1 gives pure data parallelism."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    assert n_devices % hypo == 0, (n_devices, hypo)
+    grid = np.asarray(devices).reshape(n_devices // hypo, hypo)
+    return Mesh(grid, (DATA_AXIS, HYPO_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis over 'data'; replicated over 'hypo'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def hypo_batch_spec() -> P:
+    """PartitionSpec for (N, B, ...) hypothesis-major tensors."""
+    return P(HYPO_AXIS, DATA_AXIS)
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a host batch with the leading axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def constrain_hypotheses(z_nb, mesh: Mesh | None = None):
+    """Annotate an (N, B, ...) tensor to live sharded over (hypo, data)."""
+    spec = P(HYPO_AXIS, DATA_AXIS)
+    return jax.lax.with_sharding_constraint(z_nb, spec)
+
+
+def pad_batch(batch_size: int, n_devices: int) -> int:
+    """Round the batch up so it divides the data axis."""
+    return int(math.ceil(batch_size / n_devices) * n_devices)

@@ -1,0 +1,387 @@
+"""Training engine: TrainState, pjit-sharded train/eval steps, the experiment
+driver, checkpointing.
+
+Capability parity with the reference trainer
+(/root/reference/hand/CrossModalHand.py:18-610): module assembly from the
+config schema, Adam + MultiStep LR (gamma 0.1) with grad-clip 1.0
+(CrossModalHand.py:201-203,462-467), the R2P epoch loop with AverageMeters /
+log lines / TensorBoard scalars (:402-566), eval with N test hypotheses
+(:357-361), checkpoint save/load with module subsetting (:573-602).
+
+TPU-first: one jitted train step over a (data, hypo) mesh — batch sharded
+over 'data', parameters replicated, gradient all-reduce inserted by the
+partitioner; eval shards the N-hypothesis axis over 'hypo'. Checkpoints are a
+single orbax pytree {params, batch_stats, opt_state, step} (the reference
+saves no optimizer state; we do, and the torch->jax converter fills params
+only).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mhentropy_tpu.core import mano as mano_lib
+from mhentropy_tpu.core.mano import ManoConfig, ManoModel
+from mhentropy_tpu.data import synthetic
+from mhentropy_tpu.flows.realnvp import RealNVPConfig
+from mhentropy_tpu.models import mhent
+from mhentropy_tpu.models.encoder import EncoderConfig
+from mhentropy_tpu.models.mhent import MHEntConfig
+from mhentropy_tpu.parallel import mesh as mesh_lib
+from mhentropy_tpu.train import metrics as metrics_lib
+from mhentropy_tpu.utils.logging import AverageMeter, ScalarWriter, get_logger
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def build_model_config(cfg) -> MHEntConfig:
+    """YAML schema -> MHEntConfig (mirrors CrossModalHand.py:54-85)."""
+    net = cfg.network
+    image_size = max(cfg.dataset.image_size)
+    n_latent = net.nums_latent if net.nums_latent else net.num_latent
+    enc = EncoderConfig(
+        backbone=net.backbone,
+        n_latent=(n_latent, n_latent) if isinstance(n_latent, int) else tuple(n_latent),
+        feat_dim=net.feat_dim,
+        sigma_act=net.acts,
+        deterministic=net.deterministic,
+        dtype=cfg.tpu.compute_dtype if "tpu" in cfg else "bfloat16",
+    )
+    flow = RealNVPConfig(
+        dim=45,
+        cond_dim=net.num_latent,
+        h_dim=net.h_dims[0],
+        num_steps=net.num_steps,
+        joint_n=cfg.dataset.jointN,
+    )
+    return MHEntConfig(
+        encoder=enc,
+        flow=flow,
+        mano=ManoConfig(use_pca=True, ncomps=45, flat_hand_mean=False),
+        regressor=net.regressor,
+        ds=cfg.dataset.dataset_name,
+        image_size=image_size,
+        feat_dim=net.num_latent,
+        b_2d=net.b_2d,
+        th45_ref_alpha=float(net.w_reg_th),
+        entropy=bool(net.entropy),
+        kld_w=1.0,
+        kld_w_annealing=(1.0, 20 * 1200),
+        n_train_hypotheses=10,
+    )
+
+
+def load_mano_model(mano_dir: str = "./mano/") -> ManoModel:
+    path = mano_lib.find_mano_assets(mano_dir)
+    if path:
+        return mano_lib.load_mano_pkl(path)
+    return mano_lib.synthetic_mano_model(seed=0)
+
+
+def make_optimizer(lr: float, milestones, steps_per_epoch: int, gamma: float = 0.1):
+    """Adam + MultiStepLR(gamma=0.1) + global-norm clip 1.0
+    (CrossModalHand.py:201-203, 462-467)."""
+    boundaries = {int(m) * steps_per_epoch: gamma for m in milestones}
+    schedule = optax.piecewise_constant_schedule(lr, boundaries)
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(schedule),
+    )
+
+
+def init_state(key, model_cfg: MHEntConfig, optimizer) -> TrainState:
+    params, batch_stats = mhent.init(key, model_cfg)
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer, mesh):
+    """One pjit-compiled optimisation step; batch sharded over 'data'."""
+
+    def step_fn(state: TrainState, image, target, key):
+        def loss_fn(params):
+            out, new_stats = mhent.reverse_kld(
+                model, params, state.batch_stats, model_cfg, target, image,
+                key, train=True,
+            )
+            loss = -out["log_p"].mean()  # criteria.py:55,173
+            return loss, (out, new_stats)
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        aux = {
+            "loss": loss,
+            "th_norm": out["th_norm"].mean(),
+            "bt_norm": out["bt_norm"].mean(),
+            "h_q": out.get("h_q_z_giv_i", jnp.zeros(1)).mean(),
+            "q_log_p": out["q_log_p_z_giv_y"].mean(),
+        }
+        return new_state, aux
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(model: ManoModel, model_cfg: MHEntConfig, mesh, n: int, temp: float):
+    """Multi-hypothesis eval: N sharded over 'hypo', batch over 'data'."""
+
+    def eval_fn(params, batch_stats, image, target, key):
+        out, _ = mhent.reverse_kld(
+            model, params, batch_stats, model_cfg, target, image, key,
+            train=False,
+        )
+        samples = mhent.sample_hypotheses(
+            model, params, batch_stats, model_cfg, image, key,
+            n=n, n_quant=n, temp=temp,
+        )
+        hypo_spec = P(mesh_lib.HYPO_AXIS, mesh_lib.DATA_AXIS)
+        for k in ("xyz", "uv", "verts"):
+            if k in samples:
+                samples[k] = jax.lax.with_sharding_constraint(
+                    samples[k], NamedSharding(mesh, hypo_spec)
+                )
+        output = dict(samples)
+        output["log_p"] = out["log_p"]
+        total, losses, mets = metrics_lib.mhent_metrics(output, target)
+        mets = {k: v.mean() for k, v in mets.items()}
+        mets["loss_total"] = total
+        return mets
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    return jax.jit(
+        eval_fn, in_shardings=(repl, repl, data, data, repl), out_shardings=repl
+    )
+
+
+class Experiment:
+    """The experiment driver (CrossModalHand equivalent)."""
+
+    def __init__(self, cfg, mano_dir: str = "./mano/"):
+        self.cfg = cfg
+        self.model_cfg = build_model_config(cfg)
+        self.model = load_mano_model(mano_dir)
+        self.mesh = mesh_lib.make_mesh(hypo=cfg.tpu.mesh_hypo if "tpu" in cfg else 1)
+
+        os.makedirs(cfg.model_dir, exist_ok=True)
+        self.log = get_logger(
+            os.path.join(cfg.model_dir, f"info_{cfg.training.mode}.log"),
+            name=f"mhent_{id(self)}",
+        )
+        self.log.info(str(cfg))
+        self.writer = ScalarWriter(cfg.model_dir)
+        self._step = 0
+
+        self.seed = cfg.training.seed if cfg.training.seed is not None else int(
+            time.time()
+        ) % 10000
+        self.key = jax.random.key(self.seed)
+
+        self.steps_per_epoch = None  # set once data is known
+        self.optimizer = None
+        self.state = None
+        self._train_step = None
+        self._eval_step = {}
+
+        if cfg.training.pth:
+            self._pending_restore = cfg.training.pth
+        else:
+            self._pending_restore = None
+
+    # ------------------------------------------------------------------ data
+    def make_datasets(self):
+        """Synthetic fixture unless a real dataset dir is configured."""
+        name = self.cfg.dataset.dataset_name
+        data_dir = self.cfg.tpu.data_dir if "tpu" in self.cfg else None
+        if data_dir:
+            from mhentropy_tpu.data import ho3d, rhd
+
+            loader = {"ho3d": ho3d, "rhd": rhd}.get(name)
+            if loader is None:
+                raise NotImplementedError(name)
+            train = loader.load(data_dir, mode="training")
+            evald = loader.load(data_dir, mode="evaluation")
+            return train, evald
+        img = self.model_cfg.image_size
+        bs = self.cfg.training.batch_size
+        n_train = max(4 * bs, 64)
+        train = synthetic.make_dataset(
+            self.model, n=n_train, image_size=img, seed=self.seed, ds=self.model_cfg.ds
+        )
+        evald = synthetic.make_dataset(
+            self.model, n=max(2 * bs, 64), image_size=img, seed=self.seed + 1,
+            ds=self.model_cfg.ds,
+        )
+        return train, evald
+
+    # ----------------------------------------------------------------- setup
+    def _ensure_state(self, steps_per_epoch: int):
+        if self.state is not None:
+            return
+        self.steps_per_epoch = steps_per_epoch
+        self.optimizer = make_optimizer(
+            self.cfg.training.lr, self.cfg.training.milestones, steps_per_epoch
+        )
+        self.key, k_init = jax.random.split(self.key)
+        self.state = init_state(k_init, self.model_cfg, self.optimizer)
+        self._train_step = make_train_step(
+            self.model, self.model_cfg, self.optimizer, self.mesh
+        )
+        if self._pending_restore:
+            self.load_model(self._pending_restore)
+            self._pending_restore = None
+
+    def _get_eval_step(self, n: int, temp: float):
+        if (n, temp) not in self._eval_step:
+            self._eval_step[(n, temp)] = make_eval_step(
+                self.model, self.model_cfg, self.mesh, n, temp
+            )
+        return self._eval_step[(n, temp)]
+
+    # ------------------------------------------------------------------ loops
+    def train_baseline(self):
+        train_data, eval_data = self.make_datasets()
+        bs = self.cfg.training.batch_size
+        n_batches = max(1, train_data.images.shape[0] // bs)
+        self._ensure_state(n_batches)
+
+        self.eval_loop(eval_data, epoch=0)
+        for epoch in range(self.cfg.training.epochs):
+            self.train_epoch(train_data, epoch)
+            if (epoch + 1) % self.cfg.eval_interval == 0:
+                self.eval_loop(eval_data, epoch=epoch)
+            if epoch % self.cfg.save_interval == 0:
+                self.save_model(f"baseline_{self.cfg.network.decoder_type}", epoch)
+        if self.cfg.training.epochs:
+            self.save_model("baseline_final")
+
+    def train_epoch(self, data, epoch: int):
+        bs = self.cfg.training.batch_size
+        loss_meter = AverageMeter()
+        for idx, (image, target) in enumerate(synthetic.batches(data, bs)):
+            self.key, k_step = jax.random.split(self.key)
+            self.state, aux = self._train_step(self.state, image, target, k_step)
+            loss = float(aux["loss"])
+            loss_meter.update(loss)
+            self._step += 1
+            if idx % self.cfg.info_interval == 0:
+                msg = (
+                    f"Epoch:{epoch}| Step:{idx}| Avg_Loss:{loss_meter.avg:.4f}|"
+                    f" h_q:{float(aux['h_q']):.4f}|"
+                    f" q_log_p:{float(aux['q_log_p']):.4f}|"
+                )
+                self.log.info(msg)
+                self.writer.add_scalar(
+                    "loss_avg/loss_total", loss_meter.avg, global_step=self._step
+                )
+        return loss_meter.avg
+
+    def eval_loop(self, data, epoch: int = 0, n: int | None = None):
+        if self.state is None:
+            bs = self.cfg.training.batch_size
+            self._ensure_state(max(1, data.images.shape[0] // bs))
+        n = n or self.cfg.training.test_samples
+        step = self._get_eval_step(n, temp=0.8)
+        bs = self.cfg.training.batch_size
+        meters = {}
+        for image, target in synthetic.batches(data, bs):
+            self.key, k = jax.random.split(self.key)
+            mets = step(self.state.params, self.state.batch_stats, image, target, k)
+            for name, v in mets.items():
+                meters.setdefault(name, AverageMeter()).update(float(v))
+        summary = {k: m.avg for k, m in meters.items()}
+        line = f"Epoch:{epoch}|"
+        if "eucLoss_3d_rgb_sample" in summary:
+            line += f" eval_3d_rgb:{summary['eucLoss_3d_rgb_sample'] * 1000:.4f}|"
+        for k in sorted(summary):
+            self.writer.add_scalar(f"metric_eval/{k}", summary[k], self._step)
+        self.log.info(line + " " + str({k: round(v, 4) for k, v in summary.items()}))
+        return summary
+
+    def eval(self, name: str | None = None):
+        if name:
+            self._pending_restore = name
+        _, eval_data = self.make_datasets()
+        return self.eval_loop(eval_data)
+
+    # ------------------------------------------------------------ checkpoints
+    def save_model(self, name: str, epoch: int | None = None):
+        import orbax.checkpoint as ocp
+
+        tag = name if epoch is None else f"{name}_{epoch}"
+        path = os.path.abspath(os.path.join(self.cfg.model_dir, tag))
+        ckpt = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        with ocp.StandardCheckpointer() as saver:
+            saver.save(path, ckpt, force=True)
+        self.log.info(f"save model in {path}")
+
+    def load_model(self, path: str, mod_names=None):
+        """Restore from an orbax dir or a torch .pth via the converter
+        (load_mod_names subsetting as CrossModalHand.py:589-602)."""
+        path = os.path.abspath(path)
+        if path.endswith(".pth"):
+            from tools.convert_torch import load_torch_checkpoint
+
+            params = load_torch_checkpoint(path, self.model_cfg)
+            self._merge_params(params, mod_names)
+            self.log.info(f"load torch model from {path}")
+            return
+        if not os.path.isdir(path):
+            self.log.info(f"checkpoint {path} not found; keeping init")
+            return
+        import orbax.checkpoint as ocp
+
+        template = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        with ocp.StandardCheckpointer() as loader:
+            ckpt = loader.restore(path, template)
+        self.state = TrainState(
+            ckpt["params"], ckpt["batch_stats"], ckpt["opt_state"], ckpt["step"]
+        )
+        self.log.info(f"load model from {path}")
+
+    def _merge_params(self, new_params: dict, mod_names=None):
+        params = dict(self.state.params)
+        for k, v in new_params.items():
+            if mod_names is not None and k not in mod_names:
+                continue
+            if v is not None:
+                params[k] = v
+        self.state = self.state._replace(params=params)

@@ -1,0 +1,182 @@
+"""yacs-compatible config system preserving the reference's YAML schema.
+
+The reference uses yacs CfgNode defaults + `--cfg file.yaml` overlay
+(/root/reference/hand/configs/config.py:13-99); BASELINE.json requires the
+schema be preserved so HO3D/RHD/FreiHAND experiment YAMLs run unchanged. yacs
+is not in this environment, so CfgNode is implemented here (attribute access,
+clone, YAML merge with type checking, new_allowed groups).
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+from typing import Any
+
+import yaml
+
+
+class CfgNode(dict):
+    """Minimal yacs-compatible config node."""
+
+    _NEW_ALLOWED = "__new_allowed__"
+
+    def __init__(self, init: dict | None = None, new_allowed: bool = False):
+        super().__init__()
+        object.__setattr__(self, "_new_allowed", new_allowed)
+        if init:
+            for k, v in init.items():
+                self[k] = CfgNode(v) if isinstance(v, dict) else v
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def clone(self) -> "CfgNode":
+        return copy.deepcopy(self)
+
+    def merge_from_other_cfg(self, other: dict) -> None:
+        for k, v in other.items():
+            if k not in self:
+                if not object.__getattribute__(self, "_new_allowed"):
+                    raise KeyError(f"Non-existent config key: {k}")
+                self[k] = CfgNode(v) if isinstance(v, dict) else v
+                continue
+            cur = self[k]
+            if isinstance(cur, CfgNode) and isinstance(v, dict):
+                cur.merge_from_other_cfg(v)
+            else:
+                self[k] = _coerce(v, cur, k)
+
+    def merge_from_file(self, path: str) -> None:
+        with open(path) as f:
+            overlay = yaml.safe_load(f) or {}
+        self.merge_from_other_cfg(overlay)
+
+    def dump(self) -> str:
+        def plain(node):
+            return {
+                k: plain(v) if isinstance(v, CfgNode) else v for k, v in node.items()
+            }
+
+        return yaml.safe_dump(plain(self), default_flow_style=False)
+
+
+def _coerce(new: Any, old: Any, key: str) -> Any:
+    if old is None or new is None:
+        return new
+    if isinstance(old, bool):
+        return bool(new)
+    if isinstance(old, (int, float)) and isinstance(new, (int, float)):
+        return type(old)(new) if not isinstance(new, bool) else new
+    if type(old) is type(new):
+        return new
+    if isinstance(old, (list, tuple)) and isinstance(new, (list, tuple)):
+        return list(new)
+    raise TypeError(f"Type mismatch for key {key}: {type(old)} vs {type(new)}")
+
+
+def get_cfg_defaults() -> CfgNode:
+    """Defaults mirroring the reference schema (configs/config.py:13-71)."""
+    from mhentropy_tpu.utils.logging import rand_model_name
+
+    model_dir = f"./model/{rand_model_name()}/"
+    cfg = CfgNode()
+
+    cfg.dataset = CfgNode()
+    cfg.dataset.dataset_name = "rhd"
+    cfg.dataset.image_size = [256, 256]
+    cfg.dataset.range_ = [[-5.0, -5.0, -5.0], [5.0, 5.0, 5.0]]
+    cfg.dataset.pe = "3d"
+    cfg.dataset.jointN = 21
+
+    cfg.model_dir = model_dir
+    cfg.pretrain_model = model_dir + "pretrain.pth"
+    cfg.final_model = model_dir + "final.pth"
+    cfg.info_interval = 200
+    cfg.save_interval = 5
+    cfg.eval_interval = 1
+    cfg.eval_mscoco = False
+
+    cfg.training = CfgNode(new_allowed=True)
+    cfg.training.mode = "pretrain"
+    cfg.training.seed = None
+    cfg.training.view_correction = True
+    cfg.training.batch_size = 32
+    cfg.training.num_workers = 32
+    cfg.training.pth = None
+    cfg.training.load_mod_names = None
+    cfg.training.epochs = 80
+    cfg.training.lr = 1e-4
+    cfg.training.milestones = [30, 60]
+    cfg.training.warmups = 0
+    cfg.training.criterion = "ELBOLoss"
+    cfg.training.test_samples = 200
+
+    cfg.network = CfgNode(new_allowed=True)
+    cfg.network.enc_type = "BasicEnc"
+    cfg.network.input = "image"
+    cfg.network.num_latent = 64
+    cfg.network.nums_latent = None
+    cfg.network.backbone = "resnet18"
+    cfg.network.resnet_pretrained = True
+    cfg.network.conditional_p = False
+    cfg.network.conditional_i = False
+    cfg.network.feat_dim = None
+    cfg.network.acts = "exp"
+    cfg.network.deterministic = False
+    cfg.network.iterative_refinement = False
+    cfg.network.decoder_type = "mano"
+    cfg.network.pgm = None
+    cfg.network.p_nf = None
+    cfg.network.p_nf_dim = 3
+    cfg.network.tsfm_on = None
+    cfg.network.cond_mapping_dims = None
+    cfg.network.kemb = False
+    cfg.network.h_dims = [64, 64]
+    cfg.network.num_steps = 3
+    cfg.network.nf_res = None
+    cfg.network.ddpm = False
+    # MHEntropy group (ho3d.yaml keys).
+    cfg.network.regressor = "realnvp"
+    cfg.network.rot_prior = None
+    cfg.network.w_reg_th = 50
+    cfg.network.w_prior_2d = 0
+    cfg.network.w_reg_ds = 0
+    cfg.network.b_2d = 0.03
+    cfg.network.entropy = True
+    cfg.network.mode = False
+
+    cfg.loss = CfgNode()
+    cfg.loss.kl = 0.0001
+
+    # TPU-framework extensions (absent keys in the reference default to the
+    # reference's behaviour).
+    cfg.tpu = CfgNode(new_allowed=True)
+    cfg.tpu.mesh_hypo = 1  # hypothesis-axis mesh size for eval sharding
+    cfg.tpu.compute_dtype = "bfloat16"  # backbone compute dtype
+    cfg.tpu.data_dir = None  # dataset root; None -> synthetic fixture
+
+    return cfg
+
+
+def update_cfg(cfg_file: str) -> CfgNode:
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(cfg_file)
+    return cfg.clone()
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", type=str, help="cfg file path")
+    args = parser.parse_args(argv)
+    if args.cfg is not None:
+        cfg = update_cfg(args.cfg)
+    else:
+        cfg = get_cfg_defaults()
+    return cfg, args.cfg

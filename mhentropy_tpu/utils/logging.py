@@ -1,0 +1,100 @@
+"""Meters, loggers and scalar writers.
+
+Capability parity with the reference's observability surface (SURVEY.md §5):
+python logging to file+stdout (utils.py:106-122), AverageMeters
+(utils.py:75-91 — including its quirk of dropping zero-valued updates, which
+we keep OFF by default but expose for log parity), TensorBoard scalars
+(tensorboardX when present, JSONL fallback), random run names
+(utils.py:125-126).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import random
+import string
+import sys
+import time
+
+
+class AverageMeter:
+    """Running average.
+
+    The reference's update() counts a sample only when val != 0
+    (utils.py:86-91); pass drop_zeros=True to reproduce that exactly.
+    """
+
+    def __init__(self, drop_zeros: bool = True):
+        self.drop_zeros = drop_zeros
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        if self.drop_zeros:
+            n = int(val != 0)
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count if self.count else 0.0
+
+
+def get_logger(filename: str, verbosity: int = 1, name: str | None = None):
+    level = {0: logging.DEBUG, 1: logging.INFO, 2: logging.WARNING}[verbosity]
+    fmt = logging.Formatter(
+        "[%(asctime)s][%(filename)s][line:%(lineno)d][%(levelname)s] %(message)s"
+    )
+    logger = logging.getLogger(name or filename)
+    logger.setLevel(level)
+    logger.propagate = False
+    logger.handlers.clear()
+    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+    fh = logging.FileHandler(filename, "w")
+    fh.setFormatter(fmt)
+    logger.addHandler(fh)
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    return logger
+
+
+def rand_model_name() -> str:
+    return "".join(
+        random.choice(string.ascii_letters + string.digits) for _ in range(6)
+    )
+
+
+class ScalarWriter:
+    """TensorBoard scalar writer with a JSONL fallback."""
+
+    def __init__(self, logdir: str):
+        os.makedirs(logdir, exist_ok=True)
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(logdir)
+        except Exception:
+            pass
+        self._jsonl = open(os.path.join(logdir, "scalars.jsonl"), "a")
+
+    def add_scalar(self, tag: str, value: float, global_step: int = 0):
+        value = float(value)
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, global_step=global_step)
+        self._jsonl.write(
+            json.dumps({"tag": tag, "value": value, "step": int(global_step),
+                        "ts": time.time()}) + "\n"
+        )
+        self._jsonl.flush()
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
+        self._jsonl.close()

@@ -1,0 +1,27 @@
+"""CLI entrypoint: `python run.py --cfg configs/ho3d.yaml`.
+
+Capability parity with /root/reference/hand/run.py:1-22: parse the yacs-style
+config, seed, build the experiment, dispatch on training.mode
+(baseline_VAE -> train, eval -> evaluate a checkpoint).
+"""
+
+import jax
+
+from mhentropy_tpu.train.engine import Experiment
+from mhentropy_tpu.utils.config import parse_args
+
+
+def main(argv=None):
+    cfg, _ = parse_args(argv)
+    exp = Experiment(cfg)
+    if cfg.training.mode == "baseline_VAE":
+        exp.train_baseline()
+    elif cfg.training.mode == "eval":
+        exp.eval(name=cfg.training.pth)
+    else:
+        raise NotImplementedError(cfg.training.mode)
+    return exp
+
+
+if __name__ == "__main__":
+    main()

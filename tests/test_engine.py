@@ -1,0 +1,117 @@
+"""Training engine + multi-chip sharding tests (8 virtual CPU devices)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mhentropy_tpu.core import mano
+from mhentropy_tpu.data import synthetic
+from mhentropy_tpu.flows.realnvp import RealNVPConfig
+from mhentropy_tpu.models.encoder import EncoderConfig
+from mhentropy_tpu.models.mhent import MHEntConfig
+from mhentropy_tpu.parallel import mesh as mesh_lib
+from mhentropy_tpu.train import engine
+
+IMG = 32
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return MHEntConfig(
+        encoder=EncoderConfig(backbone="resnet18", n_latent=(32, 32), dtype="float32"),
+        flow=RealNVPConfig(dim=45, cond_dim=32, h_dim=32, num_steps=1),
+        feat_dim=32,
+        image_size=IMG,
+        n_train_hypotheses=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def model():
+    return mano.synthetic_mano_model(0)
+
+
+def test_train_step_decreases_loss_singleaxis(small_cfg, model):
+    mesh = mesh_lib.make_mesh(n_devices=4, hypo=1)
+    optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
+    state = engine.init_state(jax.random.key(0), small_cfg, optimizer)
+    data = synthetic.make_dataset(model, n=8, image_size=IMG, seed=0)
+    image, target = next(synthetic.batches(data, 8))
+    image = mesh_lib.shard_batch(mesh, image)
+    target = mesh_lib.shard_batch(mesh, target)
+
+    step = engine.make_train_step(model, small_cfg, optimizer, mesh)
+    losses = []
+    for i in range(6):
+        state, aux = step(state, image, target, jax.random.key(42))  # fixed key
+        losses.append(float(aux["loss"]))
+    assert int(state.step) == 6
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses  # optimises on a fixed batch
+
+
+def test_train_step_sharding_matches_single_device(small_cfg, model):
+    """The data-parallel step must compute the same update as 1 device."""
+    optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
+    data = synthetic.make_dataset(model, n=8, image_size=IMG, seed=1)
+    image, target = next(synthetic.batches(data, 8))
+
+    results = {}
+    for ndev in (1, 8):
+        mesh = mesh_lib.make_mesh(n_devices=ndev, hypo=1)
+        state = engine.init_state(jax.random.key(0), small_cfg, optimizer)
+        im = mesh_lib.shard_batch(mesh, image)
+        tg = mesh_lib.shard_batch(mesh, target)
+        step = engine.make_train_step(model, small_cfg, optimizer, mesh)
+        state, aux = step(state, im, tg, jax.random.key(7))
+        results[ndev] = (
+            float(aux["loss"]),
+            np.asarray(state.params["det_head"]["l0"]["w"]),
+        )
+    # Cross-shard reduction order perturbs floats; demand relative agreement.
+    assert abs(results[1][0] - results[8][0]) / abs(results[1][0]) < 1e-4
+    np.testing.assert_allclose(results[1][1], results[8][1], atol=1e-4)
+
+
+def test_eval_step_hypo_sharding(small_cfg, model):
+    mesh = mesh_lib.make_mesh(n_devices=8, hypo=4)
+    optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
+    state = engine.init_state(jax.random.key(0), small_cfg, optimizer)
+    data = synthetic.make_dataset(model, n=4, image_size=IMG, seed=2)
+    image, target = next(synthetic.batches(data, 4))
+    image = mesh_lib.shard_batch(mesh, image)
+    target = mesh_lib.shard_batch(mesh, target)
+    step = engine.make_eval_step(model, small_cfg, mesh, n=8, temp=0.8)
+    mets = step(state.params, state.batch_stats, image, target, jax.random.key(3))
+    for k in ("eucLoss_3d_rgb_sample", "eucLoss_2d_rgb_vis", "loss_total"):
+        assert np.isfinite(float(mets[k])), k
+
+
+def test_checkpoint_roundtrip(tmp_path, small_cfg, model):
+    optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
+    state = engine.init_state(jax.random.key(0), small_cfg, optimizer)
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(str(tmp_path), "ckpt")
+    ckpt = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    with ocp.StandardCheckpointer() as saver:
+        saver.save(path, ckpt, force=True)
+    with ocp.StandardCheckpointer() as loader:
+        restored = loader.restore(path, ckpt)
+    a = np.asarray(state.params["det_head"]["l0"]["w"])
+    b = np.asarray(restored["params"]["det_head"]["l0"]["w"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

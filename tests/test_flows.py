@@ -133,8 +133,7 @@ def _params_from_torch(ref, cfg):
     return realnvp.RealNVPParams(
         masks=jnp.asarray(ref.mask.numpy()),
         **stacked,
-        kemb_w0=jnp.zeros((0, 0)), kemb_b0=jnp.zeros((0,)),
-        kemb_w1=jnp.zeros((0, 0)), kemb_b1=jnp.zeros((0,)),
+        kemb_w0=None, kemb_b0=None, kemb_w1=None, kemb_b1=None,
         part_ws=(), part_bs=(),
     )
 

@@ -32,16 +32,17 @@ def setup():
         n_train_hypotheses=4,
     )
     model = mano.synthetic_mano_model(0)
-    params = mhent.init(jax.random.key(0), cfg)
+    params, batch_stats = mhent.init(jax.random.key(0), cfg)
     data = synthetic.make_dataset(model, n=BATCH, image_size=IMG, seed=0)
     image, target = next(synthetic.batches(data, BATCH))
-    return cfg, model, params, image, target
+    return cfg, model, params, batch_stats, image, target
 
 
 def test_reverse_kld_shapes_and_finiteness(setup):
-    cfg, model, params, image, target = setup
+    cfg, model, params, batch_stats, image, target = setup
     out, _ = mhent.reverse_kld(
-        model, params, cfg, target, image, jax.random.key(1), train=False
+        model, params, batch_stats, cfg, target, image, jax.random.key(1),
+        train=False,
     )
     assert out["log_p"].shape == (BATCH,)
     assert np.all(np.isfinite(np.asarray(out["log_p"])))
@@ -52,11 +53,12 @@ def test_reverse_kld_shapes_and_finiteness(setup):
 
 
 def test_loss_grads_flow_to_all_components(setup):
-    cfg, model, params, image, target = setup
+    cfg, model, params, batch_stats, image, target = setup
 
     def loss_fn(p):
         out, _ = mhent.reverse_kld(
-            model, p, cfg, target, image, jax.random.key(1), train=False
+            model, p, batch_stats, cfg, target, image, jax.random.key(1),
+            train=False,
         )
         return -out["log_p"].mean()
 
@@ -72,10 +74,10 @@ def test_loss_grads_flow_to_all_components(setup):
 
 
 def test_sample_hypotheses_and_metrics(setup):
-    cfg, model, params, image, target = setup
+    cfg, model, params, batch_stats, image, target = setup
     n = 8
     out = mhent.sample_hypotheses(
-        model, params, cfg, image, jax.random.key(2), n=n, temp=0.8
+        model, params, batch_stats, cfg, image, jax.random.key(2), n=n, temp=0.8
     )
     assert out["xyz"].shape == (n, BATCH, 63)
     assert out["uv"].shape == (n, BATCH, 42)
@@ -97,9 +99,10 @@ def test_sample_hypotheses_and_metrics(setup):
 
 
 def test_top_quant_filtering(setup):
-    cfg, model, params, image, target = setup
+    cfg, model, params, batch_stats, image, target = setup
     out = mhent.sample_hypotheses(
-        model, params, cfg, image, jax.random.key(3), n=8, n_quant=3, temp=0.8
+        model, params, batch_stats, cfg, image, jax.random.key(3), n=8,
+        n_quant=3, temp=0.8,
     )
     assert out["xyz"].shape == (3, BATCH, 63)
 
@@ -107,7 +110,7 @@ def test_top_quant_filtering(setup):
 def test_oracle_z_achieves_near_zero_error(setup):
     """Feed the GT (theta, beta, st) through decode: BH-MPJPE must be ~0 —
     validates the whole decode/projection/metric chain end to end."""
-    cfg, model, params, image, target = setup
+    cfg, model, params, batch_stats, image, target = setup
     th_bt = jnp.concatenate([target["theta_gt"], target["beta_gt"]], axis=1)
     logs_t = jnp.concatenate(
         [jnp.log(target["st"][:, 0:1]), target["st"][:, 1:3]], axis=1
@@ -136,7 +139,7 @@ def test_kld_weight_annealing():
 
 
 def test_det_regressor_mode(setup):
-    _, model, params_unused, image, target = setup
+    _, model, _pu, _bs, image, target = setup
     cfg = MHEntConfig(
         encoder=EncoderConfig(backbone="resnet18", n_latent=(64, 64), dtype="float32"),
         regressor="det",
@@ -145,9 +148,9 @@ def test_det_regressor_mode(setup):
         n_train_hypotheses=2,
         entropy=False,
     )
-    params = mhent.init(jax.random.key(5), cfg)
+    params, bs = mhent.init(jax.random.key(5), cfg)
     assert "flow" not in params
     out, _ = mhent.reverse_kld(
-        model, params, cfg, target, image, jax.random.key(1), train=False
+        model, params, bs, cfg, target, image, jax.random.key(1), train=False
     )
     assert np.all(np.isfinite(np.asarray(out["log_p"])))
