@@ -1,0 +1,60 @@
+"""Batch collation for both array-backed (synthetic) and index-addressable
+(HO3D/RHD/FreiHAND) datasets — the framework's DataLoader equivalent.
+
+The reference uses torch DataLoader worker processes
+(CrossModalHand.py:176-179); here collation is a thread pool feeding
+device-ready numpy batches (double-buffered by the caller iterating while the
+device computes), which is the appropriate host-side design for a TPU input
+pipeline at this data scale.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _collate(samples):
+    images = np.stack([s[0] for s in samples])
+    keys = samples[0][1].keys()
+    target = {}
+    for k in keys:
+        vals = [s[1][k] for s in samples]
+        if isinstance(vals[0], (str,)):
+            continue
+        target[k] = np.stack([np.asarray(v) for v in vals])
+    return images, target
+
+
+def batches(
+    dataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    num_workers: int = 4,
+    drop_remainder: bool = True,
+    to_device: bool = True,
+):
+    """Yield (image, target) jnp batches from either kind of dataset."""
+    if hasattr(dataset, "images"):  # synthetic array container
+        from mhentropy_tpu.data import synthetic
+
+        yield from synthetic.batches(dataset, batch_size)
+        return
+
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    end = n - batch_size + 1 if drop_remainder else n
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for start in range(0, end, batch_size):
+            idxs = order[start : start + batch_size]
+            samples = list(pool.map(dataset.__getitem__, idxs))
+            images, target = _collate(samples)
+            if to_device:
+                images = jnp.asarray(images)
+                target = {k: jnp.asarray(v) for k, v in target.items()}
+            yield images, target

@@ -1,0 +1,121 @@
+"""FreiHAND dataset pipeline (host side).
+
+The reference carries FreiHAND index maps (utils.py:15,17) and a freihand
+branch in its z-normalisation (network.py:476-478) but never wires a loader
+(make_ds_dl raises NotImplementedError, CrossModalHand.py:168-174).
+BASELINE.json config 3 requires FreiHAND mesh recovery, so this loader makes
+it real: standard FreiHAND layout (training_K.json / training_xyz.json /
+training_verts.json / training/rgb/*.jpg), keypoints projected with the
+per-sample intrinsics, crop around the root with the same conventions as the
+other hand sets, root/norm joints 9/10 in FreiHAND order
+(skeletons.ROOT_IDX['freihand']).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from mhentropy_tpu.data import occlusion, transforms as T
+
+ROOT_IDX_FH = 9
+NORM_IDX_FH = 10
+N_UNIQUE = 32560  # unique poses; the dataset repeats them with 4 backgrounds
+
+
+class FreiHANDDataset:
+    def __init__(
+        self,
+        data_root: str,
+        mode: str = "training",
+        image_size: int = 224,
+        seed: int = 0,
+        eval_fraction: float = 0.1,
+    ):
+        self.root = data_root
+        self.size = image_size
+        self.mode = mode
+        self.aug = mode == "training"
+        self.rng = np.random.RandomState(seed)
+        with open(os.path.join(data_root, "training_K.json")) as f:
+            self.k_mats = np.asarray(json.load(f), np.float32)
+        with open(os.path.join(data_root, "training_xyz.json")) as f:
+            self.xyz = np.asarray(json.load(f), np.float32)
+        verts_path = os.path.join(data_root, "training_verts.json")
+        self.verts = None
+        if os.path.exists(verts_path):
+            with open(verts_path) as f:
+                self.verts = np.asarray(json.load(f), np.float32)
+        n = len(self.xyz)
+        split = int(n * (1.0 - eval_fraction))
+        self.indices = (
+            np.arange(split) if mode == "training" else np.arange(split, n)
+        )
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        import imageio.v2 as imageio
+
+        idx = int(self.indices[i])
+        image = imageio.imread(
+            os.path.join(self.root, "training", "rgb", f"{idx:08d}.jpg")
+        )
+        cam = self.k_mats[idx]
+        xyz = self.xyz[idx]  # metres, camera coords
+        uv = T.xyz2uvd_cv(xyz, cam)[:, :2]
+
+        pose3d_normed, root, bone = T.normalize_pose3d_np(xyz, ROOT_IDX_FH, NORM_IDX_FH)
+
+        centre = uv[ROOT_IDX_FH].astype(np.float64)
+        half = float(np.max(np.abs(uv - centre))) * 1.3
+        s = self.size
+        image_crop = T.resize_nearest(T.crop_with_padding(image, centre, half), s)
+        crop_uv = (uv - centre) * (s / (2 * half)) + s // 2
+
+        rot_mat = np.eye(2, 3, dtype=np.float32)
+        if self.aug:
+            params = T.make_aug_params(self.rng, trans_std=10.0)
+            rot_mat = T.aug_rot_mat(params, s)
+            pose3d_normed = T.rotate_xy(pose3d_normed, params["angle"])
+            crop_uv = T.apply_affine_uv(crop_uv, rot_mat)
+            image_crop = T.warp_image(
+                T.pixel_noise(self.rng, image_crop.astype(np.float32)), rot_mat, s
+            )
+
+        vis = np.ones(21, np.float32)
+        vis = occlusion.demote_out_of_bounds(vis, crop_uv, (s, s), quant=2)
+        uv_norm = crop_uv / s * 2.0 - 1.0
+        st = T.compute_st_np(pose3d_normed, uv_norm)
+
+        rot3 = np.eye(3)
+        rot3[:2, :] = rot_mat
+        rot_mat_inv = np.linalg.inv(rot3.T)[:, :2]
+
+        target = {
+            "crop_uv": uv_norm.reshape(-1).astype(np.float32),
+            "pose3d": pose3d_normed.reshape(-1).astype(np.float32),
+            "vis": vis,
+            "scale": np.float32(bone),
+            "st": st,
+            "original_pose3d": (xyz * 1000.0).astype(np.float32),
+            "pose3d_root": root.astype(np.float32),
+            "crop_center": centre.astype(np.float32),
+            "crop_size": np.float32(half),
+            "hand_side": np.float32(0.0),
+            "bone_length": np.float32(bone),
+            "camera": cam,
+            "rot_mat_inv": rot_mat_inv.astype(np.float32),
+            "patch": np.zeros(3, np.float32),
+            "dataset": "freihand",
+        }
+        if self.verts is not None:
+            target["verts"] = (self.verts[idx % N_UNIQUE] * 1000.0).reshape(-1)
+        return image_crop.astype(np.float32) / 255.0, target
+
+
+def load(data_dir: str, mode: str = "training", **kw) -> FreiHANDDataset:
+    return FreiHANDDataset(data_dir, mode=mode, **kw)

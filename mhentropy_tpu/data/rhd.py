@@ -1,0 +1,283 @@
+"""RHD dataset pipeline (host side, numpy/cv2).
+
+Capability parity with /root/reference/hand/dataloader/rhddataloader.py:32-404
+and dataPreprocess/preprocess.py: pickle annotations, hand-side selection by
+mask pixel count, depth-based occlusion + within-bounds checks, deterministic
+synthetic patch occlusion, root-relative bone-normalised pose (root 12, bone
+12-11), x1.3 crop around the root, depth->point-cloud, view-correction
+rotation, 64^2 Gaussian heatmaps, left-hand flip + scale/rot/trans
+augmentation, 3-state visibility encoding, orthographic (s,t) fit.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from mhentropy_tpu.data import occlusion, transforms as T
+
+BAD_TRAIN = (20500, 28140)  # rhddataloader.py:77
+BAD_EVAL = (1012, 1324)
+
+
+def depth_two_uint8_to_float(top, bottom) -> np.ndarray:
+    """RGB-coded depth -> metres (rhddataloader.py:24-29)."""
+    d = (top.astype(np.float32) * 256.0 + bottom.astype(np.float32))
+    return d / float(2**16 - 1) * 5.0
+
+
+def rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], float)
+
+
+def rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], float)
+
+
+def view_correction(crop_center, cam, cloud, joints):
+    """Rotate the camera ray through the crop centre onto the optical axis
+    (preprocess.py:64-77)."""
+    f, u0 = cam[0, 0], cam[0, 2]
+    ay = np.arctan((crop_center[0] - u0) / f)
+    c3d = np.array([crop_center[0] - u0, crop_center[1] - u0, f])
+    c3d = c3d @ rot_y(-ay).T
+    ax = np.arctan(c3d[1] / c3d[2])
+    rot = rot_x(ax) @ rot_y(-ay)
+    return rot, cloud @ rot.T, joints @ rot.T
+
+
+def depth_to_cloud(depth, mask, center3d, cam, cloud_size=4000, rng=None):
+    """Masked depth -> point cloud, box-filtered around the root, resampled
+    to cloud_size (preprocess.py:178-210)."""
+    h, w = depth.shape
+    v, u = np.mgrid[0:h, 0:w]
+    sel = mask.reshape(-1)
+    uvd = np.stack(
+        [u.reshape(-1)[sel], v.reshape(-1)[sel], depth.reshape(-1)[sel]], 1
+    ).astype(np.float32)
+    cloud = T.uvd2xyz_cv(uvd, cam)
+    rel = cloud - center3d
+    ok = np.all(np.abs(rel) < 0.2, axis=1)
+    cloud = cloud[ok]
+    if len(cloud) == 0:
+        return np.zeros((cloud_size, 3), np.float32)
+    while len(cloud) < cloud_size:
+        cloud = np.repeat(cloud, 2, axis=0)
+    rng = rng or np.random
+    idx = rng.permutation(len(cloud))[:cloud_size]
+    return cloud[idx]
+
+
+def gaussian_heatmaps(uv, size, vis, sigma=6.0):
+    """Per-joint Gaussian heatmaps, visible joints only
+    (preprocess.py:212-255)."""
+    k = uv.shape[0]
+    coords = uv.astype(np.int32).astype(np.float32)
+    in_bounds = (
+        (coords[:, 0] > 0) & (coords[:, 0] < size - 1)
+        & (coords[:, 1] > 0) & (coords[:, 1] < size - 1)
+    )
+    cond = (np.asarray(vis, np.float32) > 0.5) & in_bounds
+    x = np.arange(size, dtype=np.float32)[:, None, None]
+    y = np.arange(size, dtype=np.float32)[None, :, None]
+    # The reference builds (X - u, Y - v) with X the row index — keep that.
+    d2 = (x - coords[None, None, :, 0]) ** 2 + (y - coords[None, None, :, 1]) ** 2
+    return np.exp(-d2 / sigma**2) * cond.astype(np.float32)
+
+
+class RHDDataset:
+    def __init__(
+        self,
+        data_root: str,
+        mode: str = "training",
+        view_correction_on: bool = False,
+        uv_norm: bool = True,
+        patch_occlude: bool = True,
+        image_size: int = 256,
+        seed: int = 0,
+    ):
+        assert mode in ("training", "evaluation")
+        self.mode = mode
+        self.aug = mode == "training"
+        self.vc = view_correction_on
+        self.uv_norm = uv_norm
+        self.patch_occlude = patch_occlude
+        self.size = image_size
+        self.rng = np.random.RandomState(seed)
+        self.root = self._find_root(data_root)
+        with open(
+            os.path.join(self.root, mode, f"anno_{mode}.pickle"), "rb"
+        ) as f:
+            self.anno = pickle.load(f)
+
+    @staticmethod
+    def _find_root(data_root):
+        for cand in (
+            data_root,
+            os.path.join(data_root, "RHD_published_v2"),
+        ):
+            if os.path.isdir(os.path.join(cand, "training")):
+                return cand
+        raise FileNotFoundError(data_root)
+
+    def __len__(self):
+        return len(self.anno)
+
+    def __getitem__(self, idx: int):
+        import imageio.v2 as imageio
+
+        ori_idx = idx
+        if self.mode == "training" and idx in BAD_TRAIN:
+            idx = 0
+        if self.mode == "evaluation" and idx in BAD_EVAL:
+            idx = 0
+        anno = self.anno[idx]
+        base = os.path.join(self.root, self.mode)
+        image = imageio.imread(os.path.join(base, "color", f"{idx:05d}.png"))
+        mask = imageio.imread(os.path.join(base, "mask", f"{idx:05d}.png"))
+        depth_png = imageio.imread(os.path.join(base, "depth", f"{idx:05d}.png"))
+        depth = depth_two_uint8_to_float(depth_png[:, :, 0], depth_png[:, :, 1])
+
+        kp_uv = anno["uv_vis"][:, :2]
+        kp_vis = anno["uv_vis"][:, 2] == 1
+        kp_xyz = anno["xyz"]
+        cam = anno["K"]
+
+        # Hand side by mask pixel count (preprocess.py:264-278).
+        cond_l = (mask > 1) & (mask < 18)
+        cond_r = mask > 17
+        left = cond_l.sum() > cond_r.sum()
+        sl = slice(0, 21) if left else slice(-21, None)
+        pose3d = kp_xyz[sl]
+        uv_all = kp_uv[sl]
+        uv_vis = kp_vis[sl]
+        hand_mask_full = cond_l if left else cond_r
+
+        # Depth-agreement visibility on the full image (rhddataloader.py:98-99).
+        vis_full = occlusion.check_occlusion(kp_uv, depth, kp_xyz, delta=0.02, quant=2)
+        vis = vis_full[:21] if left else vis_full[-21:]
+
+        pose3d_normed, pose3d_root, bone = T.normalize_pose3d_np(pose3d, 12, 11)
+
+        # Crop around the root, x1.3 of the visible-keypoint extent
+        # (preprocess.py:299-304).
+        crop_center = uv_all[12].astype(np.float64)
+        crop_size = float(np.max(np.abs(uv_all[uv_vis] - crop_center))) * 1.3
+        s = self.size
+        image_crop = T.resize_nearest(
+            T.crop_with_padding(image, crop_center, crop_size), s
+        )
+        depth_n = (5.0 - depth) / 5.0 * hand_mask_full
+        depth_crop = T.resize_nearest(
+            T.crop_with_padding(depth_n, crop_center, crop_size), s
+        )
+        hand_mask_crop = T.resize_nearest(
+            T.crop_with_padding(hand_mask_full.astype(np.float32), crop_center, crop_size), s
+        )
+
+        cloud = depth_to_cloud(depth, hand_mask_full, pose3d_root, cam, 4000, self.rng)
+        cloud_normed = (cloud - pose3d[12]) / bone
+
+        crop_scale = s / (crop_size * 2.0)
+        crop_uv = (uv_all - crop_center) * crop_scale + s // 2
+
+        vc_rot = np.eye(3)
+        if self.vc:
+            vc_rot, cloud_vc, pose_vc = view_correction(
+                crop_center, cam, cloud, pose3d
+            )
+            pose3d_normed = (pose_vc - pose_vc[12]) / bone
+            cloud_normed = (cloud_vc - pose_vc[12]) / bone
+
+        heatmap = gaussian_heatmaps(
+            (uv_all - crop_center) * (64.0 / (crop_size * 2)) + 32, 64, uv_vis
+        )
+
+        # Patch occlusion before augmentation (rhddataloader.py:131-137).
+        patch_cx = patch_cy = patch_r = 0
+        object_mask = np.zeros(image_crop.shape[:2], np.float32)
+        if self.patch_occlude:
+            image_crop, vis, (patch_cx, patch_cy, patch_r, object_mask) = (
+                occlusion.patch_occlusion(image_crop, crop_uv, idx=idx, size=50, vis=vis)
+            )
+
+        rot_mat = np.eye(2, 3, dtype=np.float32)
+        hand_side = np.float32(left)
+        if left:
+            image_crop, crop_uv, pose3d_normed, (hand_mask_crop, object_mask) = (
+                T.flip_left_to_right(
+                    image_crop, crop_uv, pose3d_normed,
+                    (hand_mask_crop, object_mask), s,
+                )
+            )
+            depth_crop = depth_crop[:, ::-1].copy()
+            cloud_normed[:, 0] = -cloud_normed[:, 0]
+        if self.aug:
+            params = T.make_aug_params(self.rng, trans_std=22.0)
+            rot_mat = T.aug_rot_mat(params, s)
+            pose3d_normed = T.rotate_xy(pose3d_normed, params["angle"])
+            cloud_normed = T.rotate_xy(cloud_normed, params["angle"])
+            crop_uv = T.apply_affine_uv(crop_uv, rot_mat)
+            image_crop = T.warp_image(image_crop, rot_mat, s)
+            depth_crop = T.warp_image(depth_crop, rot_mat, s, border=10.0)
+            hand_mask_crop = T.warp_image(hand_mask_crop, rot_mat, s)
+            object_mask = T.warp_image(object_mask, rot_mat, s)
+        cloud_out = cloud_normed[self.rng.permutation(len(cloud_normed))[:256]]
+
+        vis = occlusion.demote_out_of_bounds(vis, crop_uv, (s, s), quant=2)
+
+        patch_center = np.array([patch_cx, patch_cy], np.float32)
+        if self.aug:
+            patch_center = rot_mat[:, :2] @ patch_center + rot_mat[:, 2]
+        if left:
+            patch_center[0] = (s - 1) - patch_center[0]
+        patch = np.array([*patch_center, patch_r], np.float32)
+
+        uv_out = crop_uv.copy()
+        if self.uv_norm:
+            uv_out = uv_out / s * 2.0 - 1.0
+            patch[:2] = patch[:2] / s * 2.0 - 1.0
+            patch[2] = patch[2] / s * 2.0
+
+        rot3 = np.eye(3)
+        rot3[:2, :] = rot_mat
+        rot_mat_inv = np.linalg.inv(rot3.T)[:, :2]
+
+        st = T.compute_st_np(pose3d_normed, uv_out)
+        image_out = image_crop.astype(np.float32) / 255.0  # ToTensor parity
+
+        target = {
+            "cloud": cloud_out.astype(np.float32),
+            "pose3d": pose3d_normed.reshape(-1).astype(np.float32),
+            "scale": np.float32(bone),
+            "viewRotation": vc_rot.astype(np.float32),
+            "crop_uv": uv_out.reshape(-1).astype(np.float32),
+            "target_uv_weight": uv_vis.astype(np.float32),
+            "crop_center": crop_center.astype(np.float32),
+            "crop_size": np.float32(crop_size),
+            "hand_side": hand_side,
+            "bone_length": np.float32(bone),
+            "pose3d_root": pose3d_root.astype(np.float32),
+            "camera": cam.astype(np.float32),
+            "rot_mat_inv": rot_mat_inv.astype(np.float32),
+            "original_pose3d": (kp_xyz[:21] if left else kp_xyz[-21:]).astype(
+                np.float32
+            ),
+            "st": st,
+            "_idx": ori_idx,
+            "_split": int(self.mode == "evaluation"),
+            "vis": vis.astype(np.float32),
+            "patch": patch,
+            "object_mask": object_mask.astype(np.float32),
+            "heatmap": heatmap.astype(np.float32),
+            "dataset": "rhd",
+        }
+        return image_out, target
+
+
+def load(data_dir: str, mode: str = "training", **kw) -> RHDDataset:
+    return RHDDataset(data_dir, mode=mode, **kw)

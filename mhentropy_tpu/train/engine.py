@@ -31,7 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mhentropy_tpu.core import mano as mano_lib
 from mhentropy_tpu.core.mano import ManoConfig, ManoModel
-from mhentropy_tpu.data import synthetic
+from mhentropy_tpu.data import common as data_common, synthetic
 from mhentropy_tpu.flows.realnvp import RealNVPConfig
 from mhentropy_tpu.models import mhent
 from mhentropy_tpu.models.encoder import EncoderConfig
@@ -222,9 +222,9 @@ class Experiment:
         name = self.cfg.dataset.dataset_name
         data_dir = self.cfg.tpu.data_dir if "tpu" in self.cfg else None
         if data_dir:
-            from mhentropy_tpu.data import ho3d, rhd
+            from mhentropy_tpu.data import freihand, ho3d, rhd
 
-            loader = {"ho3d": ho3d, "rhd": rhd}.get(name)
+            loader = {"ho3d": ho3d, "rhd": rhd, "freihand": freihand}.get(name)
             if loader is None:
                 raise NotImplementedError(name)
             train = loader.load(data_dir, mode="training")
@@ -286,7 +286,9 @@ class Experiment:
     def train_epoch(self, data, epoch: int):
         bs = self.cfg.training.batch_size
         loss_meter = AverageMeter()
-        for idx, (image, target) in enumerate(synthetic.batches(data, bs)):
+        for idx, (image, target) in enumerate(
+                data_common.batches(data, bs, shuffle=True, seed=self.seed + epoch)
+        ):
             self.key, k_step = jax.random.split(self.key)
             self.state, aux = self._train_step(self.state, image, target, k_step)
             loss = float(aux["loss"])
@@ -312,7 +314,7 @@ class Experiment:
         step = self._get_eval_step(n, temp=0.8)
         bs = self.cfg.training.batch_size
         meters = {}
-        for image, target in synthetic.batches(data, bs):
+        for image, target in data_common.batches(data, bs):
             self.key, k = jax.random.split(self.key)
             mets = step(self.state.params, self.state.batch_stats, image, target, k)
             for name, v in mets.items():

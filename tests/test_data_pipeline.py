@@ -1,0 +1,151 @@
+"""Tests for the host-side data pipeline pure functions (visibility, crops,
+augmentation, occlusion) — the weak-supervision-critical pieces."""
+
+import numpy as np
+import pytest
+
+from mhentropy_tpu.data import occlusion, transforms as T
+
+
+def test_coord_change_involution():
+    xyz = np.random.RandomState(0).randn(21, 3).astype(np.float32)
+    np.testing.assert_allclose(T.coord_change(T.coord_change(xyz)), xyz)
+
+
+def test_projection_roundtrip_gl():
+    rng = np.random.RandomState(1)
+    k = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]], np.float32)
+    xyz = rng.uniform(0.2, 0.8, (21, 3)).astype(np.float32)
+    xyz[:, 2] *= -1  # OpenGL: along -z
+    uvd = T.xyz2uvd_gl(xyz, k)
+    back = T.uvd2xyz_gl(uvd, k)
+    np.testing.assert_allclose(back, xyz, rtol=1e-5, atol=1e-6)
+
+
+def test_crop_with_padding_in_and_out_of_bounds():
+    img = np.arange(100 * 100 * 3, dtype=np.uint8).reshape(100, 100, 3)
+    inside = T.crop_with_padding(img, (50, 50), 20)
+    assert inside.shape == (40, 40, 3)
+    np.testing.assert_array_equal(inside, img[30:70, 30:70])
+    edge = T.crop_with_padding(img, (5, 5), 20)
+    assert edge.shape == (40, 40, 3)
+    assert (edge[0, 0] == 127).all()  # padded corner
+
+
+def test_fuse_bbox_covers_both():
+    b1 = np.array([10, 10, 50, 50], np.float32)
+    b2 = np.array([40, 40, 120, 90], np.float32)
+    centre, scale = T.fuse_bbox(b1, b2, (480, 640))
+    assert scale >= 110 - 10
+    assert 10 <= centre[0] <= 120 and 10 <= centre[1] <= 90
+
+
+def test_depth_mask_visibility():
+    depth = np.full((64, 64), 0.5, np.float32)  # 500mm surface
+    mask = np.zeros((64, 64), bool)
+    mask[20:40, 20:40] = True
+    uvd = np.array(
+        [
+            [30, 30, 510.0],  # on mask, 10mm behind surface -> visible
+            [30, 30, 560.0],  # 60mm behind -> occluded
+            [5, 5, 510.0],  # off mask -> occluded
+            [30, 30, 400.0],  # in FRONT of surface -> visible (signed test)
+        ],
+        np.float32,
+    )
+    vis = occlusion.depth_mask_visibility(uvd, mask, depth, quant=5, tol_mm=40)
+    np.testing.assert_array_equal(vis, [True, False, False, True])
+
+
+def test_check_occlusion_symmetric_tolerance():
+    depth = np.full((64, 64), 0.5, np.float32)
+    uv = np.array([[30, 30], [30, 30]], np.float32)
+    pose = np.array([[0, 0, 0.51], [0, 0, 0.56]], np.float32)
+    vis = occlusion.check_occlusion(uv, depth, pose, delta=0.02, quant=2)
+    np.testing.assert_array_equal(vis, [1.0, 0.0])
+
+
+def test_check_wib_and_demotion():
+    # quant=2 windows are +-1 px; (255.5) clips back inside, (-5) stays out.
+    uv = np.array([[10, 10], [300, 10], [255.5, 10]], np.float32)
+    wib = occlusion.check_wib(uv, (256, 256), quant=2)
+    np.testing.assert_array_equal(wib, [1.0, 0.0, 1.0])
+    vis = np.array([1.0, 1.0, 0.0], np.float32)
+    out = occlusion.demote_out_of_bounds(vis, uv, (256, 256), quant=2)
+    assert out[1] == 2.0  # vis -> oob
+    assert out[2] == 0.0  # patch-occluded stays 0
+
+
+def test_patch_occlusion_deterministic_and_marks_vis():
+    rng = np.random.RandomState(0)
+    img = rng.rand(256, 256, 3).astype(np.float32)
+    uv = rng.uniform(60, 200, (21, 2)).astype(np.float32)
+    out1, vis1, (cx1, cy1, r1, m1) = occlusion.patch_occlusion(img, uv, idx=7)
+    out2, vis2, (cx2, cy2, r2, m2) = occlusion.patch_occlusion(img, uv, idx=7)
+    np.testing.assert_array_equal(out1, out2)  # deterministic per index
+    assert (cx1, cy1) == tuple(uv[occlusion.PATCH_KP_CYCLE[7 % 5]].astype(int))
+    # The centred keypoint itself must be occluded.
+    assert vis1[occlusion.PATCH_KP_CYCLE[7 % 5]] == 0.0
+    # Pixels inside the circle are zeroed.
+    assert out1[cy1, cx1].sum() == 0.0
+    # A different index occludes a different finger.
+    _, vis3, _ = occlusion.patch_occlusion(img, uv, idx=8)
+    assert not np.array_equal(vis1, vis3)
+
+
+def test_augmentation_consistency_uv_vs_pose():
+    """After augmentation the orthographic relation uv = s*xyz+t must still be
+    solvable: re-fitting (s,t) reproduces the augmented uv."""
+    rng = np.random.RandomState(3)
+    pose = rng.randn(21, 3).astype(np.float32)
+    pose, _, _ = T.normalize_pose3d_np(pose, 12, 11)
+    s_cam, t_cam = 60.0, np.array([128.0, 128.0])
+    uv = pose[:, :2] * s_cam + t_cam  # pixel-space ortho camera
+
+    params = T.make_aug_params(rng)
+    m = T.aug_rot_mat(params, 256)
+    pose_aug = T.rotate_xy(pose, params["angle"])
+    uv_aug = T.apply_affine_uv(uv, m)
+
+    st = T.compute_st_np(pose_aug, uv_aug)
+    recon = pose_aug[:, :2] * st[0] + st[1:]
+    np.testing.assert_allclose(recon, uv_aug, atol=0.2)
+
+
+def test_flip_left_to_right():
+    img = np.zeros((256, 256, 3), np.float32)
+    img[0, 0] = 1.0
+    uv = np.array([[10.0, 20.0]] * 21)
+    pose = np.ones((21, 3), np.float32)
+    img2, uv2, pose2, _ = T.flip_left_to_right(img, uv, pose)
+    assert img2[0, 255, 0] == 1.0
+    assert uv2[0, 0] == 245.0
+    assert pose2[0, 0] == -1.0
+
+
+def test_rhd_heatmaps_and_view_correction():
+    from mhentropy_tpu.data import rhd
+
+    uv = np.array([[32.0, 32.0], [100.0, 5.0]] + [[2.0, 2.0]] * 19)
+    vis = np.ones(21)
+    hm = rhd.gaussian_heatmaps(uv, 64, vis)
+    assert hm.shape == (64, 64, 21)
+    assert hm[:, :, 0].max() > 0.99  # peak at the joint
+    assert hm[:, :, 1].max() == 0.0  # out-of-bounds joint suppressed
+
+    cam = np.array([[300.0, 0, 160], [0, 300.0, 160], [0, 0, 1]])
+    joints = np.random.RandomState(0).uniform(0.2, 0.6, (21, 3))
+    rot, _, j2 = rhd.view_correction(np.array([200.0, 180.0]), cam, joints, joints)
+    np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-10)
+    # Rigid: pairwise distances preserved.
+    d1 = np.linalg.norm(joints[:, None] - joints[None], axis=-1)
+    d2 = np.linalg.norm(j2[:, None] - j2[None], axis=-1)
+    np.testing.assert_allclose(d1, d2, atol=1e-10)
+
+
+def test_target_transform_adds_weight():
+    image = np.zeros((2, 8, 8, 3), np.float32)
+    target = {"pose3d": np.zeros((2, 63), np.float32)}
+    _, out = T.target_transform((image, target), "ho3d")
+    assert out["target_uvd_weight"].shape == (2, 63)
+    assert "image" in out

@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mhentropy_tpu.flows import glow
+from mhentropy_tpu.flows.glow import GlowConfig
+
+
+@pytest.fixture(scope="module")
+def glow_setup():
+    cfg = GlowConfig(features=12, hidden=32, num_layers=2, num_blocks=2,
+                     context_features=16)
+    params = glow.init_params(jax.random.key(0), cfg)
+    ctx = jax.random.normal(jax.random.key(1), (5, 16))
+    return cfg, params, ctx
+
+
+def test_glow_forward_inverse_roundtrip(glow_setup):
+    cfg, params, ctx = glow_setup
+    x = jax.random.normal(jax.random.key(2), (5, cfg.features))
+    ctx_proj = glow._ctx_cache(params, ctx)
+    z, ld_inv = glow.inverse(params, cfg, x, ctx_proj)
+    x2, ld_fwd = glow.forward(params, cfg, z, ctx_proj)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_fwd), -np.asarray(ld_inv), atol=1e-4)
+
+
+def test_glow_logdet_matches_autodiff(glow_setup):
+    cfg, params, ctx = glow_setup
+    x = jax.random.normal(jax.random.key(3), (2, cfg.features))
+    ctx_proj = glow._ctx_cache(params, ctx[:2])
+
+    def inv_one(xi, i):
+        z, _ = glow.inverse(params, cfg, xi[None], ctx_proj[:, i : i + 1])
+        return z[0]
+
+    _, logdet = glow.inverse(params, cfg, x, ctx_proj[:, :2])
+    for i in range(2):
+        jac = jax.jacobian(lambda v: inv_one(v, i))(x[i])
+        _, ref = np.linalg.slogdet(np.asarray(jac))
+        np.testing.assert_allclose(np.asarray(logdet)[i], ref, atol=1e-3)
+
+
+def test_glow_sample_and_log_prob_consistency(glow_setup):
+    cfg, params, ctx = glow_setup
+    n = 3
+    x, lp = glow.sample_and_log_prob(params, ctx, jax.random.key(4), n, temp=0.9,
+                                     cfg=cfg)
+    assert x.shape == (n * 5, cfg.features)
+    ctx_rows = jnp.tile(ctx, (n, 1))
+    lp_inv = glow.log_prob(params, x, ctx_rows, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_inv), atol=1e-3)
+
+
+def test_glow_context_changes_density(glow_setup):
+    cfg, params, ctx = glow_setup
+    x = jax.random.normal(jax.random.key(5), (5, cfg.features))
+    lp1 = glow.log_prob(params, x, ctx, cfg=cfg)
+    lp2 = glow.log_prob(params, x, ctx * 3.0, cfg=cfg)
+    assert not np.allclose(np.asarray(lp1), np.asarray(lp2))
+
+
+# ----------------------------------------------------------------- RLE mode
+
+
+def test_rle_loss_and_predict():
+    from mhentropy_tpu.data import synthetic
+    from mhentropy_tpu.core import mano
+    from mhentropy_tpu.flows.realnvp import RealNVPConfig
+    from mhentropy_tpu.models import rle
+    from mhentropy_tpu.models.encoder import EncoderConfig
+
+    img = 32
+    cfg = rle.RLEConfig(
+        encoder=EncoderConfig(backbone="resnet18", n_latent=(63, 63), dtype="float32"),
+        flow=RealNVPConfig(dim=3, tsfm_on="x", h_dim=16, num_steps=1, joint_n=21),
+        pe="3d",
+        k1=3,
+        image_size=img,
+        nf_res="rle",
+    )
+    params, stats = rle.init(jax.random.key(0), cfg)
+    model = mano.synthetic_mano_model(0)
+    data = synthetic.make_dataset(model, n=4, image_size=img, seed=0)
+    image, target = next(synthetic.batches(data, 4))
+    out, _ = rle.loss_and_predict(params, stats, cfg, image, target, jax.random.key(1))
+    assert out["log_p"].shape == (4,)
+    assert np.all(np.isfinite(np.asarray(out["log_p"])))
+    assert out["pose_rgb_sample"].shape == (4, 63)
+    assert out["xyz"].shape == (3, 4, 63)
+    assert "log_q" in out and np.all(np.isfinite(np.asarray(out["log_q"])))
+    assert float(out["sigma_i"]) > 0
+
+    def loss_fn(p):
+        o, _ = rle.loss_and_predict(p, stats, cfg, image, target, jax.random.key(1))
+        return -o["log_p"].mean()
+
+    grads = jax.grad(loss_fn)(params)
+    assert np.abs(np.asarray(grads["p_nf"].s_w0)).max() > 0
+    assert np.abs(np.asarray(grads["encoder"]["l1"]["w"])).max() > 0
