@@ -63,6 +63,7 @@ class MHEntConfig(NamedTuple):
     kld_w: float = 1.0
     kld_w_annealing: tuple = (1.0, 24000)
     n_train_hypotheses: int = 10  # N (network.py:780)
+    use_pallas_sampler: bool | None = None  # None -> auto (TPU backend only)
 
     def det_dims(self) -> int:
         # th45 is deterministic only in 'det' mode; everything else always is.
@@ -166,13 +167,24 @@ def sample_q_z(
     b = feat.shape[0]
     z_flow, log_q = None, jnp.zeros(n * b)
     if cfg.regressor == "realnvp":
-        cond = realnvp.make_cond(params["flow"], cfg.flow, feat)
-        cproj = realnvp.cond_cache(params["flow"], cfg.flow, cond)
-        cproj_n = jnp.tile(cproj, (1, 1, n, 1))  # reuse image projections
-        z_flow, log_q = realnvp.sample(
-            params["flow"], cfg.flow, key, n * b, cproj=cproj_n, temp=temp,
-            return_log_prob=True,
-        )
+        use_fused = cfg.use_pallas_sampler
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu" and cfg.flow.dim == 45
+        if use_fused:
+            from mhentropy_tpu.flows import pallas_sampler
+
+            z_flow, log_q = pallas_sampler.sample_fused(
+                params["flow"], cfg.flow, key, feat, n, temp=temp,
+                return_log_prob=True,
+            )
+        else:
+            cond = realnvp.make_cond(params["flow"], cfg.flow, feat)
+            cproj = realnvp.cond_cache(params["flow"], cfg.flow, cond)
+            cproj_n = jnp.tile(cproj, (1, 1, n, 1))  # reuse image projections
+            z_flow, log_q = realnvp.sample(
+                params["flow"], cfg.flow, key, n * b, cproj=cproj_n, temp=temp,
+                return_log_prob=True,
+            )
     elif cfg.regressor == "glow":
         from mhentropy_tpu.flows import glow as glow_lib
 
