@@ -167,3 +167,72 @@ def crop_to_original_uv(
     uv = jnp.stack([u, uv[..., 1]], -1)
     scale = (2.0 * crop_size / resized_size)[:, None, None]
     return (uv - resized_size / 2.0) * scale + crop_center[:, None, :]
+
+
+def xyz_to_crop(
+    pose3d: jax.Array,
+    target: dict,
+    resized_size: int = 256,
+    root_idx: int = 12,
+    norm_idx: int = 11,
+):
+    """Scale-normalised 3D pose -> crop-space uv + normalised depth
+    (utils.py:129-175 'xyz2crop', vectorised, branch-free hand-side flip).
+
+    Args:
+        pose3d: (B, K, 3) or (B, 3K) scale-normalised pose.
+        target: crop_center (B,2), crop_size (B,), hand_side (B,) or (B,2),
+            bone_length (B,), pose3d_root (B,3), camera (B,3,3).
+    """
+    b = pose3d.shape[0]
+    pose3d = pose3d.reshape(b, -1, 3)
+    pose3d = pose3d - pose3d[:, root_idx : root_idx + 1]
+    bone = target["bone_length"]
+    pose3d = pose3d * bone[:, None, None] + target["pose3d_root"][:, None, :]
+    uvd = xyz_to_uvd(pose3d, target["camera"])
+    crop_d = batch_normalize_pose3d(pose3d, root_idx, norm_idx)[..., 2:3]
+    crop_scale = resized_size / (target["crop_size"] * 2.0)
+    crop_uv = relocate_uv(uvd[..., :2], target["crop_center"], resized_size, crop_scale)
+    side = target["hand_side"]
+    if side.ndim == 2:
+        side = side[:, 0]
+    u = jnp.where(side[:, None] == 1.0, resized_size - crop_uv[..., 0], crop_uv[..., 0])
+    crop_uv = jnp.stack([u, crop_uv[..., 1]], -1)
+    return crop_uv, crop_d
+
+
+def crop_to_xyz(
+    uv_crop: jax.Array,
+    norm_depth: jax.Array,
+    target: dict,
+    resized_size: int = 256,
+    uv_norm: bool = False,
+):
+    """Crop-space uv + normalised depth -> metric xyz (utils.py:560-606
+    'crop2xyz', perspective path), undoing rotation augmentation, the crop,
+    and the left-hand flip, all vectorised.
+
+    Returns:
+        (uv_original (B,K,2), xyz (B,K,3) metres).
+    """
+    b = uv_crop.shape[0]
+    uv = uv_crop.reshape(b, -1, 2)
+    if uv_norm:
+        uv = (uv + 1.0) / 2.0 * resized_size
+    ones = jnp.ones((*uv.shape[:2], 1), uv.dtype)
+    uv_unrot = _einsum(
+        "bki,bij->bkj", jnp.concatenate([uv, ones], -1), target["rot_mat_inv"]
+    )
+    side = target["hand_side"]
+    if side.ndim == 2:
+        side = (side[:, 0] == 1.0).astype(uv.dtype)
+    uv_orig = crop_to_original_uv(
+        uv_unrot, target["crop_center"], target["crop_size"], side, resized_size
+    )
+    depth = (
+        norm_depth.reshape(b, -1, 1) * target["bone_length"][:, None, None]
+        + target["pose3d_root"][:, 2][:, None, None]
+    ) * 1000.0
+    uvd = jnp.concatenate([uv_orig, depth], -1)
+    xyz = uvd_to_xyz(uvd, target["camera"]) / 1000.0
+    return uv_orig, xyz

@@ -1,0 +1,154 @@
+"""SMPL body model as pure-JAX forward kinematics — the 'Humans' variant
+engine.
+
+The reference ships no body-model code: its README only links pretrained
+SMPL-flow weights to be loaded into the external ProHMR repo
+(/root/reference/README.md:26-42). BASELINE.json config 5 requires the human
+variant to run through this framework, so this module supplies the SMPL
+forward (shape/pose blendshapes, 24-joint kinematic tree, LBS) behind the
+same functional interface as core/mano.py, sharing its rotation kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mhentropy_tpu.core.mano import _as_np, _install_chumpy_stub, _with_zeros
+from mhentropy_tpu.core.rotations import batch_rodrigues, rotmat_from_6d
+
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+N_VERTS = 6890
+N_JOINTS = 24
+# SMPL kinematic tree (parent of joint i); standard SMPL topology.
+PARENTS = np.array(
+    [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18,
+     19, 20, 21]
+)
+
+
+class SmplModel(NamedTuple):
+    v_template: jax.Array  # (6890, 3)
+    shapedirs: jax.Array  # (6890, 3, 10)
+    posedirs: jax.Array  # (6890, 3, 207)
+    j_regressor: jax.Array  # (24, 6890)
+    lbs_weights: jax.Array  # (6890, 24)
+    faces: jax.Array  # (F, 3) int32
+
+
+def load_smpl_pkl(path: str) -> SmplModel:
+    import io
+    import pickle
+
+    _install_chumpy_stub()
+    with open(path, "rb") as f:
+        data = pickle.load(io.BytesIO(f.read()), encoding="latin1")
+    return SmplModel(
+        v_template=jnp.asarray(_as_np(data["v_template"]), jnp.float32),
+        shapedirs=jnp.asarray(_as_np(data["shapedirs"])[..., :10], jnp.float32),
+        posedirs=jnp.asarray(_as_np(data["posedirs"]), jnp.float32),
+        j_regressor=jnp.asarray(_as_np(data["J_regressor"]), jnp.float32),
+        lbs_weights=jnp.asarray(_as_np(data["weights"]), jnp.float32),
+        faces=jnp.asarray(_as_np(data["f"]).astype(np.int32)),
+    )
+
+
+def synthetic_smpl_model(seed: int = 0, n_verts: int = 1024) -> SmplModel:
+    """Structurally-valid random SMPL (smaller vertex count for tests)."""
+    rng = np.random.RandomState(seed)
+    # Plausible rest skeleton: pelvis at origin, limbs fanning out.
+    joints = rng.randn(N_JOINTS, 3).astype(np.float32) * 0.05
+    for i in range(1, N_JOINTS):
+        joints[i] = joints[PARENTS[i]] + rng.randn(3) * 0.12
+    owner = rng.randint(0, N_JOINTS, n_verts)
+    v_template = joints[owner] + rng.randn(n_verts, 3).astype(np.float32) * 0.03
+    j_reg = np.zeros((N_JOINTS, n_verts), np.float32)
+    for j in range(N_JOINTS):
+        near = np.argsort(np.linalg.norm(v_template - joints[j], axis=1))[:6]
+        j_reg[j, near] = 1.0 / 6.0
+    d = np.linalg.norm(v_template[:, None] - joints[None], axis=-1)
+    w = np.exp(-d / 0.05)
+    w = (w / w.sum(1, keepdims=True)).astype(np.float32)
+    return SmplModel(
+        v_template=jnp.asarray(v_template),
+        shapedirs=jnp.asarray(rng.randn(n_verts, 3, 10).astype(np.float32) * 0.003),
+        posedirs=jnp.asarray(
+            rng.randn(n_verts, 3, 207).astype(np.float32) * 0.0005
+        ),
+        j_regressor=jnp.asarray(j_reg),
+        lbs_weights=jnp.asarray(w),
+        faces=jnp.asarray(rng.randint(0, n_verts, (2000, 3)).astype(np.int32)),
+    )
+
+
+def smpl_forward(
+    model: SmplModel,
+    rotmats: jax.Array,
+    betas: jax.Array,
+    transl: jax.Array | None = None,
+):
+    """SMPL LBS from per-joint rotation MATRICES (the ProHMR convention).
+
+    Args:
+        rotmats: (B, 24, 3, 3) global-orient ++ 23 body rotations.
+        betas: (B, 10).
+
+    Returns:
+        verts (B, V, 3), joints (B, 24, 3) in metres.
+    """
+    b = rotmats.shape[0]
+    v_shaped = model.v_template + _einsum("vdc,bc->bvd", model.shapedirs, betas)
+    joints = _einsum("jv,bvd->bjd", model.j_regressor, v_shaped)
+    pose_map = (rotmats[:, 1:] - jnp.eye(3, dtype=rotmats.dtype)).reshape(b, 207)
+    v_posed = v_shaped + _einsum("vdp,bp->bvd", model.posedirs, pose_map)
+
+    # Kinematic tree: sequential composition (parents[i] < i).
+    rel = _with_zeros(
+        jnp.concatenate(
+            [
+                rotmats,
+                (joints - jnp.concatenate(
+                    [jnp.zeros_like(joints[:, :1]), joints[:, PARENTS[1:]]], 1
+                ))[..., None],
+            ],
+            axis=-1,
+        )
+    )  # (B, 24, 4, 4) relative transforms
+    transforms = [rel[:, 0]]
+    for i in range(1, N_JOINTS):
+        transforms.append(
+            _einsum("brc,bcd->brd", transforms[PARENTS[i]], rel[:, i])
+        )
+    transforms = jnp.stack(transforms, axis=1)  # (B, 24, 4, 4)
+
+    rotated_j = _einsum("bjrc,bjc->bjr", transforms[..., :3, :3], joints)
+    skin_tf = transforms.at[..., :3, 3].add(-rotated_j)
+    per_vert = _einsum("vj,bjrc->bvrc", model.lbs_weights, skin_tf)
+    verts = (
+        _einsum("bvrc,bvc->bvr", per_vert[..., :3, :3], v_posed)
+        + per_vert[..., :3, 3]
+    )
+    joints_out = transforms[..., :3, 3]
+    if transl is not None:
+        verts = verts + transl[:, None]
+        joints_out = joints_out + transl[:, None]
+    return verts, joints_out
+
+
+def smpl_forward_axis_angle(model: SmplModel, pose_aa: jax.Array, betas: jax.Array):
+    """(B, 72) axis-angle pose convenience wrapper."""
+    b = pose_aa.shape[0]
+    rotmats = batch_rodrigues(pose_aa.reshape(b, N_JOINTS, 3))
+    return smpl_forward(model, rotmats, betas)
+
+
+def smpl_forward_6d(model: SmplModel, pose_6d: jax.Array, betas: jax.Array):
+    """(B, 144) 6D-rotation pose (the ProHMR flow's output space)."""
+    b = pose_6d.shape[0]
+    rotmats = rotmat_from_6d(pose_6d.reshape(b, N_JOINTS, 6))
+    return smpl_forward(model, rotmats, betas)

@@ -1,0 +1,164 @@
+"""ProHMR-style human body model: conditional flow over SMPL pose.
+
+The reference's 'Humans' variant is weights-only — its SMPL flows plug into
+the external ProHMR codebase (/root/reference/README.md:26-42). This module
+is that engine rebuilt here (BASELINE.json config 5): a ResNet-50 context
+feature conditions a Glow flow over the 144-dim 6D-rotation SMPL pose;
+deterministic heads predict betas and a weak-perspective camera; N-hypothesis
+sampling decodes every hypothesis through core/smpl and projects keypoints.
+
+Training objective (ProHMR semantics): pose NLL under the flow + optional
+keypoint reprojection on the flow mode (z=0 sample). tools/convert_torch
+gains the checkpoint mapping for the released SMPL-flow weights; the
+architecture (dims, layer counts) matches ConditionalGlow(144, 1024, 4, 2,
+context=2048).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mhentropy_tpu.core import smpl as smpl_lib
+from mhentropy_tpu.core.smpl import SmplModel
+from mhentropy_tpu.flows import glow as glow_lib
+from mhentropy_tpu.flows.glow import GlowConfig
+from mhentropy_tpu.models import encoder
+from mhentropy_tpu.models.encoder import EncoderConfig
+
+_PREC = jax.lax.Precision.HIGHEST
+
+POSE_DIM = 24 * 6  # 6D rotations
+
+
+class ProHMRConfig(NamedTuple):
+    encoder: EncoderConfig = EncoderConfig(
+        backbone="resnet50", n_latent=(2048, 2048), sigma_act="exp"
+    )
+    flow: GlowConfig = GlowConfig(
+        features=POSE_DIM, hidden=1024, num_layers=4, num_blocks=2,
+        context_features=2048,
+    )
+    image_size: int = 224
+    n_train_hypotheses: int = 2  # ProHMR trains with mode + 1 sample
+
+
+def init(key: jax.Array, cfg: ProHMRConfig):
+    k_enc, k_flow, k_b, k_c = jax.random.split(key, 4)
+    enc_params, batch_stats = encoder.init(k_enc, cfg.encoder, cfg.image_size)
+
+    def linear(key, din, dout, scale=1e-2):
+        kw, _ = jax.random.split(key)
+        return {
+            "w": jax.random.normal(kw, (din, dout)) * scale,
+            "b": jnp.zeros(dout),
+        }
+
+    c = cfg.flow.context_features
+    params = {
+        "encoder": enc_params,
+        "flow": glow_lib.init_params(k_flow, cfg.flow),
+        "betas_head": linear(k_b, c, 10),
+        "cam_head": linear(k_c, c, 3),
+    }
+    return params, batch_stats
+
+
+def context_features(params, batch_stats, cfg: ProHMRConfig, image, train=False):
+    """Backbone features are the flow context (ProHMR uses the raw pooled
+    resnet features; the mu head here is identity-sized)."""
+    _, feat, _, new_stats = encoder.apply(
+        params["encoder"], batch_stats, cfg.encoder, image, key=None, train=train
+    )
+    return feat, new_stats
+
+
+def heads(params, feat):
+    betas = jnp.dot(feat, params["betas_head"]["w"], precision=_PREC) + params[
+        "betas_head"
+    ]["b"]
+    cam = jnp.dot(feat, params["cam_head"]["w"], precision=_PREC) + params[
+        "cam_head"
+    ]["b"]
+    # Positive scale via exp on cam[0] at use sites.
+    return betas, cam
+
+
+def nll_loss(
+    model: SmplModel,
+    params: dict,
+    batch_stats: dict,
+    cfg: ProHMRConfig,
+    image: jax.Array,
+    target: dict,
+    key: jax.Array,
+    train: bool = True,
+):
+    """Pose NLL + betas/keypoint supervision when available.
+
+    target: pose_6d (B, 144) GT SMPL pose in 6D; optional betas (B, 10),
+    keypoints3d (B, K, 3).
+    """
+    feat, new_stats = context_features(params, batch_stats, cfg, image, train)
+    lp = glow_lib.log_prob(params["flow"], target["pose_6d"], feat, cfg=cfg.flow)
+    out = {"log_p": lp}
+    betas, cam = heads(params, feat)
+    out["betas"] = betas
+    out["cam"] = cam
+    if "betas" in target:
+        out["betas_l2"] = jnp.sum((betas - target["betas"]) ** 2, axis=1)
+    return out, new_stats
+
+
+def sample_hypotheses(
+    model: SmplModel,
+    params: dict,
+    batch_stats: dict,
+    cfg: ProHMRConfig,
+    image: jax.Array,
+    key: jax.Array,
+    n: int = 100,
+    temp: float = 1.0,
+):
+    """N SMPL hypotheses per image: flow sample -> 6D -> rotmats -> LBS ->
+    weak-perspective keypoint projection.
+
+    Returns dict with pose_6d (N, B, 144), verts (N, B, V, 3),
+    joints3d (N, B, 24, 3), uv (N, B, 24, 2), betas (B, 10), cam (B, 3).
+    """
+    b = image.shape[0]
+    feat, _ = context_features(params, batch_stats, cfg, image, train=False)
+    pose, log_q = glow_lib.sample_and_log_prob(
+        params["flow"], feat, key, n, temp=temp, cfg=cfg.flow
+    )
+    betas, cam = heads(params, feat)
+    betas_n = jnp.tile(betas, (n, 1))
+    verts, joints = smpl_lib.smpl_forward_6d(model, pose, betas_n)
+    scale = jnp.exp(cam[:, 0:1])
+    uv = joints[..., :2] * jnp.tile(scale, (n, 1))[:, None] + jnp.tile(
+        cam[:, 1:3], (n, 1)
+    )[:, None]
+    return {
+        "pose_6d": pose.reshape(n, b, POSE_DIM),
+        "log_q": log_q.reshape(n, b),
+        "verts": verts.reshape(n, b, *verts.shape[1:]),
+        "joints3d": joints.reshape(n, b, 24, 3),
+        "uv": uv.reshape(n, b, 24, 2),
+        "betas": betas,
+        "cam": cam,
+    }
+
+
+def multi_hypothesis_metrics(samples: dict, target: dict) -> dict:
+    """Best/mean-hypothesis MPJPE over the 24 SMPL joints (mm), the 3DPW-style
+    multi-hypothesis eval of BASELINE config 5."""
+    gt = target["joints3d"]  # (B, 24, 3) metres
+    pred = samples["joints3d"]  # (N, B, 24, 3)
+    err = jnp.linalg.norm(pred - gt[None], axis=-1).mean(-1) * 1000.0  # (N, B)
+    return {
+        "mpjpe_bh": err.min(0),
+        "mpjpe_mean": err.mean(0),
+        "pjd_3d": pred.std(0, ddof=1).prod(-1).mean(-1) ** (1 / 3) * 3**0.5,
+    }

@@ -149,3 +149,69 @@ def mhent_metrics(output: dict, target: dict) -> tuple[jax.Array, dict, dict]:
 
     total = sum(v.mean() for v in losses.values())
     return total, losses, metrics
+
+
+def calc_coord_accuracy(
+    coords,
+    target: dict,
+    hm_shape=(64, 48, 64),
+    output_3d: bool = False,
+    root_idx: int | None = None,
+    thr: float = 0.5,
+    ds_type: str = "human",
+    output_normalized: bool = True,
+):
+    """Integral-coordinate PCK accuracy (utils.py:187-323 'calc_coord_accuracy'
+    + calc_dist + dist_acc), vectorised on host numpy.
+
+    Args:
+        coords: (B, K*D) predicted coords (normalised to [-0.5, 0.5) when
+            output_normalized).
+        target: pose3d/crop_uv (+ target_uv(d)_weight masks).
+
+    Returns:
+        Mean per-joint PCK@thr over joints with any valid sample.
+    """
+    import numpy as np
+
+    coords = np.asarray(coords, dtype=float)
+    d = 3 if output_3d else 2
+    if output_3d:
+        labels = np.asarray(target["pose3d"], dtype=float)
+        masks = np.ones_like(labels)
+    else:
+        labels = np.asarray(target["crop_uv"], dtype=float)
+        masks = np.asarray(target["target_uv_weight"], dtype=float)
+        if masks.ndim == 2 and masks.shape[1] * 2 == labels.shape[1]:
+            masks = np.repeat(masks, 2, axis=1)
+    b = coords.shape[0]
+    coords = coords.reshape(b, -1, d)
+    labels = labels.reshape(b, -1, d)
+    masks = masks.reshape(b, -1, d)
+
+    hm = np.asarray(hm_shape, dtype=float)
+    if output_normalized:
+        coords[..., 0] = (coords[..., 0] + 0.5) * hm[0]
+        coords[..., 1] = (coords[..., 1] + 0.5) * hm[1]
+        labels[..., 0] = (labels[..., 0] + 0.5) * hm[0]
+        labels[..., 1] = (labels[..., 1] + 0.5) * hm[1]
+        if output_3d:
+            coords[..., 2] = (coords[..., 2] + 0.5) * hm[2]
+            labels[..., 2] = (labels[..., 2] + 0.5) * hm[2]
+    if output_3d and root_idx is not None:
+        labels = labels - labels[:, root_idx : root_idx + 1]
+        coords = coords - coords[:, root_idx : root_idx + 1]
+
+    coords = coords * masks
+    labels = labels * masks
+    norm = np.ones((b, 1, d))
+    if ds_type == "human":
+        norm = norm * hm[:d] / 10.0
+
+    valid = (labels[..., 0] > 1) & (labels[..., 1] > 1)  # calc_dist gating
+    dists = np.linalg.norm((coords - labels) / norm, axis=-1)
+    hits = (dists < thr) & valid
+    per_joint_n = valid.sum(0)
+    per_joint_acc = np.where(per_joint_n > 0, hits.sum(0) / np.maximum(per_joint_n, 1), -1.0)
+    used = per_joint_acc >= 0
+    return float(per_joint_acc[used].mean()) if used.any() else 0.0

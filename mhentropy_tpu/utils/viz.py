@@ -1,0 +1,127 @@
+"""Visualisation: 2D/3D skeleton plots, mesh export, rotating-GIF export.
+
+Capability parity with /root/reference/hand/viz.py:34-526: per-finger colour
+palettes, 2D keypoint overlays on crops, 3D pose axes with linked fingers,
+mesh export via trimesh, rotating-GIF turntables, and the mesh-axis transform
+used before export. All matplotlib/trimesh imports are lazy so the compute
+path never depends on them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Per-finger colour ramps (5 shades each, thumb..pinky), pred=red / gt=blue
+# families as in the reference's colour lists (viz.py / preprocess.py:6-7).
+COLORS_PRED = ("#660000", "#b30000", "#ff0000", "#ff4d4d", "#ff9999")
+COLORS_GT = ("#000066", "#0000b3", "#0000ff", "#4d4dff", "#9999ff")
+
+# RHD ordering: wrist 0; finger f occupies joints [1+4f, 1+4(f+1)).
+FINGER_SLICES = tuple((1 + 4 * f, 1 + 4 * (f + 1)) for f in range(5))
+
+
+def _finger_chains(points: np.ndarray):
+    for (start, end) in FINGER_SLICES:
+        yield np.concatenate([points[start:end], points[0:1]], axis=0)
+
+
+def plot_pose2d(ax, uv: np.ndarray, colors=COLORS_PRED, image=None, s=8):
+    """2D skeleton overlay (viz.py:133-235)."""
+    if image is not None:
+        img = np.asarray(image)
+        if img.min() < 0:  # [-1,1] normalised
+            img = (img + 1.0) / 2.0
+        ax.imshow(np.clip(img, 0, 1))
+    uv = uv.reshape(-1, 2)
+    for chain, c in zip(_finger_chains(uv), colors):
+        ax.plot(chain[:, 0], chain[:, 1], color=c, linewidth=1.5)
+    ax.scatter(uv[:, 0], uv[:, 1], s=s, c="w", edgecolors="k", zorder=3)
+    ax.axis("off")
+
+
+def plot_pose3d(ax, xyz: np.ndarray, colors=COLORS_PRED, lim=2.0):
+    """3D skeleton axes (viz.py:247-330)."""
+    xyz = xyz.reshape(-1, 3)
+    for chain, c in zip(_finger_chains(xyz), colors):
+        ax.plot(chain[:, 0], chain[:, 1], chain[:, 2], color=c)
+    ax.scatter(xyz[:, 0], xyz[:, 1], xyz[:, 2], s=4, c="k")
+    for setter in (ax.set_xlim3d, ax.set_ylim3d, ax.set_zlim3d):
+        setter(-lim, lim)
+
+
+def viz_2djoints(image, uvs, path: str, gt_uv=None, titles=None):
+    """Save a row of images with hypothesis overlays (viz.py usage in
+    network.py/criteria.py debug paths)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    uvs = np.atleast_3d(np.asarray(uvs))
+    n = uvs.shape[0]
+    fig, axes = plt.subplots(1, n, figsize=(3 * n, 3), squeeze=False)
+    for i in range(n):
+        plot_pose2d(axes[0, i], uvs[i], image=image)
+        if gt_uv is not None:
+            plot_pose2d(axes[0, i], gt_uv, colors=COLORS_GT)
+        if titles:
+            axes[0, i].set_title(titles[i])
+    fig.savefig(path, bbox_inches="tight", dpi=100)
+    plt.close(fig)
+    return path
+
+
+def mesh_axis_tsfm(verts: np.ndarray) -> np.ndarray:
+    """Axis flip applied before mesh export (viz.py mesh-axis transform):
+    MANO camera coords -> y-up viewer coords."""
+    out = np.asarray(verts).copy()
+    out[:, 1] *= -1.0
+    out[:, 2] *= -1.0
+    return out
+
+
+def export_mano_mesh(verts: np.ndarray, faces: np.ndarray, path: str):
+    """Mesh export (viz.py:72-93): trimesh when available, plain Wavefront
+    OBJ writer otherwise."""
+    v = mesh_axis_tsfm(np.asarray(verts).reshape(-1, 3))
+    f = np.asarray(faces).reshape(-1, 3)
+    try:
+        import trimesh
+
+        trimesh.Trimesh(vertices=v, faces=f, process=False).export(path)
+        return path
+    except ImportError:
+        pass
+    with open(path, "w") as fp:
+        for x, y, z in v:
+            fp.write(f"v {x:.6f} {y:.6f} {z:.6f}\n")
+        for a, b, c in f + 1:  # OBJ is 1-indexed
+            fp.write(f"f {a} {b} {c}\n")
+    return path
+
+
+def export_pose3d_gif(xyz: np.ndarray, path: str, frames: int = 36, lim=2.0):
+    """Rotating-turntable GIF of a 3D pose (viz.py:247-330)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    try:
+        import imageio.v2 as imageio
+    except Exception:  # pragma: no cover
+        import imageio
+
+    images = []
+    fig = plt.figure(figsize=(3, 3))
+    ax = fig.add_subplot(111, projection="3d")
+    for i in range(frames):
+        ax.cla()
+        plot_pose3d(ax, xyz, lim=lim)
+        ax.view_init(elev=20, azim=i * 360.0 / frames)
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        images.append(buf.copy())
+    plt.close(fig)
+    imageio.mimsave(path, images, fps=12)
+    return path

@@ -1,0 +1,73 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from mhentropy_tpu.core import camera
+from mhentropy_tpu.train import metrics
+from mhentropy_tpu.utils import viz
+
+
+def test_crop_xyz_roundtrip():
+    """xyz_to_crop then crop_to_xyz must reproduce the metric pose
+    (the reference marks both 'checked', utils.py:131,562)."""
+    rng = np.random.RandomState(0)
+    b = 3
+    k = np.tile(np.array([[320.0, 0, 160], [0, 320.0, 160], [0, 0, 1]], np.float32), (b, 1, 1))
+    xyz_abs = rng.uniform(0.3, 0.7, (b, 21, 3)).astype(np.float32)  # metres
+    root = xyz_abs[:, 12]
+    rel = xyz_abs - root[:, None]
+    bone = np.linalg.norm(rel[:, 11], axis=1)
+    normed = rel / bone[:, None, None]
+
+    target = {
+        "crop_center": jnp.asarray(np.full((b, 2), 160.0, np.float32)),
+        "crop_size": jnp.asarray(np.full((b,), 100.0, np.float32)),
+        "hand_side": jnp.zeros((b,)),
+        "bone_length": jnp.asarray(bone),
+        "pose3d_root": jnp.asarray(root),
+        "camera": jnp.asarray(k),
+        "rot_mat_inv": jnp.tile(jnp.eye(3)[:, :2], (b, 1, 1)),
+    }
+    crop_uv, crop_d = camera.xyz_to_crop(jnp.asarray(normed), target)
+    uv_orig, xyz_back = camera.crop_to_xyz(crop_uv, crop_d, target)
+    np.testing.assert_allclose(np.asarray(xyz_back), xyz_abs, atol=5e-3)
+
+
+def test_pck_perfect_and_off_predictions():
+    b = 4
+    labels = np.random.RandomState(1).uniform(-0.3, 0.4, (b, 21, 2)).astype(np.float32)
+    target = {
+        "crop_uv": labels.reshape(b, -1),
+        "target_uv_weight": np.ones((b, 42), np.float32),
+    }
+    perfect = metrics.calc_coord_accuracy(
+        labels.reshape(b, -1), target, hm_shape=(64, 64, 0), ds_type="hand",
+        thr=15.0 / 40.0,
+    )
+    off = metrics.calc_coord_accuracy(
+        labels.reshape(b, -1) + 0.5, target, hm_shape=(64, 64, 0),
+        ds_type="hand", thr=15.0 / 40.0,
+    )
+    assert perfect > 0.9
+    assert off < perfect
+
+
+def test_viz_outputs(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    rng = np.random.RandomState(0)
+    uv = rng.uniform(20, 230, (21, 2))
+    img = rng.rand(256, 256, 3).astype(np.float32)
+    p1 = viz.viz_2djoints(img, uv[None], os.path.join(tmp_path, "j.png"))
+    assert os.path.getsize(p1) > 0
+
+    verts = rng.randn(50, 3).astype(np.float32)
+    faces = rng.randint(0, 50, (30, 3))
+    p2 = viz.export_mano_mesh(verts, faces, os.path.join(tmp_path, "m.obj"))
+    assert os.path.getsize(p2) > 0
+
+    xyz = rng.randn(21, 3).astype(np.float32)
+    p3 = viz.export_pose3d_gif(xyz, os.path.join(tmp_path, "p.gif"), frames=4)
+    assert os.path.getsize(p3) > 0
