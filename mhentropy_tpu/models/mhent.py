@@ -368,3 +368,56 @@ def kld_weight(cfg: MHEntConfig, step) -> jax.Array:
     w0, steps = cfg.kld_w_annealing
     frac = jnp.minimum(1.0, step / steps)
     return w0 + (cfg.kld_w - w0) * frac
+
+
+def sample_p_z(cfg: MHEntConfig, key: jax.Array, n: int, b: int, **means) -> jax.Array:
+    """Ancestral sampling from the z-priors (network.py:574-599): each z block
+    draws from its reference prior when one exists, else N(0, 1); passing
+    `<name>_mean` arrays instead perturbs those means by 0.3 x their batch
+    std."""
+    pr = make_priors(cfg)
+    rows = n * b
+    parts = []
+    for name, nd in ZDIMS:
+        key, k = jax.random.split(key)
+        if f"{name}_mean" in means:
+            mean = means[f"{name}_mean"]
+            std = mean.std(0)
+            parts.append(mean + jax.random.normal(k, mean.shape) * std * 0.3)
+        elif f"{name}_ref" in pr:
+            sampler = pr[f"{name}_ref"]
+            shape = (rows,) if sampler.sup == "ball" else (rows, nd)
+            parts.append(sampler.sample(k, shape).reshape(rows, nd))
+        elif name in pr:
+            parts.append(pr[name].sample(k, (rows, nd)))
+        else:
+            parts.append(jax.random.normal(k, (rows, nd)))
+    return jnp.concatenate(parts, axis=1)
+
+
+def evidence_from_target(y: dict, use_gt, n: int) -> dict:
+    """GT evidence blocks for ancestral conditioning (network.py:601-610):
+    'bt' -> zeros, 'logs'/'t' -> from the fitted orthographic camera."""
+    ev = {}
+    b = y["st"].shape[0]
+    if "bt" in use_gt:
+        ev["bt"] = jnp.zeros((n * b, 10))
+    st = jnp.tile(y["st"], (n, 1))
+    if "logs" in use_gt:
+        ev["logs"] = jnp.log(st[:, 0:1])
+    if "t" in use_gt:
+        ev["t"] = st[:, 1:3]
+    return ev
+
+
+def set_evidences(z: jax.Array, evidences: dict | None) -> jax.Array:
+    """Overwrite z blocks with GT evidence (network.py:560-572)."""
+    if not evidences:
+        return z
+    if "bt" in evidences:
+        z = z.at[:, 48:58].set(evidences["bt"])
+    if "logs" in evidences:
+        z = z.at[:, 58:59].set(evidences["logs"])
+    if "t" in evidences:
+        z = z.at[:, 59:61].set(evidences["t"])
+    return z

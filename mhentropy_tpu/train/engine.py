@@ -33,9 +33,10 @@ from mhentropy_tpu.core import mano as mano_lib
 from mhentropy_tpu.core.mano import ManoConfig, ManoModel
 from mhentropy_tpu.data import common as data_common, synthetic
 from mhentropy_tpu.flows.realnvp import RealNVPConfig
-from mhentropy_tpu.models import mhent
+from mhentropy_tpu.models import mhent, rle
 from mhentropy_tpu.models.encoder import EncoderConfig
 from mhentropy_tpu.models.mhent import MHEntConfig
+from mhentropy_tpu.models.rle import RLEConfig
 from mhentropy_tpu.parallel import mesh as mesh_lib
 from mhentropy_tpu.train import metrics as metrics_lib
 from mhentropy_tpu.utils.logging import AverageMeter, ScalarWriter, get_logger
@@ -83,6 +84,95 @@ def build_model_config(cfg) -> MHEntConfig:
         kld_w_annealing=(1.0, 20 * 1200),
         n_train_hypotheses=10,
     )
+
+
+def build_rle_config(cfg) -> RLEConfig:
+    """YAML schema -> RLEConfig for the non-integrated BasicEnc + p_nf mode
+    (CrossModalHand.py:89-105, 262-346)."""
+    net = cfg.network
+    n_latent = net.nums_latent if net.nums_latent else net.num_latent
+    tsfm_on = net.tsfm_on
+    cond = tsfm_on if isinstance(tsfm_on, int) else 0
+    flow = RealNVPConfig(
+        dim=net.p_nf_dim,
+        cond_dim=cond,
+        h_dim=net.h_dims[0],
+        num_steps=net.num_steps,
+        joint_n=cfg.dataset.jointN,
+        kemb=bool(net.kemb),
+        tsfm_on=tsfm_on if isinstance(tsfm_on, str) else None,
+        cond_mapping_dims=tuple(
+            tuple(x) for x in (net.cond_mapping_dims or ())
+        ),
+    )
+    enc = EncoderConfig(
+        backbone=net.backbone,
+        n_latent=(n_latent, n_latent) if isinstance(n_latent, int) else tuple(n_latent),
+        feat_dim=net.feat_dim,
+        sigma_act=net.acts,
+        deterministic=net.deterministic,
+        dtype=cfg.tpu.compute_dtype if "tpu" in cfg else "bfloat16",
+    )
+    return RLEConfig(
+        encoder=enc,
+        flow=flow,
+        pe=cfg.dataset.pe,
+        nf_res=net.nf_res,
+        image_size=max(cfg.dataset.image_size),
+    )
+
+
+def make_rle_train_step(model_cfg: RLEConfig, optimizer, mesh):
+    def step_fn(state: TrainState, image, target, key):
+        def loss_fn(params):
+            out, new_stats = rle.loss_and_predict(
+                params, state.batch_stats, model_cfg, image, target, key,
+                train=True,
+            )
+            return -out["log_p"].mean(), (out, new_stats)
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        aux = {"loss": loss, "sigma_i": out["sigma_i"]}
+        return new_state, aux
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    return jax.jit(
+        step_fn, in_shardings=(repl, data, data, repl),
+        out_shardings=(repl, repl), donate_argnums=(0,),
+    )
+
+
+def make_rle_eval_step(model_cfg: RLEConfig, mesh):
+    def eval_fn(params, batch_stats, image, target, key):
+        out, _ = rle.loss_and_predict(
+            params, batch_stats, model_cfg, image, target, key, train=False
+        )
+        output = {"log_p": out["log_p"]}
+        if "xyz" in out:
+            output["xyz"] = out["xyz"].reshape(*out["xyz"].shape[:2], -1)
+        if "uv" in out:
+            output["uv"] = out["uv"].reshape(*out["uv"].shape[:2], -1)
+        total, losses, mets = metrics_lib.mhent_metrics(output, target)
+        mets = {k: v.mean() for k, v in mets.items()}
+        mets["loss_total"] = total
+        mets["sigma_i"] = out["sigma_i"]
+        return mets
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    return jax.jit(
+        eval_fn, in_shardings=(repl, repl, data, data, repl), out_shardings=repl
+    )
+
+
+def _num_samples(data) -> int:
+    return data.images.shape[0] if hasattr(data, "images") else len(data)
 
 
 def load_mano_model(mano_dir: str = "./mano/") -> ManoModel:
@@ -187,7 +277,17 @@ class Experiment:
 
     def __init__(self, cfg, mano_dir: str = "./mano/"):
         self.cfg = cfg
-        self.model_cfg = build_model_config(cfg)
+        # Integrated MHEnt vs the non-integrated BasicEnc(+p_nf) RLE mode
+        # (CrossModalHand.py:86-105, 229-349 dispatch).
+        self.integrated = cfg.network.enc_type == "MHEnt"
+        if self.integrated:
+            self.model_cfg = build_model_config(cfg)
+        else:
+            if not cfg.network.p_nf:
+                raise NotImplementedError(
+                    "non-integrated mode requires network.p_nf (realnvp)"
+                )
+            self.model_cfg = build_rle_config(cfg)
         self.model = load_mano_model(mano_dir)
         self.mesh = mesh_lib.make_mesh(hypo=cfg.tpu.mesh_hypo if "tpu" in cfg else 1)
 
@@ -232,13 +332,14 @@ class Experiment:
             return train, evald
         img = self.model_cfg.image_size
         bs = self.cfg.training.batch_size
+        ds = name if name in ("rhd", "ho3d", "freihand") else "ho3d"
         n_train = max(4 * bs, 64)
         train = synthetic.make_dataset(
-            self.model, n=n_train, image_size=img, seed=self.seed, ds=self.model_cfg.ds
+            self.model, n=n_train, image_size=img, seed=self.seed, ds=ds
         )
         evald = synthetic.make_dataset(
             self.model, n=max(2 * bs, 64), image_size=img, seed=self.seed + 1,
-            ds=self.model_cfg.ds,
+            ds=ds,
         )
         return train, evald
 
@@ -251,26 +352,42 @@ class Experiment:
             self.cfg.training.lr, self.cfg.training.milestones, steps_per_epoch
         )
         self.key, k_init = jax.random.split(self.key)
-        self.state = init_state(k_init, self.model_cfg, self.optimizer)
-        self._train_step = make_train_step(
-            self.model, self.model_cfg, self.optimizer, self.mesh
-        )
+        if self.integrated:
+            self.state = init_state(k_init, self.model_cfg, self.optimizer)
+            self._train_step = make_train_step(
+                self.model, self.model_cfg, self.optimizer, self.mesh
+            )
+        else:
+            params, stats = rle.init(k_init, self.model_cfg)
+            self.state = TrainState(
+                params=params, batch_stats=stats,
+                opt_state=self.optimizer.init(params),
+                step=jnp.zeros((), jnp.int32),
+            )
+            self._train_step = make_rle_train_step(
+                self.model_cfg, self.optimizer, self.mesh
+            )
         if self._pending_restore:
             self.load_model(self._pending_restore)
             self._pending_restore = None
 
     def _get_eval_step(self, n: int, temp: float):
         if (n, temp) not in self._eval_step:
-            self._eval_step[(n, temp)] = make_eval_step(
-                self.model, self.model_cfg, self.mesh, n, temp
-            )
+            if self.integrated:
+                self._eval_step[(n, temp)] = make_eval_step(
+                    self.model, self.model_cfg, self.mesh, n, temp
+                )
+            else:
+                self._eval_step[(n, temp)] = make_rle_eval_step(
+                    self.model_cfg, self.mesh
+                )
         return self._eval_step[(n, temp)]
 
     # ------------------------------------------------------------------ loops
     def train_baseline(self):
         train_data, eval_data = self.make_datasets()
         bs = self.cfg.training.batch_size
-        n_batches = max(1, train_data.images.shape[0] // bs)
+        n_batches = max(1, _num_samples(train_data) // bs)
         self._ensure_state(n_batches)
 
         self.eval_loop(eval_data, epoch=0)
@@ -295,11 +412,10 @@ class Experiment:
             loss_meter.update(loss)
             self._step += 1
             if idx % self.cfg.info_interval == 0:
-                msg = (
-                    f"Epoch:{epoch}| Step:{idx}| Avg_Loss:{loss_meter.avg:.4f}|"
-                    f" h_q:{float(aux['h_q']):.4f}|"
-                    f" q_log_p:{float(aux['q_log_p']):.4f}|"
-                )
+                msg = f"Epoch:{epoch}| Step:{idx}| Avg_Loss:{loss_meter.avg:.4f}|"
+                for k in ("h_q", "q_log_p", "sigma_i"):
+                    if k in aux:
+                        msg += f" {k}:{float(aux[k]):.4f}|"
                 self.log.info(msg)
                 self.writer.add_scalar(
                     "loss_avg/loss_total", loss_meter.avg, global_step=self._step
@@ -309,7 +425,7 @@ class Experiment:
     def eval_loop(self, data, epoch: int = 0, n: int | None = None):
         if self.state is None:
             bs = self.cfg.training.batch_size
-            self._ensure_state(max(1, data.images.shape[0] // bs))
+            self._ensure_state(max(1, _num_samples(data) // bs))
         n = n or self.cfg.training.test_samples
         step = self._get_eval_step(n, temp=0.8)
         bs = self.cfg.training.batch_size
