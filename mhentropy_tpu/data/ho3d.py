@@ -156,9 +156,9 @@ class HO3DDataset:
         half = scale / 2.0
 
         s = self.image_size
-        image_crop = T.resize_nearest(T.crop_with_padding(image, centre, half), s)
-        depth_crop = T.resize_nearest(T.crop_with_padding(depth, centre, half), s)
-        seg_crop = T.resize_nearest(T.crop_with_padding(seg, centre, half), s)
+        image_crop = T.crop_resize(image, centre, half, s)
+        depth_crop = T.crop_resize(depth, centre, half, s, pad=0.0)
+        seg_crop = T.crop_resize(seg, centre, half, s)
         obj_mask = seg_crop[:, :, 1] > 200
         hand_mask_crop = seg_crop[:, :, 2] > 200
         hand_mask_full = seg[:, :, 2] > 200

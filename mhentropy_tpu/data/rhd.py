@@ -168,15 +168,11 @@ class RHDDataset:
         crop_center = uv_all[12].astype(np.float64)
         crop_size = float(np.max(np.abs(uv_all[uv_vis] - crop_center))) * 1.3
         s = self.size
-        image_crop = T.resize_nearest(
-            T.crop_with_padding(image, crop_center, crop_size), s
-        )
+        image_crop = T.crop_resize(image, crop_center, crop_size, s)
         depth_n = (5.0 - depth) / 5.0 * hand_mask_full
-        depth_crop = T.resize_nearest(
-            T.crop_with_padding(depth_n, crop_center, crop_size), s
-        )
-        hand_mask_crop = T.resize_nearest(
-            T.crop_with_padding(hand_mask_full.astype(np.float32), crop_center, crop_size), s
+        depth_crop = T.crop_resize(depth_n, crop_center, crop_size, s, pad=0.0)
+        hand_mask_crop = T.crop_resize(
+            hand_mask_full.astype(np.float32), crop_center, crop_size, s, pad=0.0
         )
 
         cloud = depth_to_cloud(depth, hand_mask_full, pose3d_root, cam, 4000, self.rng)

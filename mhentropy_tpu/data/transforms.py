@@ -111,6 +111,30 @@ def crop_with_padding(img: np.ndarray, centre, half_size, pad_rgb=127):
     return img[y1:y2, x1:x2]
 
 
+_HOSTOPS = None
+
+
+def _hostops():
+    """Native host-op library (native/hostops.cc), lazily loaded."""
+    global _HOSTOPS
+    if _HOSTOPS is None:
+        try:
+            from native import hostops
+
+            _HOSTOPS = hostops if hostops.available() else False
+        except Exception:
+            _HOSTOPS = False
+    return _HOSTOPS
+
+
+def crop_resize(img: np.ndarray, centre, half, size: int, pad=127.0) -> np.ndarray:
+    """Fused padded-crop + nearest-resize; native fast path when built."""
+    ho = _hostops()
+    if ho:
+        return ho.crop_resize_nearest(img, centre, half, size, pad_value=pad)
+    return resize_nearest(crop_with_padding(img, centre, half, pad_rgb=pad), size)
+
+
 def resize_nearest(img: np.ndarray, size: int) -> np.ndarray:
     if cv2 is not None:
         return cv2.resize(img, (size, size), interpolation=cv2.INTER_NEAREST)
