@@ -130,3 +130,32 @@ def loss_and_predict(
         # reference, whose MHEntLoss consumes only log_p (criteria.py:55).
         out["log_q"] = (gauss * w_row).reshape(b, -1).sum(1)
     return out, new_stats
+
+
+def best_hypothesis_uvd(
+    samples: jax.Array,
+    target: dict,
+) -> jax.Array:
+    """Human3.6m rel-xyz -> rel-uvd conversion on the best hypothesis
+    (CrossModalHand.py:312-330): pick the per-image sample closest to GT,
+    lift to absolute metres, perspective-project with the st_cam intrinsics
+    packed as (fx, fy, cx, cy), return uvd halved to the RLE [-0.5, 0.5)
+    convention.
+
+    Args:
+        samples: (K1, B, 3K) relative xyz samples.
+        target: pose3d (B, 3K), pose3d_root (B, 3), st_cam (B, 4).
+    """
+    k1, b, dk = samples.shape
+    jpe = (samples - target["pose3d"][None]).reshape(k1, b, -1, 3)
+    bh = jnp.linalg.norm(jpe, axis=-1).mean(-1).argmin(0)  # (B,)
+    rel = jnp.take_along_axis(samples, bh[None, :, None], axis=0)[0]
+    rel = rel.reshape(b, -1, 3)
+    abs_xyz = (rel + target["pose3d_root"][:, None, :]) * 1000.0
+    st = target["st_cam"]
+    uv = (
+        st[:, None, :2] / (abs_xyz[..., 2:3] + 1e-16) * abs_xyz[..., :2]
+        + st[:, None, 2:4]
+    )
+    uvd = jnp.concatenate([uv, rel[..., 2:3]], -1) / 2.0
+    return uvd.reshape(b, -1)

@@ -99,3 +99,58 @@ def test_rle_loss_and_predict():
     grads = jax.grad(loss_fn)(params)
     assert np.abs(np.asarray(grads["p_nf"].s_w0)).max() > 0
     assert np.abs(np.asarray(grads["encoder"]["l1"]["w"])).max() > 0
+
+
+def test_mhent_glow_regressor_mode():
+    """MHEnt with the ConditionalGlow posterior (network.py:342-344)."""
+    from mhentropy_tpu.core import mano
+    from mhentropy_tpu.data import synthetic
+    from mhentropy_tpu.models import mhent
+    from mhentropy_tpu.models.encoder import EncoderConfig
+    from mhentropy_tpu.models.mhent import MHEntConfig
+
+    img = 32
+    cfg = MHEntConfig(
+        encoder=EncoderConfig(backbone="resnet18", n_latent=(32, 32), dtype="float32"),
+        regressor="glow",
+        feat_dim=32,
+        image_size=img,
+        n_train_hypotheses=2,
+    )
+    params, stats = mhent.init(jax.random.key(0), cfg)
+    assert hasattr(params["flow"], "an_bias")
+    model = mano.synthetic_mano_model(0)
+    data = synthetic.make_dataset(model, n=2, image_size=img, seed=0)
+    image, target = next(synthetic.batches(data, 2))
+    out, _ = mhent.reverse_kld(
+        model, params, stats, cfg, target, image, jax.random.key(1), train=False
+    )
+    assert np.all(np.isfinite(np.asarray(out["log_p"])))
+    samples = mhent.sample_hypotheses(
+        model, params, stats, cfg, image, jax.random.key(2), n=4, temp=0.8
+    )
+    assert samples["xyz"].shape == (4, 2, 63)
+
+
+def test_rle_h36m_uvd_branch():
+    from mhentropy_tpu.models import rle
+
+    rng = np.random.RandomState(0)
+    k1, b = 3, 2
+    samples = jnp.asarray(rng.randn(k1, b, 51).astype(np.float32) * 0.1)
+    target = {
+        "pose3d": samples[1],  # sample 1 is exactly GT -> BH must pick it
+        "pose3d_root": jnp.asarray(rng.uniform(2, 4, (b, 3)).astype(np.float32)),
+        "st_cam": jnp.asarray(
+            np.tile(np.array([500.0, 500.0, 128.0, 128.0], np.float32), (b, 1))
+        ),
+    }
+    uvd = rle.best_hypothesis_uvd(samples, target)
+    assert uvd.shape == (b, 51)
+    assert np.all(np.isfinite(np.asarray(uvd)))
+    # depth channel = rel z / 2 of the chosen (GT) hypothesis.
+    np.testing.assert_allclose(
+        np.asarray(uvd).reshape(b, -1, 3)[..., 2],
+        np.asarray(samples[1]).reshape(b, -1, 3)[..., 2] / 2.0,
+        atol=1e-6,
+    )
