@@ -215,3 +215,26 @@ def calc_coord_accuracy(
     per_joint_acc = np.where(per_joint_n > 0, hits.sum(0) / np.maximum(per_joint_n, 1), -1.0)
     used = per_joint_acc >= 0
     return float(per_joint_acc[used].mean()) if used.any() else 0.0
+
+
+def evaluate_map(res_file: str, ann_file: str, ann_type: str = "keypoints"):
+    """COCO mAP via pycocotools (utils.py:327-370), lazily imported — the
+    environment ships without pycocotools; the COCO branch is vestigial in
+    the reference too (SURVEY.md §2 'RLE-ported human-pose stack')."""
+    try:
+        from pycocotools.coco import COCO
+        from pycocotools.cocoeval import COCOeval
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "pycocotools is required for COCO mAP evaluation; install it or "
+            "use the hand/PCK metrics"
+        ) from e
+    gt = COCO(ann_file)
+    dt = gt.loadRes(res_file)
+    ev = COCOeval(gt, dt, ann_type)
+    ev.evaluate()
+    ev.accumulate()
+    ev.summarize()
+    names = ["AP", "Ap .5", "AP .75", "AP (M)", "AP (L)",
+             "AR", "AR .5", "AR .75", "AR (M)", "AR (L)"]
+    return dict(zip(names, ev.stats))

@@ -204,3 +204,37 @@ def test_log_prob_parity_perjoint_mode():
         )
     )
     np.testing.assert_allclose(ours, ref_lp, atol=1e-4, rtol=1e-5)
+
+
+def test_kemb_joint_embedding_mode():
+    """dim=3 per-joint with the DDPM joint-index embedding
+    (flows.py:162-185, 247-257)."""
+    cfg = RealNVPConfig(dim=3, cond_dim=63, h_dim=16, num_steps=1, joint_n=21,
+                        kemb=True)
+    params = realnvp.init_params(jax.random.key(0), cfg)
+    assert params.kemb_w0 is not None and params.kemb_w0.shape == (63, 63)
+    feat = jax.random.normal(jax.random.key(1), (2, 63))
+    cond = realnvp.make_cond(params, cfg, feat)
+    # Sum fusion since feat dim == kemb_ch == 63.
+    assert cond.shape == (42, 63)
+    x = jax.random.normal(jax.random.key(2), (2, 63))
+    lp = realnvp.log_prob(params, cfg, x, feat=feat)
+    assert lp.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(lp)))
+    # Different joints get different conditioning (the embedding works).
+    assert not np.allclose(np.asarray(cond)[0], np.asarray(cond)[1])
+
+
+def test_partitioner_mode():
+    """cond_mapping_dims joint-feature partitioner (flows.py:179-185,
+    259-268)."""
+    cfg = RealNVPConfig(dim=3, cond_dim=4, h_dim=16, num_steps=1, joint_n=21,
+                        cond_mapping_dims=((10, 84),))  # 84 / 21 = 4 per joint
+    params = realnvp.init_params(jax.random.key(0), cfg)
+    assert len(params.part_ws) == 1 and params.part_ws[0].shape == (10, 84)
+    feat = jax.random.normal(jax.random.key(1), (2, 10))
+    cond = realnvp.make_cond(params, cfg, feat)
+    assert cond.shape == (42, 4)
+    x = jax.random.normal(jax.random.key(2), (2, 63))
+    lp = realnvp.log_prob(params, cfg, x, feat=feat)
+    assert np.all(np.isfinite(np.asarray(lp)))
