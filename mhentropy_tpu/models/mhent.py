@@ -154,6 +154,7 @@ def sample_q_z(
     key: jax.Array,
     n: int,
     temp: float = 1.0,
+    allow_fused: bool = True,
 ):
     """Draw N hypotheses per image from q(z | I) (network.py:719-758).
 
@@ -167,8 +168,9 @@ def sample_q_z(
     b = feat.shape[0]
     z_flow, log_q = None, jnp.zeros(n * b)
     if cfg.regressor == "realnvp":
-        use_fused = cfg.use_pallas_sampler
-        if use_fused is None:
+        # The fused kernel has no autodiff rule: inference paths only.
+        use_fused = allow_fused and cfg.use_pallas_sampler is not False
+        if use_fused and cfg.use_pallas_sampler is None:
             use_fused = jax.default_backend() == "tpu" and cfg.flow.dim == 45
         if use_fused:
             from mhentropy_tpu.flows import pallas_sampler
@@ -301,7 +303,7 @@ def reverse_kld(
     feat, new_stats = extract_feat(params, batch_stats, cfg, image, train=train)
     n = cfg.n_train_hypotheses
     b = feat.shape[0]
-    z, log_q = sample_q_z(params, cfg, feat, key, n, temp=1.0)
+    z, log_q = sample_q_z(params, cfg, feat, key, n, temp=1.0, allow_fused=False)
 
     out = {}
     th_bt = z[:, :TH_BT]

@@ -367,9 +367,29 @@ class Experiment:
             self._train_step = make_rle_train_step(
                 self.model_cfg, self.optimizer, self.mesh
             )
+        self._dump_models_txt()
         if self._pending_restore:
             self.load_model(self._pending_restore)
             self._pending_restore = None
+
+    def _dump_models_txt(self):
+        """Architecture + parameter counts (CrossModalHand.py:129-142)."""
+        import json
+
+        def count(tree):
+            return sum(
+                int(np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(tree)
+                if hasattr(x, "shape")
+            )
+
+        lines = [repr(self.model_cfg), ""]
+        for name, sub in self.state.params.items():
+            lines.append(f"{name}: {count(sub):,} params")
+        lines.append(f"total: {count(self.state.params):,} params")
+        lines.append(f"batch_stats: {count(self.state.batch_stats):,} entries")
+        with open(os.path.join(self.cfg.model_dir, "models.txt"), "w") as fp:
+            fp.write("\n".join(lines) + "\n")
 
     def _get_eval_step(self, n: int, temp: float):
         if (n, temp) not in self._eval_step:
