@@ -122,6 +122,22 @@ def build_rle_config(cfg) -> RLEConfig:
     )
 
 
+
+def _mesh_jit(fn, mesh, in_shardings, out_shardings, donate=()):
+    """jit with explicit shardings on real meshes; plain jit on one device.
+
+    On the single-chip axon backend explicit NamedShardings force a
+    reshard/relay round-trip per call (~8 s/step vs ~33 ms measured); the
+    shardings only matter when mesh.size > 1 anyway.
+    """
+    if mesh.size == 1:
+        return jax.jit(fn, donate_argnums=donate)
+    return jax.jit(
+        fn, in_shardings=in_shardings, out_shardings=out_shardings,
+        donate_argnums=donate,
+    )
+
+
 def make_rle_train_step(model_cfg: RLEConfig, optimizer, mesh):
     def step_fn(state: TrainState, image, target, key):
         def loss_fn(params):
@@ -142,10 +158,8 @@ def make_rle_train_step(model_cfg: RLEConfig, optimizer, mesh):
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
-    return jax.jit(
-        step_fn, in_shardings=(repl, data, data, repl),
-        out_shardings=(repl, repl), donate_argnums=(0,),
-    )
+    return _mesh_jit(step_fn, mesh, (repl, data, data, repl), (repl, repl),
+                     donate=(0,))
 
 
 def make_rle_eval_step(model_cfg: RLEConfig, mesh):
@@ -166,9 +180,7 @@ def make_rle_eval_step(model_cfg: RLEConfig, mesh):
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
-    return jax.jit(
-        eval_fn, in_shardings=(repl, repl, data, data, repl), out_shardings=repl
-    )
+    return _mesh_jit(eval_fn, mesh, (repl, repl, data, data, repl), repl)
 
 
 def _num_samples(data) -> int:
@@ -232,12 +244,8 @@ def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer, mesh):
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
-    return jax.jit(
-        step_fn,
-        in_shardings=(repl, data, data, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
+    return _mesh_jit(step_fn, mesh, (repl, data, data, repl), (repl, repl),
+                     donate=(0,))
 
 
 def make_eval_step(model: ManoModel, model_cfg: MHEntConfig, mesh, n: int, temp: float):
@@ -267,9 +275,7 @@ def make_eval_step(model: ManoModel, model_cfg: MHEntConfig, mesh, n: int, temp:
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
-    return jax.jit(
-        eval_fn, in_shardings=(repl, repl, data, data, repl), out_shardings=repl
-    )
+    return _mesh_jit(eval_fn, mesh, (repl, repl, data, data, repl), repl)
 
 
 class Experiment:
