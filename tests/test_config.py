@@ -1,0 +1,85 @@
+import os
+
+import pytest
+import yaml
+
+from mhentropy_tpu.utils import config as config_lib
+
+
+def test_defaults_match_reference_schema():
+    cfg = config_lib.get_cfg_defaults()
+    # The reference's key groups (configs/config.py:13-71).
+    assert cfg.dataset.dataset_name == "rhd"
+    assert cfg.dataset.image_size == [256, 256]
+    assert cfg.training.mode == "pretrain"
+    assert cfg.training.criterion == "ELBOLoss"
+    assert cfg.network.enc_type == "BasicEnc"
+    assert cfg.network.num_steps == 3
+    assert cfg.loss.kl == 0.0001
+
+
+def test_shipped_yaml_loads_and_overrides():
+    cfg = config_lib.update_cfg("configs/ho3d.yaml")
+    assert cfg.dataset.dataset_name == "ho3d"
+    assert cfg.network.enc_type == "MHEnt"
+    assert cfg.network.backbone == "resnet50"
+    assert cfg.network.num_steps == 6
+    assert cfg.network.h_dims == [512, 512]
+    assert cfg.training.test_samples == 200
+    assert cfg.training.criterion == "MHEntLoss"
+    assert cfg.loss.kl == 0.0
+
+
+def test_unknown_key_rejected_outside_new_allowed(tmp_path):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("dataset:\n  not_a_key: 1\n")
+    cfg = config_lib.get_cfg_defaults()
+    with pytest.raises(KeyError):
+        cfg.merge_from_file(str(bad))
+
+
+def test_new_allowed_groups_accept_new_keys(tmp_path):
+    extra = tmp_path / "extra.yaml"
+    extra.write_text("network:\n  brand_new_flag: 7\ntraining:\n  extra: hi\n")
+    cfg = config_lib.get_cfg_defaults()
+    cfg.merge_from_file(str(extra))
+    assert cfg.network.brand_new_flag == 7
+    assert cfg.training.extra == "hi"
+
+
+def test_type_coercion_and_mismatch(tmp_path):
+    f = tmp_path / "c.yaml"
+    f.write_text("training:\n  lr: 1\n")  # int -> float coerced
+    cfg = config_lib.get_cfg_defaults()
+    cfg.merge_from_file(str(f))
+    assert isinstance(cfg.training.lr, float) and cfg.training.lr == 1.0
+
+    f.write_text("dataset:\n  image_size: oops\n")
+    cfg = config_lib.get_cfg_defaults()
+    with pytest.raises(TypeError):
+        cfg.merge_from_file(str(f))
+
+
+def test_clone_is_deep():
+    cfg = config_lib.get_cfg_defaults()
+    c2 = cfg.clone()
+    c2.dataset.dataset_name = "ho3d"
+    assert cfg.dataset.dataset_name == "rhd"
+
+
+def test_dump_roundtrip():
+    cfg = config_lib.get_cfg_defaults()
+    loaded = yaml.safe_load(cfg.dump())
+    assert loaded["dataset"]["jointN"] == 21
+
+
+def test_all_shipped_configs_build_model_configs():
+    from mhentropy_tpu.train import engine
+
+    for name in ("ho3d", "rhd", "freihand", "smoke"):
+        cfg = config_lib.update_cfg(f"configs/{name}.yaml")
+        mc = engine.build_model_config(cfg)
+        assert mc.flow.dim == 45
+    rle_cfg = config_lib.update_cfg("configs/rhd_rle.yaml")
+    rc = engine.build_rle_config(rle_cfg)
+    assert rc.flow.tsfm_on == "x" and rc.flow.dim == 3
