@@ -13,6 +13,10 @@ import time
 
 
 def main():
+    from mhentropy_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

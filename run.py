@@ -12,6 +12,10 @@ from mhentropy_tpu.utils.config import parse_args
 
 
 def main(argv=None):
+    from mhentropy_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     cfg, _ = parse_args(argv)
     exp = Experiment(cfg)
     if cfg.training.mode == "baseline_VAE":

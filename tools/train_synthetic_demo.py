@@ -13,6 +13,10 @@ import numpy as np
 
 
 def main(epochs: int = 30):
+    from mhentropy_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mhentropy_tpu.core import mano
     from mhentropy_tpu.data import synthetic
     from mhentropy_tpu.flows.realnvp import RealNVPConfig
