@@ -39,9 +39,18 @@ def batches(
 ):
     """Yield (image, target) jnp batches from either kind of dataset."""
     if hasattr(dataset, "images"):  # synthetic array container
-        from mhentropy_tpu.data import synthetic
+        # Stage once on device and memoise: per-step H2D through the axon
+        # relay costs ~0.5 s — 20x the step itself (see CLAUDE.md).
+        cache = getattr(dataset, "_device_batches", None)
+        if cache is None or cache[0] != batch_size:
+            from mhentropy_tpu.data import synthetic
 
-        yield from synthetic.batches(dataset, batch_size)
+            cache = (batch_size, list(synthetic.batches(dataset, batch_size)))
+            try:
+                object.__setattr__(dataset, "_device_batches", cache)
+            except AttributeError:
+                pass
+        yield from cache[1]
         return
 
     n = len(dataset)

@@ -433,13 +433,18 @@ def sample(
     cproj: jax.Array | None = None,
     return_log_prob: bool = False,
 ):
-    """Draw `batch_rows` rows (flows.py:333-359), optionally with their log
-    density from the same forward pass.
+    """Draw `batch_rows` base samples and push them through the flow
+    (flows.py:333-359), optionally returning their log density from the same
+    forward pass (no second inverse pass).
+
+    Args:
+        batch_rows: number of D-dim rows to draw (callers flatten K' joints
+            and/or N hypotheses into rows).
+        cproj: precomputed conditioning cache aligned with the rows; when
+            None it is built from `feat`.
 
     Returns:
-        x: (batch_rows // (D*K'/D) * row_width,) reshaped to (B', D*K) by the
-           caller; here simply (batch_rows, D) rows flattened back to the
-           feat batch if feat is given.
+        x: (batch_rows, D); optionally (x, log_prob (batch_rows,)).
     """
     d = cfg.dim
     z0 = jax.random.normal(key, (batch_rows, d)) * temp

@@ -18,7 +18,6 @@ only).
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Any, NamedTuple

@@ -63,12 +63,18 @@ def main(epochs: int = 30):
     print(f"before: BH-MPJPE {before['eucLoss_3d_rgb_sample'] * 1000:.2f} mm  "
           f"2D-vis WH {before['eucLoss_2d_rgb_vis']:.2f} px", flush=True)
 
+    # Stage all batches on device once — per-step H2D through the relay
+    # dominates otherwise.
+    staged = []
+    for i in range(0, n_train, bs):
+        im = jax.numpy.asarray(train.images[i : i + bs])
+        tg = {k: jax.numpy.asarray(v[i : i + bs]) for k, v in train.targets.items()}
+        staged.append((im, tg))
+
     key = jax.random.key(42)
     t0 = time.time()
     for epoch in range(epochs):
-        for i in range(0, n_train, bs):
-            im = jax.numpy.asarray(train.images[i : i + bs])
-            tg = {k: jax.numpy.asarray(v[i : i + bs]) for k, v in train.targets.items()}
+        for im, tg in staged:
             key, k = jax.random.split(key)
             state, aux = step(state, im, tg, k)
         if epoch % 10 == 0 or epoch == epochs - 1:
