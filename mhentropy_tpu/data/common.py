@@ -15,6 +15,10 @@ from concurrent.futures import ThreadPoolExecutor
 import jax.numpy as jnp
 import numpy as np
 
+# Device-staged batch memo for array-backed datasets, keyed by
+# (id(dataset), batch_size).
+_DEVICE_BATCH_MEMO: dict = {}
+
 
 def _collate(samples):
     images = np.stack([s[0] for s in samples])
@@ -41,16 +45,14 @@ def batches(
     if hasattr(dataset, "images"):  # synthetic array container
         # Stage once on device and memoise: per-step H2D through the axon
         # relay costs ~0.5 s — 20x the step itself (see CLAUDE.md).
-        cache = getattr(dataset, "_device_batches", None)
-        if cache is None or cache[0] != batch_size:
+        key = (id(dataset), batch_size)
+        if key not in _DEVICE_BATCH_MEMO:
             from mhentropy_tpu.data import synthetic
 
-            cache = (batch_size, list(synthetic.batches(dataset, batch_size)))
-            try:
-                object.__setattr__(dataset, "_device_batches", cache)
-            except AttributeError:
-                pass
-        yield from cache[1]
+            if len(_DEVICE_BATCH_MEMO) > 8:
+                _DEVICE_BATCH_MEMO.clear()
+            _DEVICE_BATCH_MEMO[key] = list(synthetic.batches(dataset, batch_size))
+        yield from _DEVICE_BATCH_MEMO[key]
         return
 
     n = len(dataset)

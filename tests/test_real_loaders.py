@@ -1,0 +1,232 @@
+"""Drive the real HO3D/RHD/FreiHAND loaders end to end against miniature
+fabricated on-disk datasets (same file formats), so the IO + preprocessing
+paths are exercised without the 100+GB downloads."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+imageio = pytest.importorskip("imageio")
+import imageio.v2 as iio  # noqa: E402
+
+CAM = np.array([[300.0, 0, 160.0], [0, 300.0, 160.0], [0, 0, 1.0]], np.float32)
+
+
+def _write_png(path, arr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    iio.imwrite(path, arr)
+
+
+# ------------------------------------------------------------------- RHD
+
+
+@pytest.fixture(scope="module")
+def rhd_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("rhd")
+    rng = np.random.RandomState(0)
+    annos = {}
+    n = 3
+    for idx in range(n):
+        # A right hand in front of the camera (z ~ 0.5 m).
+        xyz_r = np.stack(
+            [rng.uniform(-0.05, 0.05, 21), rng.uniform(-0.05, 0.05, 21),
+             rng.uniform(0.45, 0.55, 21)], 1
+        ).astype(np.float32)
+        xyz = np.concatenate([xyz_r + np.array([0.5, 0.5, 0.5]), xyz_r])  # left far away
+        uv = (xyz[:, :2] / xyz[:, 2:3]) * 300.0 + 160.0
+        vis = np.ones((42, 1), np.float32)
+        annos[idx] = {
+            "uv_vis": np.concatenate([uv, vis], 1).astype(np.float32),
+            "xyz": xyz.astype(np.float32),
+            "K": CAM,
+        }
+        img = rng.randint(0, 255, (320, 320, 3), np.uint8)
+        _write_png(str(root / "training" / "color" / f"{idx:05d}.png"), img)
+        # Mask: right-hand labels are > 17.
+        mask = np.zeros((320, 320), np.uint8)
+        u = np.clip(uv[21:, 0].astype(int), 0, 319)
+        v = np.clip(uv[21:, 1].astype(int), 0, 319)
+        for uu, vv in zip(u, v):
+            mask[max(0, vv - 6) : vv + 6, max(0, uu - 6) : uu + 6] = 20
+        _write_png(str(root / "training" / "mask" / f"{idx:05d}.png"), mask)
+        # Depth png encodes metres/5 in 16 bits across two channels; make the
+        # hand region agree with the joint depths so vis=1 there.
+        depth_m = np.full((320, 320), 2.0, np.float32)
+        depth_m[mask > 17] = 0.5
+        code = (depth_m / 5.0 * (2**16 - 1)).astype(np.int64)
+        depth_png = np.zeros((320, 320, 3), np.uint8)
+        depth_png[..., 0] = (code // 256).astype(np.uint8)
+        depth_png[..., 1] = (code % 256).astype(np.uint8)
+        _write_png(str(root / "training" / "depth" / f"{idx:05d}.png"), depth_png)
+    with open(root / "training" / "anno_training.pickle", "wb") as f:
+        pickle.dump(annos, f)
+    return str(root)
+
+
+def test_rhd_loader_end_to_end(rhd_root):
+    from mhentropy_tpu.data import rhd
+
+    ds = rhd.load(rhd_root, mode="training")
+    assert len(ds) == 3
+    image, target = ds[1]
+    assert image.shape == (256, 256, 3) and image.dtype == np.float32
+    assert 0.0 <= image.min() and image.max() <= 1.0
+    for key, shape in (
+        ("pose3d", (63,)), ("crop_uv", (42,)), ("vis", (21,)), ("st", (3,)),
+        ("cloud", (256, 3)), ("heatmap", (64, 64, 21)), ("patch", (3,)),
+    ):
+        assert target[key].shape == shape, key
+    # Root-relative bone-normalised: root 12 at 0, bone 12-11 unit.
+    p = target["pose3d"].reshape(21, 3)
+    np.testing.assert_allclose(p[12], 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(p[12] - p[11]), 1.0, rtol=1e-5)
+    # 3-state vis values only.
+    assert set(np.unique(target["vis"])).issubset({0.0, 1.0, 2.0})
+    # The deterministic patch occluder blacked out a disc.
+    assert (image.sum(-1) == 0).sum() > 100
+    # The fitted ortho camera reprojects the pose onto crop_uv reasonably.
+    uv = p[:, :2] * target["st"][0] + target["st"][1:]
+    vis1 = target["vis"] == 1.0
+    if vis1.any():
+        err = np.abs(uv - target["crop_uv"].reshape(21, 2))[vis1]
+        assert err.mean() < 0.5  # [-1,1) units; rotation residual allowed
+
+
+def test_rhd_collation(rhd_root):
+    from mhentropy_tpu.data import common, rhd
+
+    ds = rhd.load(rhd_root, mode="training")
+    image, target = next(common.batches(ds, 2, to_device=False))
+    assert image.shape == (2, 256, 256, 3)
+    assert target["pose3d"].shape == (2, 63)
+
+
+# ------------------------------------------------------------------- FreiHAND
+
+
+@pytest.fixture(scope="module")
+def freihand_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("freihand")
+    rng = np.random.RandomState(1)
+    n = 4
+    ks, xyzs = [], []
+    for idx in range(n):
+        xyz = np.stack(
+            [rng.uniform(-0.05, 0.05, 21), rng.uniform(-0.05, 0.05, 21),
+             rng.uniform(0.4, 0.5, 21)], 1
+        )
+        ks.append(CAM.tolist())
+        xyzs.append(xyz.tolist())
+        img = rng.randint(0, 255, (224, 224, 3), np.uint8)
+        _write_png(str(root / "training" / "rgb" / f"{idx:08d}.jpg"), img)
+    with open(root / "training_K.json", "w") as f:
+        json.dump(ks, f)
+    with open(root / "training_xyz.json", "w") as f:
+        json.dump(xyzs, f)
+    return str(root)
+
+
+def test_freihand_loader_end_to_end(freihand_root):
+    from mhentropy_tpu.data import freihand
+
+    ds = freihand.load(freihand_root, mode="training", eval_fraction=0.25)
+    assert len(ds) == 3
+    image, target = ds[0]
+    assert image.shape == (224, 224, 3)
+    p = target["pose3d"].reshape(21, 3)
+    np.testing.assert_allclose(p[9], 0.0, atol=1e-6)  # FreiHAND root
+    assert target["crop_uv"].shape == (42,)
+    evald = freihand.load(freihand_root, mode="evaluation", eval_fraction=0.25)
+    assert len(evald) == 1
+
+
+# ------------------------------------------------------------------- HO3D
+
+
+@pytest.fixture(scope="module")
+def ho3d_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ho3d")
+    base = root / "HO3D_v3" / "HO3D_v3"
+    gt = root / "HO3D_v3" / "HO3D" / "data"
+    ycb = root / "HO3D_v3" / "models" / "003_box"
+    seg_root = root / "HO3D_v3"
+    rng = np.random.RandomState(2)
+
+    files = ["ABF10/0000", "ABF14/0001"]  # train + eval-split sequences
+    os.makedirs(gt, exist_ok=True)
+    os.makedirs(ycb, exist_ok=True)
+    joints, meshes = [], []
+    for seq_frame in files:
+        seq, frame = seq_frame.split("/")
+        # OpenGL coords: hand along -z, ~0.5 m away.
+        j = np.stack(
+            [rng.uniform(-0.04, 0.04, 21), rng.uniform(-0.04, 0.04, 21),
+             -rng.uniform(0.45, 0.55, 21)], 1
+        )
+        joints.append(j)
+        meshes.append(rng.uniform(-0.05, 0.05, (778, 3)) + j.mean(0))
+        img = rng.randint(0, 255, (480, 640, 3), np.uint8)
+        _write_png(str(base / "train" / seq / "rgb" / f"{frame}.jpg"), img)
+        # Depth png: channel2 + 256*channel1 scaled by 0.00012498664727900177.
+        depth_m = np.full((480, 640), 0.5, np.float32)
+        code = (depth_m / 0.00012498664727900177).astype(np.int64)
+        dp = np.zeros((480, 640, 3), np.uint8)
+        dp[..., 2] = (code % 256).astype(np.uint8)
+        dp[..., 1] = (code // 256 % 256).astype(np.uint8)
+        _write_png(str(base / "train" / seq / "depth" / f"{frame}.png"), dp)
+        seg = np.zeros((120, 160, 3), np.uint8)
+        seg[40:80, 50:110, 2] = 255  # hand channel
+        seg[20:40, 20:60, 1] = 255  # object channel
+        _write_png(str(seg_root / "train" / seq / "seg" / f"{frame}.png"), seg)
+        meta = {
+            "camMat": CAM.astype(np.float64),
+            "objName": "003_box",
+            "objRot": np.zeros((3, 1)),
+            "objTrans": np.array([0.0, 0.0, -0.5]),
+        }
+        os.makedirs(base / "train" / seq / "meta", exist_ok=True)
+        with open(base / "train" / seq / "meta" / f"{frame}.pkl", "wb") as f:
+            pickle.dump(meta, f)
+    with open(base / "train.txt", "w") as f:
+        f.write("\n".join(files) + "\n")
+    joints = np.asarray(joints)
+    meshes = np.asarray(meshes)
+    np.save(gt / "handJoints3D_train_4w.npy", joints[:1])
+    np.save(gt / "handJoints3D_train_8w.npy", joints[1:])
+    np.save(gt / "handJoints3D_train_left.npy", joints[:0])
+    np.save(gt / "ho3d_mesh_train_4w.npy", meshes[:1])
+    np.save(gt / "ho3d_mesh_train_8w.npy", meshes[1:])
+    np.save(gt / "ho3d_mesh_train_left.npy", meshes[:0])
+    # Tiny YCB obj.
+    with open(ycb / "textured_simple.obj", "w") as f:
+        for _ in range(12):
+            v = rng.uniform(-0.05, 0.05, 3)
+            f.write(f"v {v[0]} {v[1]} {v[2] - 0.5}\n")
+            f.write(f"vn 0 0 1\n")
+    return str(root)
+
+
+def test_ho3d_loader_end_to_end(ho3d_root):
+    from mhentropy_tpu.data import ho3d
+
+    train = ho3d.load(ho3d_root, mode="training")
+    evald = ho3d.load(ho3d_root, mode="evaluation")
+    # ABF14 is an eval-split sequence (ho3d_dataloader.py:243).
+    assert len(train) == 1 and len(evald) == 1
+
+    image, target = evald[0]
+    assert image.shape == (256, 256, 3)
+    assert -1.0 <= image.min() and image.max() <= 1.0  # [-1,1] normalisation
+    p = target["pose3d"].reshape(21, 3)
+    np.testing.assert_allclose(p[12], 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(p[12] - p[11]), 1.0, rtol=1e-4)
+    assert target["object_verts"].shape == (3000,)
+    assert set(np.unique(target["vis"])).issubset({0.0, 1.0, 2.0})
+    assert target["st"].shape == (3,)
+    # Training sample exercises augmentation + pixel noise.
+    image_t, target_t = train[0]
+    assert np.isfinite(image_t).all()
+    assert np.isfinite(target_t["pose3d"]).all()
