@@ -64,6 +64,8 @@ class MHEntConfig(NamedTuple):
     kld_w_annealing: tuple = (1.0, 24000)
     n_train_hypotheses: int = 10  # N (network.py:780)
     use_pallas_sampler: bool | None = None  # None -> auto (TPU backend only)
+    use_chamfer_loss: bool = False  # hand-object chamfer term (network.py:821-826)
+    w_chamfer: float = 10.0
 
     def det_dims(self) -> int:
         # th45 is deterministic only in 'det' mode; everything else always is.
@@ -175,9 +177,14 @@ def sample_q_z(
         if use_fused:
             from mhentropy_tpu.flows import pallas_sampler
 
+            # bf16 weights + 24-image tiles: 1.05M vs 0.69M hypos/s for the
+            # XLA path (f32 accumulation keeps log_q usable for ranking).
+            small = cfg.flow.h_dim <= 512
             z_flow, log_q = pallas_sampler.sample_fused(
                 params["flow"], cfg.flow, key, feat, n, temp=temp,
                 return_log_prob=True,
+                images_per_tile=24 if small else 8,
+                weight_dtype=jnp.bfloat16 if small else jnp.float32,
             )
         else:
             cond = realnvp.make_cond(params["flow"], cfg.flow, feat)
@@ -319,6 +326,17 @@ def reverse_kld(
         h = (-log_q).reshape(n, b).mean(0)
         out["h_q_z_giv_i"] = h
         log_p = log_p + h
+
+    if cfg.use_chamfer_loss:
+        # Hand-object chamfer penalty (network.py:821-826).
+        from mhentropy_tpu.train import metrics as metrics_lib
+
+        dec = decode(model, cfg, th_bt, z[:, -3:], mods=())
+        xyz_nb = dec["xyz"].reshape(n, b, -1, 3)
+        chamfer = metrics_lib.chamfer_dist(xyz_nb, y).mean(0)
+        out["chamfer"] = chamfer
+        log_p = log_p - cfg.w_chamfer * chamfer
+
     out["log_p"] = log_p
     return out, new_stats
 

@@ -154,3 +154,19 @@ def test_det_regressor_mode(setup):
         model, params, bs, cfg, target, image, jax.random.key(1), train=False
     )
     assert np.all(np.isfinite(np.asarray(out["log_p"])))
+
+
+def test_chamfer_loss_option(setup):
+    cfg, model, params, batch_stats, image, target = setup
+    cfg_ch = cfg._replace(use_chamfer_loss=True, w_chamfer=10.0)
+    out, _ = mhent.reverse_kld(
+        model, params, batch_stats, cfg_ch, target, image, jax.random.key(1),
+        train=False,
+    )
+    assert "chamfer" in out
+    assert np.all(np.isfinite(np.asarray(out["chamfer"])))
+    out_plain, _ = mhent.reverse_kld(
+        model, params, batch_stats, cfg, target, image, jax.random.key(1),
+        train=False,
+    )
+    assert not np.allclose(np.asarray(out["log_p"]), np.asarray(out_plain["log_p"]))
