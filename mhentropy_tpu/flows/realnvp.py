@@ -299,7 +299,9 @@ def forward(
     def body(carry, inp):
         x, logdet = carry
         layer, cp = inp
-        mask = layer.masks
+        # Masks are structural constants (a registered buffer in the
+        # reference, flows.py:188) — never trained.
+        mask = jax.lax.stop_gradient(layer.masks)
         x_masked = x * mask
         s, t = _st_nets(layer, x_masked, cp, conditional)
         s = s * (1.0 - mask)
@@ -332,7 +334,7 @@ def inverse(
     def body(carry, inp):
         z, logdet = carry
         layer, cp = inp
-        mask = layer.masks
+        mask = jax.lax.stop_gradient(layer.masks)
         z_masked = z * mask
         s, t = _st_nets(layer, z_masked, cp, conditional)
         s = s * (1.0 - mask)

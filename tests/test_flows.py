@@ -238,3 +238,21 @@ def test_partitioner_mode():
     x = jax.random.normal(jax.random.key(2), (2, 63))
     lp = realnvp.log_prob(params, cfg, x, feat=feat)
     assert np.all(np.isfinite(np.asarray(lp)))
+
+
+def test_masks_receive_no_gradient():
+    """Masks are a buffer in the reference (flows.py:188), not a parameter —
+    training must not move them."""
+    cfg = small_cfg()
+    params = realnvp.init_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (4, cfg.dim))
+    feat = jax.random.normal(jax.random.key(2), (4, cfg.cond_dim))
+
+    def loss(p):
+        lp = realnvp.log_prob(p, cfg, x, feat=feat)
+        smp = realnvp.sample(p, cfg, jax.random.key(3), 4, feat=feat)
+        return -lp.mean() + (smp**2).mean()
+
+    grads = jax.grad(loss)(params)
+    np.testing.assert_array_equal(np.asarray(grads.masks), 0.0)
+    assert np.abs(np.asarray(grads.s_w0)).max() > 0
