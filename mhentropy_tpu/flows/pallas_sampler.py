@@ -241,3 +241,96 @@ def sample_fused(
 
 def supported() -> bool:
     return jax.default_backend() == "tpu"
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: forward runs the fused kernel, backward is the VJP
+# of the equivalent XLA scan recomputed from residuals (rematerialisation —
+# the custom-VJP pattern from the Pallas guide). Training can therefore use
+# the kernel too; gradients are the exact XLA f32 gradients.
+# ---------------------------------------------------------------------------
+
+
+def _xla_equivalent(params: RealNVPParams, cfg: RealNVPConfig,
+                    z0_tiles: jax.Array, cproj: jax.Array):
+    """The scan-path computation matching _fused_transform's contract.
+
+    z0_tiles: (B, R, D) image-major; cproj: (L, 4, B, H).
+    Returns (x (B, R, D), logdet (B, R)).
+    """
+    b, r, d = z0_tiles.shape
+    rows = z0_tiles.reshape(b * r, d)
+    cproj_rows = jnp.repeat(cproj, r, axis=2)  # image-major row alignment
+    x, logdet = realnvp.forward(params, cfg, rows, cproj_rows)
+    return x.reshape(b, r, d), logdet.reshape(b, r)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def transform_diff(params: RealNVPParams, cfg: RealNVPConfig,
+                   z0_tiles: jax.Array, cproj: jax.Array,
+                   images_per_tile: int = 16):
+    """Differentiable base->data transform; kernel forward, XLA backward.
+
+    Args:
+        z0_tiles: (B, R, D) image-major base samples.
+        cproj: (L, 4, B, H) per-image conditioning cache.
+
+    Returns:
+        (x (B, R, D), logdet (B, R)).
+    """
+    return _kernel_transform(params, cfg, z0_tiles, cproj, images_per_tile)
+
+
+def _kernel_transform(params, cfg, z0_tiles, cproj, images_per_tile):
+    b, r, d = z0_tiles.shape
+    ipt = min(images_per_tile, b)
+    b_pad = _round_up(b, ipt)
+    rp = _round_up(r, 8)
+    packed, dp = pack_weights(params, cfg)
+    z = jnp.pad(z0_tiles, ((0, b_pad - b), (0, rp - r), (0, dp - d)))
+    cproj_layers = jnp.transpose(cproj, (0, 2, 1, 3))  # (L, B, 4, H)
+    cproj_layers = jnp.pad(cproj_layers, ((0, 0), (0, b_pad - b), (0, 0), (0, 0)))
+    x, logdet = _fused_transform(
+        packed, z.reshape(b_pad // ipt, ipt, rp, dp), cproj_layers,
+        cfg.n_layers, cfg.h_dim,
+    )
+    x = x.reshape(b_pad, rp, dp)[:b, :r, :d]
+    return x, logdet.reshape(b_pad, rp)[:b, :r]
+
+
+def _transform_fwd(params, cfg, z0_tiles, cproj, images_per_tile):
+    out = _kernel_transform(params, cfg, z0_tiles, cproj, images_per_tile)
+    return out, (params, z0_tiles, cproj)
+
+
+def _transform_bwd(cfg, images_per_tile, residuals, cotangents):
+    params, z0_tiles, cproj = residuals
+    _, vjp = jax.vjp(
+        lambda p, z, c: _xla_equivalent(p, cfg, z, c), params, z0_tiles, cproj
+    )
+    return vjp(cotangents)
+
+
+transform_diff.defvjp(_transform_fwd, _transform_bwd)
+
+
+def sample_fused_diff(
+    params: RealNVPParams,
+    cfg: RealNVPConfig,
+    key: jax.Array,
+    feat: jax.Array,
+    n: int,
+    temp: float = 1.0,
+    images_per_tile: int = 16,
+):
+    """Differentiable sample_and_log_prob: Pallas forward, XLA-remat backward.
+    Returns hypothesis-major (x (n*B, D), log_prob (n*B,))."""
+    b = feat.shape[0]
+    d = cfg.dim
+    cond = realnvp.make_cond(params, cfg, feat)
+    cproj = realnvp.cond_cache(params, cfg, cond)
+    z0 = jax.random.normal(key, (b, n, d)) * temp
+    x_tiles, logdet = transform_diff(params, cfg, z0, cproj, images_per_tile)
+    x = jnp.transpose(x_tiles, (1, 0, 2)).reshape(n * b, d)
+    base_lp = -0.5 * jnp.sum(z0 * z0, -1) - 0.5 * d * math.log(2 * math.pi)
+    lp = jnp.transpose(base_lp - logdet, (1, 0)).reshape(n * b)
+    return x, lp

@@ -156,7 +156,7 @@ def sample_q_z(
     key: jax.Array,
     n: int,
     temp: float = 1.0,
-    allow_fused: bool = True,
+    differentiable: bool = False,
 ):
     """Draw N hypotheses per image from q(z | I) (network.py:719-758).
 
@@ -170,10 +170,15 @@ def sample_q_z(
     b = feat.shape[0]
     z_flow, log_q = None, jnp.zeros(n * b)
     if cfg.regressor == "realnvp":
-        # The fused kernel has no autodiff rule: inference paths only.
-        use_fused = allow_fused and cfg.use_pallas_sampler is not False
+        use_fused = cfg.use_pallas_sampler is not False
         if use_fused and cfg.use_pallas_sampler is None:
             use_fused = jax.default_backend() == "tpu" and cfg.flow.dim == 45
+        if differentiable:
+            # Training rows are few (N~10 x B): the XLA scan wins there
+            # (33 ms vs 168 ms/step measured with the kernel fwd + remat
+            # bwd); flows.pallas_sampler.sample_fused_diff remains available
+            # for large-N differentiable sampling.
+            use_fused = False
         if use_fused:
             from mhentropy_tpu.flows import pallas_sampler
 
@@ -310,7 +315,7 @@ def reverse_kld(
     feat, new_stats = extract_feat(params, batch_stats, cfg, image, train=train)
     n = cfg.n_train_hypotheses
     b = feat.shape[0]
-    z, log_q = sample_q_z(params, cfg, feat, key, n, temp=1.0, allow_fused=False)
+    z, log_q = sample_q_z(params, cfg, feat, key, n, temp=1.0, differentiable=True)
 
     out = {}
     th_bt = z[:, :TH_BT]

@@ -61,3 +61,50 @@ def test_fused_pads_batch_and_hypotheses():
                         images_per_tile=2)
     assert x.shape == (n * b, cfg.dim)
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_diff_wrapper_forward_matches_and_grads_match_xla():
+    """transform_diff: kernel forward == XLA forward; gradients == XLA
+    gradients (the custom-VJP recompute path)."""
+    cfg = RealNVPConfig(dim=45, cond_dim=16, h_dim=32, num_steps=1)
+    params = realnvp.init_params(jax.random.key(0), cfg)
+    b, n = 2, 8
+    feat = jax.random.normal(jax.random.key(1), (b, 16))
+    cond = realnvp.make_cond(params, cfg, feat)
+    cproj = realnvp.cond_cache(params, cfg, cond)
+    z0 = jax.random.normal(jax.random.key(2), (b, n, cfg.dim))
+
+    x_k, ld_k = ps.transform_diff(params, cfg, z0, cproj, 2)
+    x_x, ld_x = ps._xla_equivalent(params, cfg, z0, cproj)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ld_k), np.asarray(ld_x), atol=1e-4)
+
+    def loss_kernel(p):
+        x, ld = ps.transform_diff(p, cfg, z0, cproj, 2)
+        return (x**2).sum() + ld.sum()
+
+    def loss_xla(p):
+        x, ld = ps._xla_equivalent(p, cfg, z0, cproj)
+        return (x**2).sum() + ld.sum()
+
+    g_k = jax.grad(loss_kernel)(params)
+    g_x = jax.grad(loss_xla)(params)
+    np.testing.assert_allclose(
+        np.asarray(g_k.s_w0), np.asarray(g_x.s_w0), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_k.t_b2), np.asarray(g_x.t_b2), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_diff_sample_consistency():
+    cfg = RealNVPConfig(dim=45, cond_dim=16, h_dim=32, num_steps=1)
+    params = realnvp.init_params(jax.random.key(0), cfg)
+    feat = jax.random.normal(jax.random.key(1), (3, 16))
+    x, lp = ps.sample_fused_diff(params, cfg, jax.random.key(2), feat, n=5,
+                                 images_per_tile=2)
+    assert x.shape == (15, 45) and lp.shape == (15,)
+    cond = realnvp.make_cond(params, cfg, feat)
+    cproj = realnvp.cond_cache(params, cfg, cond)
+    lp_inv = realnvp.log_prob(params, cfg, x, cproj=jnp.tile(cproj, (1, 1, 5, 1)))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_inv), atol=1e-4)
