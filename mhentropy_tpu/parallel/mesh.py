@@ -67,3 +67,14 @@ def constrain_hypotheses(z_nb, mesh: Mesh | None = None):
 def pad_batch(batch_size: int, n_devices: int) -> int:
     """Round the batch up so it divides the data axis."""
     return int(math.ceil(batch_size / n_devices) * n_devices)
+
+
+def fit_devices(batch_size: int, hypo: int = 1, n_available: int | None = None) -> int:
+    """Largest usable device count: a multiple of `hypo` whose data axis
+    divides the batch."""
+    if n_available is None:
+        n_available = len(jax.devices())
+    for n in range(n_available, 0, -1):
+        if n % hypo == 0 and batch_size % (n // hypo) == 0:
+            return n
+    return hypo

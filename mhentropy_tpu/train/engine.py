@@ -294,7 +294,11 @@ class Experiment:
                 )
             self.model_cfg = build_rle_config(cfg)
         self.model = load_mano_model(mano_dir)
-        self.mesh = mesh_lib.make_mesh(hypo=cfg.tpu.mesh_hypo if "tpu" in cfg else 1)
+        hypo = cfg.tpu.mesh_hypo if "tpu" in cfg else 1
+        # Use as many devices as divide the batch (a 2-image batch cannot
+        # shard over 8 virtual devices).
+        n_dev = mesh_lib.fit_devices(cfg.training.batch_size, hypo=hypo)
+        self.mesh = mesh_lib.make_mesh(n_devices=n_dev, hypo=hypo)
 
         os.makedirs(cfg.model_dir, exist_ok=True)
         self.log = get_logger(

@@ -25,45 +25,9 @@ def _write_png(path, arr):
 
 @pytest.fixture(scope="module")
 def rhd_root(tmp_path_factory):
-    root = tmp_path_factory.mktemp("rhd")
-    rng = np.random.RandomState(0)
-    annos = {}
-    n = 3
-    for idx in range(n):
-        # A right hand in front of the camera (z ~ 0.5 m).
-        xyz_r = np.stack(
-            [rng.uniform(-0.05, 0.05, 21), rng.uniform(-0.05, 0.05, 21),
-             rng.uniform(0.45, 0.55, 21)], 1
-        ).astype(np.float32)
-        xyz = np.concatenate([xyz_r + np.array([0.5, 0.5, 0.5]), xyz_r])  # left far away
-        uv = (xyz[:, :2] / xyz[:, 2:3]) * 300.0 + 160.0
-        vis = np.ones((42, 1), np.float32)
-        annos[idx] = {
-            "uv_vis": np.concatenate([uv, vis], 1).astype(np.float32),
-            "xyz": xyz.astype(np.float32),
-            "K": CAM,
-        }
-        img = rng.randint(0, 255, (320, 320, 3), np.uint8)
-        _write_png(str(root / "training" / "color" / f"{idx:05d}.png"), img)
-        # Mask: right-hand labels are > 17.
-        mask = np.zeros((320, 320), np.uint8)
-        u = np.clip(uv[21:, 0].astype(int), 0, 319)
-        v = np.clip(uv[21:, 1].astype(int), 0, 319)
-        for uu, vv in zip(u, v):
-            mask[max(0, vv - 6) : vv + 6, max(0, uu - 6) : uu + 6] = 20
-        _write_png(str(root / "training" / "mask" / f"{idx:05d}.png"), mask)
-        # Depth png encodes metres/5 in 16 bits across two channels; make the
-        # hand region agree with the joint depths so vis=1 there.
-        depth_m = np.full((320, 320), 2.0, np.float32)
-        depth_m[mask > 17] = 0.5
-        code = (depth_m / 5.0 * (2**16 - 1)).astype(np.int64)
-        depth_png = np.zeros((320, 320, 3), np.uint8)
-        depth_png[..., 0] = (code // 256).astype(np.uint8)
-        depth_png[..., 1] = (code % 256).astype(np.uint8)
-        _write_png(str(root / "training" / "depth" / f"{idx:05d}.png"), depth_png)
-    with open(root / "training" / "anno_training.pickle", "wb") as f:
-        pickle.dump(annos, f)
-    return str(root)
+    from tests.fixtures_data import build_rhd
+
+    return build_rhd(str(tmp_path_factory.mktemp("rhd")))
 
 
 def test_rhd_loader_end_to_end(rhd_root):
