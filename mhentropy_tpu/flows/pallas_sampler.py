@@ -183,6 +183,22 @@ def _fused_transform(packed: dict, z0_tiles, cproj_layers, n_layers: int, h: int
     return x_out, jnp.sum(logdet, axis=-1)
 
 
+VMEM_BYTES = 16 * 1024 * 1024
+
+
+def auto_images_per_tile(cfg: RealNVPConfig, rows: int, weight_dtype,
+                         requested: int) -> int:
+    """Largest tile that fits VMEM: double-buffered layer weights + the
+    x/logdet scratch + the (rows, H) activation temporaries per image."""
+    dp = _round_up(cfg.dim, LANE)
+    h = cfg.h_dim
+    itemsize = jnp.dtype(weight_dtype).itemsize
+    w_layer = (dp * h + h * h + h * dp) * 2 * itemsize  # s and t nets
+    budget = VMEM_BYTES - 2 * w_layer - int(2.5 * 1024 * 1024)
+    per_image = rows * (2 * dp * 4 + h * 4)  # scratch x2 + activations (f32)
+    return max(1, min(requested, budget // per_image))
+
+
 def sample_fused(
     params: RealNVPParams,
     cfg: RealNVPConfig,
@@ -209,7 +225,8 @@ def sample_fused(
     """
     b = feat.shape[0]
     d = cfg.dim
-    ipt = min(images_per_tile, b)
+    r = _round_up(n, 8)
+    ipt = min(auto_images_per_tile(cfg, r, weight_dtype, images_per_tile), b)
     b_pad = _round_up(b, ipt)
     packed, dp = pack_weights(params, cfg, dtype=weight_dtype)
     cond = realnvp.make_cond(params, cfg, feat)
@@ -218,7 +235,6 @@ def sample_fused(
     if b_pad != b:
         cproj_layers = jnp.pad(cproj_layers, ((0, 0), (0, b_pad - b), (0, 0), (0, 0)))
 
-    r = _round_up(n, 8)
     z0 = jax.random.normal(key, (b_pad, r, d)) * temp
     z0_tiles = jnp.pad(z0, ((0, 0), (0, 0), (0, dp - d))).reshape(
         b_pad // ipt, ipt, r, dp
@@ -282,7 +298,8 @@ def transform_diff(params: RealNVPParams, cfg: RealNVPConfig,
 
 def _kernel_transform(params, cfg, z0_tiles, cproj, images_per_tile):
     b, r, d = z0_tiles.shape
-    ipt = min(images_per_tile, b)
+    ipt = min(auto_images_per_tile(cfg, _round_up(r, 8), jnp.float32,
+                                   images_per_tile), b)
     b_pad = _round_up(b, ipt)
     rp = _round_up(r, 8)
     packed, dp = pack_weights(params, cfg)
