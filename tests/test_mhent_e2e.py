@@ -170,3 +170,24 @@ def test_chamfer_loss_option(setup):
         train=False,
     )
     assert not np.allclose(np.asarray(out["log_p"]), np.asarray(out_plain["log_p"]))
+
+
+def test_sample_p_z_and_evidence(setup):
+    cfg, model, params, batch_stats, image, target = setup
+    z = mhent.sample_p_z(cfg, jax.random.key(7), n=3, b=BATCH)
+    assert z.shape == (3 * BATCH, 61)
+    zn = np.asarray(z)
+    # th45 drawn from the +-2 PCA smooth-uniform support (exact sampler).
+    assert zn[:, 3:48].min() >= -2.0 and zn[:, 3:48].max() <= 2.0
+    # beta from the +-0.03 box.
+    assert np.abs(zn[:, 48:58]).max() <= 0.03
+    # th3 from the pi-ball.
+    assert np.all(np.linalg.norm(zn[:, :3], axis=1) <= np.pi + 1e-5)
+
+    ev = mhent.evidence_from_target(target, ["bt", "logs", "t"], n=3)
+    z2 = mhent.set_evidences(z, ev)
+    z2n = np.asarray(z2)
+    np.testing.assert_array_equal(z2n[:, 48:58], 0.0)
+    st = np.tile(np.asarray(target["st"]), (3, 1))
+    np.testing.assert_allclose(z2n[:, 58], np.log(st[:, 0]), rtol=1e-6)
+    np.testing.assert_allclose(z2n[:, 59:61], st[:, 1:3], rtol=1e-6)
