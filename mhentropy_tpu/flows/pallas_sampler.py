@@ -194,7 +194,7 @@ def auto_images_per_tile(cfg: RealNVPConfig, rows: int, weight_dtype,
     h = cfg.h_dim
     itemsize = jnp.dtype(weight_dtype).itemsize
     w_layer = (dp * h + h * h + h * dp) * 2 * itemsize  # s and t nets
-    budget = VMEM_BYTES - 2 * w_layer - int(2.5 * 1024 * 1024)
+    budget = VMEM_BYTES - 2 * w_layer - 4 * 1024 * 1024
     per_image = rows * (2 * dp * 4 + h * 4)  # scratch x2 + activations (f32)
     return max(1, min(requested, budget // per_image))
 
