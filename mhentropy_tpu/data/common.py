@@ -44,15 +44,19 @@ def batches(
     """Yield (image, target) jnp batches from either kind of dataset."""
     if hasattr(dataset, "images"):  # synthetic array container
         # Stage once on device and memoise: per-step H2D through the axon
-        # relay costs ~0.5 s — 20x the step itself (see CLAUDE.md).
-        key = (id(dataset), batch_size)
-        if key not in _DEVICE_BATCH_MEMO:
+        # relay costs ~0.5 s — 20x the step itself (see CLAUDE.md). The memo
+        # holds a strong reference to the keying array, so an id can never be
+        # recycled by a different live dataset.
+        key = (id(dataset.images), batch_size)
+        entry = _DEVICE_BATCH_MEMO.get(key)
+        if entry is None or entry[0] is not dataset.images:
             from mhentropy_tpu.data import synthetic
 
             if len(_DEVICE_BATCH_MEMO) > 8:
                 _DEVICE_BATCH_MEMO.clear()
-            _DEVICE_BATCH_MEMO[key] = list(synthetic.batches(dataset, batch_size))
-        yield from _DEVICE_BATCH_MEMO[key]
+            entry = (dataset.images, list(synthetic.batches(dataset, batch_size)))
+            _DEVICE_BATCH_MEMO[key] = entry
+        yield from entry[1]
         return
 
     n = len(dataset)

@@ -28,17 +28,20 @@ class SyntheticHandData(NamedTuple):
 
 
 def _render_keypoint_splats(uv_px: np.ndarray, image_size: int) -> np.ndarray:
-    """Cheap differentiable-looking 'rendering': per-joint Gaussian splats in
-    3 colour channels so images genuinely encode the pose."""
+    """Cheap 'rendering': per-joint Gaussian splats with joint-identifying
+    colours (channel = joint % 3, intensity graded by joint index) plus bone
+    segments to the parent joint, so images genuinely encode the pose."""
     n, k, _ = uv_px.shape
     yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32)
     imgs = np.zeros((n, image_size, image_size, 3), np.float32)
     sigma2 = 2 * (image_size / 32.0) ** 2
+    # Intensity ramp disambiguates joints sharing a channel.
+    levels = 0.4 + 0.6 * (np.arange(k) // 3) / max(1, (k - 1) // 3)
     for i in range(n):
         d2 = (xx[None] - uv_px[i, :, 0, None, None]) ** 2 + (
             yy[None] - uv_px[i, :, 1, None, None]
         ) ** 2
-        splat = np.exp(-d2 / sigma2)  # (K, S, S)
+        splat = np.exp(-d2 / sigma2) * levels[:, None, None]  # (K, S, S)
         for c in range(3):
             imgs[i, :, :, c] = splat[c::3].max(0)
     return imgs * 2.0 - 1.0
