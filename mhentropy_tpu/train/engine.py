@@ -383,7 +383,6 @@ class Experiment:
 
     def _dump_models_txt(self):
         """Architecture + parameter counts (CrossModalHand.py:129-142)."""
-        import json
 
         def count(tree):
             return sum(
