@@ -255,6 +255,12 @@ def decode(
         result["uv"] = camera.orth_project(
             normed, scale, logs_t[:, 1:3], cfg.image_size, inv_norm=inv_norm
         )
+    if "m" in mods or "depth" in mods:
+        # The mask/depth mods the reference left dead (network.py:552-557);
+        # functional here via the splatting renderer.
+        from mhentropy_tpu.core import render as render_lib
+
+        result.update(render_lib.render_mods(result["verts"], logs_t, mods=mods))
     return result
 
 

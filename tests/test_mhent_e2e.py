@@ -191,3 +191,16 @@ def test_sample_p_z_and_evidence(setup):
     st = np.tile(np.asarray(target["st"]), (3, 1))
     np.testing.assert_allclose(z2n[:, 58], np.log(st[:, 0]), rtol=1e-6)
     np.testing.assert_allclose(z2n[:, 59:61], st[:, 1:3], rtol=1e-6)
+
+
+def test_mask_depth_mods(setup):
+    """The reference's dead 'm'/'depth' render mods, functional here."""
+    cfg, model, params, batch_stats, image, target = setup
+    th_bt = jnp.concatenate([target["theta_gt"], target["beta_gt"]], axis=1)
+    logs_t = jnp.concatenate(
+        [jnp.log(target["st"][:, 0:1]), target["st"][:, 1:3]], axis=1
+    )
+    dec = mhent.decode(model, cfg, th_bt, logs_t, mods=("uv", "m", "depth"))
+    assert dec["mask"].shape == (BATCH, 64, 64)
+    assert dec["depth"].shape == (BATCH, 64, 64)
+    assert float(dec["mask"].max()) > 0.5
