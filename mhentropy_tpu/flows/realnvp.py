@@ -15,7 +15,7 @@ TPU-first design decisions (none of this mirrors the torch module structure):
   L unrolled python modules.
 * The conditioning projections (the dominant FLOPs: cond_dim x hidden per
   layer per net per fusion point) depend only on the per-image feature, so
-  they are precomputed ONCE per image into a (L, B, 2, 2, H) cache and reused
+  they are precomputed ONCE per image into a (L, 4, B, H) cache and reused
   across all N hypotheses — the reference recomputes them for every
   hypothesis via `.repeat(N, 1)` (network.py:734).
 * `sample_and_log_prob` accumulates the log-determinant during the forward

@@ -66,6 +66,11 @@ class MHEntConfig(NamedTuple):
     use_pallas_sampler: bool | None = None  # None -> auto (TPU backend only)
     use_chamfer_loss: bool = False  # hand-object chamfer term (network.py:821-826)
     w_chamfer: float = 10.0
+    # Mask-reconstruction likelihood p(m | z) — the reference sketched this
+    # via the commented-out p_m_giv_mu (network.py:394) but its renderer was
+    # dead; functional here through core/render.
+    use_mask_loss: bool = False
+    b_mask: float = 50.0
 
     def det_dims(self) -> int:
         # th45 is deterministic only in 'det' mode; everything else always is.
@@ -296,6 +301,23 @@ def forward_log_p(
         out[f"log_p_{mod}_giv_z"] = priors.laplace_deadzone_log_prob(
             gt, mu, b_scale, weights=weights
         )
+    if cfg.use_mask_loss and "hand_mask" in y:
+        from mhentropy_tpu.core import render as render_lib
+
+        rendered = render_lib.render_mods(dec["verts"], logs_t, mods=("m",))
+        gt_mask = y["hand_mask"].astype(jnp.float32)
+        if gt_mask.shape[-1] != rendered["mask"].shape[-1]:
+            # Downsample the crop-resolution mask to the render grid.
+            f = gt_mask.shape[-1] // rendered["mask"].shape[-1]
+            gt_mask = gt_mask.reshape(
+                gt_mask.shape[0], rendered["mask"].shape[1], f,
+                rendered["mask"].shape[2], f,
+            ).max((2, 4))
+        gt_n = jnp.tile(gt_mask, (n, 1, 1))
+        err = (rendered["mask"] - gt_n).reshape(z.shape[0], -1)
+        out["log_p_m_giv_z"] = priors.laplace_deadzone_log_prob(
+            err, jnp.zeros_like(err), 1.0 / cfg.b_mask
+        ) / err.shape[1]  # mean-per-pixel scale
     th3, th45, bt = z[:, :3], z[:, 3:48], z[:, 48:58]
     out["log_p_th3"] = pr["th3_ref"].log_prob(th3)
     out["log_p_th45"] = pr["th45_ref"].log_prob(th45)

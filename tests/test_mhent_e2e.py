@@ -204,3 +204,20 @@ def test_mask_depth_mods(setup):
     assert dec["mask"].shape == (BATCH, 64, 64)
     assert dec["depth"].shape == (BATCH, 64, 64)
     assert float(dec["mask"].max()) > 0.5
+
+
+def test_mask_loss_option(setup):
+    cfg, model, params, batch_stats, image, target = setup
+    target = dict(target)
+    target["hand_mask"] = jnp.ones((BATCH, 64, 64))
+    cfg_m = cfg._replace(use_mask_loss=True)
+    out, _ = mhent.reverse_kld(
+        model, params, batch_stats, cfg_m, target, image, jax.random.key(1),
+        train=False,
+    )
+    assert np.all(np.isfinite(np.asarray(out["log_p"])))
+    out_plain, _ = mhent.reverse_kld(
+        model, params, batch_stats, cfg, target, image, jax.random.key(1),
+        train=False,
+    )
+    assert not np.allclose(np.asarray(out["log_p"]), np.asarray(out_plain["log_p"]))
