@@ -82,10 +82,11 @@ def gaussian_heatmaps(uv, size, vis, sigma=6.0):
         & (coords[:, 1] > 0) & (coords[:, 1] < size - 1)
     )
     cond = (np.asarray(vis, np.float32) > 0.5) & in_bounds
-    x = np.arange(size, dtype=np.float32)[:, None, None]
-    y = np.arange(size, dtype=np.float32)[None, :, None]
-    # The reference builds (X - u, Y - v) with X the row index — keep that.
-    d2 = (x - coords[None, None, :, 0]) ** 2 + (y - coords[None, None, :, 1]) ** 2
+    row = np.arange(size, dtype=np.float32)[:, None, None]
+    col = np.arange(size, dtype=np.float32)[None, :, None]
+    # heatmap[row, col, k] peaks at (v, u) — the reference swaps uv to (v, u)
+    # before the grid subtraction (preprocess.py:216-219, 244-251).
+    d2 = (row - coords[None, None, :, 1]) ** 2 + (col - coords[None, None, :, 0]) ** 2
     return np.exp(-d2 / sigma**2) * cond.astype(np.float32)
 
 

@@ -1,0 +1,136 @@
+"""RHD host-preprocessing parity vs the reference's actual preprocess.py /
+augment.py (pure numpy/cv2 functions, imported directly)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+REF = "/root/reference/hand"
+if not os.path.isdir(REF):  # pragma: no cover
+    pytest.skip("reference not mounted", allow_module_level=True)
+
+from mhentropy_tpu.data import rhd, transforms as T  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_preprocess():
+    # The reference targets numpy<1.20 (np.float alias); restore it.
+    if not hasattr(np, "float"):
+        np.float = float  # noqa: NPY001
+    sys.path.insert(0, REF)
+    try:
+        from dataloader.dataPreprocess import augment as ref_augment
+        from dataloader.dataPreprocess import preprocess as ref_preprocess
+    finally:
+        sys.path.pop(0)
+
+    # Reference defect: its own uvd2xyz unconditionally raises
+    # NotImplementedError (preprocess.py:144-145), which breaks
+    # depth2cloud/preprocessSample upstream (the RHD loader is unreachable
+    # from make_ds_dl, so it went unnoticed — SURVEY.md §2.2). Restore the
+    # function's own dead body so the rest of the pipeline runs.
+    def _uvd2xyz(uvd, cam):
+        f, u0 = cam[0, 0], cam[0, 2]
+        x = (uvd[:, 0] - u0) * uvd[:, 2] / f
+        y = (uvd[:, 1] - u0) * uvd[:, 2] / f
+        return np.stack([x, y, uvd[:, 2]], 1)
+
+    ref_preprocess.uvd2xyz = _uvd2xyz
+    return ref_preprocess, ref_augment
+
+
+def _rhd_sample(seed=0):
+    rng = np.random.RandomState(seed)
+    xyz_r = np.stack(
+        [rng.uniform(-0.05, 0.05, 21), rng.uniform(-0.05, 0.05, 21),
+         rng.uniform(0.45, 0.55, 21)], 1
+    ).astype(np.float64)
+    xyz = np.concatenate([xyz_r + 0.5, xyz_r])
+    cam = np.array([[300.0, 0, 160.0], [0, 300.0, 160.0], [0, 0, 1.0]])
+    uv = (xyz[:, :2] / xyz[:, 2:3]) * 300.0 + 160.0
+    vis = np.ones(42, bool)
+    image = rng.randint(0, 255, (320, 320, 3), np.uint8)
+    mask = np.zeros((320, 320), np.uint8)
+    u = np.clip(uv[21:, 0].astype(int), 2, 317)
+    v = np.clip(uv[21:, 1].astype(int), 2, 317)
+    for uu, vv in zip(u, v):
+        mask[vv - 2 : vv + 2, uu - 2 : uu + 2] = 20
+    depth = np.full((320, 320), 2.0, np.float64)
+    depth[mask > 17] = 0.5
+    return image, depth, mask, uv, vis, xyz, cam
+
+
+def test_preprocess_sample_core_outputs(ref_preprocess):
+    ref_pp, _ = ref_preprocess
+    image, depth, mask, uv, vis, xyz, cam = _rhd_sample()
+    (img_c, dep_c, cloud_n, pose_n, cloud_vc, pose_vc, view_rot, scale,
+     hand_side, heatmap, (crop_center, crop_size, pose_root), (s, t),
+     crop_uv, uv_vis, mask_c) = ref_pp.preprocessSample(
+        image, depth, mask, uv, vis, xyz, cam
+    )
+
+    # Pose normalisation parity.
+    ours_pose, ours_root, ours_bone = T.normalize_pose3d_np(xyz[-21:], 12, 11)
+    np.testing.assert_allclose(ours_pose, pose_n, atol=1e-6)
+    np.testing.assert_allclose(ours_bone, scale, rtol=1e-6)
+
+    # Crop geometry parity (root-centred, x1.3 of visible extent).
+    centre = uv[-21:][12]
+    size = np.max(np.abs(uv[-21:][vis[-21:]] - centre)) * 1.3
+    np.testing.assert_allclose(centre, crop_center, atol=1e-9)
+    np.testing.assert_allclose(size, crop_size, rtol=1e-9)
+
+    # Crop-space uv parity.
+    ours_crop_uv = (uv[-21:] - centre) * (256.0 / (2 * size)) + 128
+    np.testing.assert_allclose(ours_crop_uv, crop_uv, atol=1e-4)
+
+    # View-correction rotation parity.
+    ours_rot, _, ours_pose_vc = rhd.view_correction(
+        centre, cam, xyz[-21:], xyz[-21:]
+    )
+    np.testing.assert_allclose(ours_rot, view_rot, atol=1e-6)
+    ref_vc_unnorm = pose_vc * scale + (ours_pose_vc[12])[None]
+    np.testing.assert_allclose(
+        (ours_pose_vc - ours_pose_vc[12]) / scale, pose_vc, atol=1e-5
+    )
+
+    # Heatmap parity (64^2, sigma 6, visible in-bounds joints only).
+    ours_hm = rhd.gaussian_heatmaps(
+        (uv[-21:] - centre) * (64.0 / (2 * size)) + 32, 64, vis[-21:]
+    )
+    np.testing.assert_allclose(ours_hm, heatmap, atol=1e-5)
+
+    # Image crop parity (crop + nearest resize path).
+    ours_img = T.crop_resize(image.astype(np.float32), centre, size, 256)
+    np.testing.assert_allclose(ours_img, img_c.astype(np.float32), atol=1e-5)
+
+
+def test_flip_parity_with_reference_processing(ref_preprocess):
+    """augment.processing's left-hand flip (eval path) vs flip_left_to_right."""
+    _, ref_aug = ref_preprocess
+    rng = np.random.RandomState(1)
+    image = rng.rand(256, 256, 3).astype(np.float32)
+    depth = rng.rand(256, 256, 1).astype(np.float32)
+    cloud = rng.randn(400, 3)
+    heatmap = rng.rand(64, 64, 21).astype(np.float32)
+    pose3d = rng.randn(21, 3)
+    uv = rng.uniform(0, 255, (21, 2))
+    mask = rng.rand(256, 256).astype(np.float32)
+    obj = rng.rand(256, 256).astype(np.float32)
+    hand_side = np.array([1.0, 0.0])  # left -> flip
+
+    img_r, _, _, _, pose_r, uv_r, mask_r, obj_r = ref_aug.processing(
+        image.copy(), depth.copy(), cloud.copy(), heatmap, pose3d.copy(),
+        hand_side, uv.copy(), mask.copy(), obj.copy(),
+    )
+    img_o, uv_o, pose_o, (mask_o, obj_o) = T.flip_left_to_right(
+        image, uv, pose3d, (mask, obj), 256
+    )
+    np.testing.assert_allclose(img_o, img_r, atol=1e-6)
+    np.testing.assert_allclose(uv_o.reshape(-1), uv_r, atol=1e-6)
+    np.testing.assert_allclose(pose_o.reshape(-1), pose_r, atol=1e-6)
+    np.testing.assert_allclose(mask_o, mask_r, atol=1e-6)
