@@ -16,11 +16,31 @@ if not os.path.isdir(REF):  # pragma: no cover
 from mhentropy_tpu.data import rhd, transforms as T  # noqa: E402
 
 
+def _stub(name, **attrs):
+    import types
+
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules.setdefault(name, mod)
+    return sys.modules[name]
+
+
 @pytest.fixture(scope="module")
 def ref_preprocess():
     # The reference targets numpy<1.20 (np.float alias); restore it.
     if not hasattr(np, "float"):
         np.float = float  # noqa: NPY001
+    # Absent heavy deps pulled in by utils/viz (not on the tested paths).
+    _stub("pycocotools")
+    _stub("pycocotools.coco", COCO=object)
+    _stub("pycocotools.cocoeval", COCOeval=object)
+    _stub("trimesh", Trimesh=object)
+    _stub("open3d")
+    from mhentropy_tpu.core import mano as mano_lib
+    from tests.test_mano_parity_torch import _install_asset_stub
+
+    _install_asset_stub(mano_lib.synthetic_mano_model(seed=0))
     sys.path.insert(0, REF)
     try:
         from dataloader.dataPreprocess import augment as ref_augment
@@ -134,3 +154,81 @@ def test_flip_parity_with_reference_processing(ref_preprocess):
     np.testing.assert_allclose(uv_o.reshape(-1), uv_r, atol=1e-6)
     np.testing.assert_allclose(pose_o.reshape(-1), pose_r, atol=1e-6)
     np.testing.assert_allclose(mask_o, mask_r, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ref_rhdloader(ref_preprocess):
+    """Import the reference's rhddataloader (pure functions only); its
+    torchvision/matplotlib imports are stubbed/satisfied."""
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tf = types.ModuleType("torchvision.transforms")
+        tff = types.ModuleType("torchvision.transforms.functional")
+        tff.erase = lambda *a, **k: None
+        tf.functional = tff
+        tv.transforms = tf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tf
+        sys.modules["torchvision.transforms.functional"] = tff
+    import matplotlib
+
+    matplotlib.use("Agg")
+    sys.path.insert(0, REF)
+    try:
+        from dataloader import rhddataloader as ref_rhd
+    finally:
+        sys.path.pop(0)
+    return ref_rhd
+
+
+def test_compute_st_parity(ref_rhdloader):
+    rng = np.random.RandomState(7)
+    pose = rng.randn(21, 3).astype(np.float32)
+    uv = rng.uniform(-1, 1, (21, 2)).astype(np.float32)
+    ref_st = ref_rhdloader.compute_st(pose.reshape(-1), uv.reshape(-1))
+    ours = T.compute_st_np(pose, uv)
+    np.testing.assert_allclose(ours, ref_st, rtol=1e-4, atol=1e-5)
+
+
+def test_check_occlusion_parity(ref_rhdloader):
+    from mhentropy_tpu.data import occlusion
+
+    rng = np.random.RandomState(8)
+    depth = rng.uniform(0.3, 0.8, (64, 64)).astype(np.float32)
+    uv = rng.uniform(-3, 70, (42, 2))
+    pose = np.stack([np.zeros(42), np.zeros(42),
+                     rng.uniform(0.3, 0.8, 42)], 1)
+    ref = ref_rhdloader.check_occlusion(uv, depth, pose, delta=0.02, quant=2)
+    ours = occlusion.check_occlusion(uv, depth, pose, delta=0.02, quant=2)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_check_wib_parity(ref_rhdloader):
+    from mhentropy_tpu.data import occlusion
+
+    rng = np.random.RandomState(9)
+    uv = rng.uniform(-6, 262, (42, 2))
+    ref = ref_rhdloader.check_wib(uv, (256, 256), quant=2)
+    ours = occlusion.check_wib(uv, (256, 256), quant=2)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_patch_occlusion_parity(ref_rhdloader):
+    from mhentropy_tpu.data import occlusion
+
+    rng = np.random.RandomState(10)
+    img = (rng.rand(256, 256, 3) * 255).astype(np.float32)
+    uv = rng.uniform(40, 210, (21, 2))
+    for idx in (0, 3, 7):
+        ref_img, ref_vis, (rcx, rcy, rr, ref_mask) = ref_rhdloader.patch_occlusion(
+            img.copy(), size=50, vis=None, idx=idx, crop_uv=uv
+        )
+        our_img, our_vis, (cx, cy, r, our_mask) = occlusion.patch_occlusion(
+            img, uv, idx=idx, size=50
+        )
+        assert (cx, cy, r) == (rcx, rcy, rr)
+        np.testing.assert_allclose(our_img, ref_img, atol=1e-6)
+        np.testing.assert_array_equal(our_vis, ref_vis)
+        np.testing.assert_array_equal(our_mask, ref_mask)
