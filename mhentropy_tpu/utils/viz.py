@@ -90,8 +90,8 @@ def export_mano_mesh(verts: np.ndarray, faces: np.ndarray, path: str):
 
         trimesh.Trimesh(vertices=v, faces=f, process=False).export(path)
         return path
-    except ImportError:
-        pass
+    except Exception:
+        pass  # absent or stubbed trimesh -> plain OBJ writer below
     with open(path, "w") as fp:
         for x, y, z in v:
             fp.write(f"v {x:.6f} {y:.6f} {z:.6f}\n")
