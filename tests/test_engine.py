@@ -112,7 +112,24 @@ def test_checkpoint_roundtrip(tmp_path, small_cfg, model):
     np.testing.assert_array_equal(a, b)
 
 
-def test_graft_dryrun_multichip():
-    import __graft_entry__ as ge
+def test_graft_dryrun_multichip_under_ambient_axon_env():
+    """Regression for the round-1 MULTICHIP failure: the driver calls
+    dryrun_multichip(8) under its ambient JAX_PLATFORMS=axon 1-device env.
+    dryrun_multichip must self-force the virtual CPU mesh (subprocess
+    re-exec), so a fresh process with the hostile env exported must pass."""
+    import subprocess
+    import sys
 
-    ge.dryrun_multichip(8)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"  # hostile: would give 1 device (or fail)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = repo  # no sitecustomize: keep the test hermetic
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=env, cwd=repo, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=1500,
+    )
+    assert proc.returncode == 0, proc.stdout
+    assert "dryrun_multichip OK" in proc.stdout, proc.stdout
