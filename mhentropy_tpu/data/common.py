@@ -40,21 +40,32 @@ def batches(
     num_workers: int = 4,
     drop_remainder: bool = True,
     to_device: bool = True,
+    pad_remainder: bool = False,
 ):
-    """Yield (image, target) jnp batches from either kind of dataset."""
+    """Yield (image, target) jnp batches from either kind of dataset.
+
+    pad_remainder=True keeps tail samples (the reference eval DataLoader has
+    no drop_last, CrossModalHand.py:176-179): the final short batch is padded
+    to batch_size by wrapping indices and every target carries a 'valid' (B,)
+    mask, so the jitted step sees one static shape and metrics can exclude
+    the padding.
+    """
     if hasattr(dataset, "images"):  # synthetic array container
         # Stage once on device and memoise: per-step H2D through the axon
         # relay costs ~0.5 s — 20x the step itself (see CLAUDE.md). The memo
         # holds a strong reference to the keying array, so an id can never be
         # recycled by a different live dataset.
-        key = (id(dataset.images), batch_size)
+        key = (id(dataset.images), batch_size, pad_remainder)
         entry = _DEVICE_BATCH_MEMO.get(key)
         if entry is None or entry[0] is not dataset.images:
             from mhentropy_tpu.data import synthetic
 
             if len(_DEVICE_BATCH_MEMO) > 8:
                 _DEVICE_BATCH_MEMO.clear()
-            entry = (dataset.images, list(synthetic.batches(dataset, batch_size)))
+            entry = (
+                dataset.images,
+                list(synthetic.batches(dataset, batch_size, pad_remainder)),
+            )
             _DEVICE_BATCH_MEMO[key] = entry
         yield from entry[1]
         return
@@ -63,13 +74,20 @@ def batches(
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
+    if pad_remainder:
+        drop_remainder = False
     end = n - batch_size + 1 if drop_remainder else n
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         for start in range(0, end, batch_size):
             idxs = order[start : start + batch_size]
+            k = idxs.shape[0]
+            if pad_remainder and k < batch_size:
+                idxs = np.concatenate([idxs, order[np.arange(batch_size - k) % n]])
             samples = list(pool.map(dataset.__getitem__, idxs))
             images, target = _collate(samples)
+            if pad_remainder:
+                target["valid"] = (np.arange(batch_size) < k).astype(np.float32)
             if to_device:
                 images = jnp.asarray(images)
-                target = {k: jnp.asarray(v) for k, v in target.items()}
+                target = {k2: jnp.asarray(v) for k2, v in target.items()}
             yield images, target

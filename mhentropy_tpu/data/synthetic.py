@@ -103,11 +103,25 @@ def make_dataset(
     return SyntheticHandData(images=images, targets=targets)
 
 
-def batches(data: SyntheticHandData, batch_size: int):
+def batches(data: SyntheticHandData, batch_size: int, pad_remainder: bool = False):
+    """Yield (image, target) batches.
+
+    pad_remainder=True keeps tail samples (the reference's eval DataLoader
+    has no drop_last, CrossModalHand.py:176-179): the final short batch is
+    padded to batch_size by wrapping and every target carries a 'valid'
+    (B,) mask so metrics can exclude the padding. Static batch shape keeps
+    jit to a single compile.
+    """
     n = data.images.shape[0]
-    for i in range(0, n - batch_size + 1, batch_size):
-        sl = slice(i, i + batch_size)
-        yield (
-            jnp.asarray(data.images[sl]),
-            {k: jnp.asarray(v[sl]) for k, v in data.targets.items()},
-        )
+    end = n if pad_remainder else n - batch_size + 1
+    for i in range(0, end, batch_size):
+        idx = np.arange(i, min(i + batch_size, n))
+        k = idx.shape[0]
+        if k < batch_size:
+            idx = np.concatenate([idx, np.arange(batch_size - k) % n])
+        target = {key: jnp.asarray(v[idx]) for key, v in data.targets.items()}
+        if pad_remainder:
+            target["valid"] = jnp.asarray(
+                (np.arange(batch_size) < k).astype(np.float32)
+            )
+        yield jnp.asarray(data.images[idx]), target

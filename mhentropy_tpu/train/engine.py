@@ -68,6 +68,7 @@ def build_model_config(cfg) -> MHEntConfig:
         num_steps=net.num_steps,
         joint_n=cfg.dataset.jointN,
     )
+    tr = cfg.training
     return MHEntConfig(
         encoder=enc,
         flow=flow,
@@ -77,11 +78,19 @@ def build_model_config(cfg) -> MHEntConfig:
         image_size=image_size,
         feat_dim=net.num_latent,
         b_2d=net.b_2d,
+        b_3d=net.get("b_3d", 0.03),
         th45_ref_alpha=float(net.w_reg_th),
+        th3_ref_alpha=float(net.get("th3_ref_alpha", 5.0)),
+        bt_alpha=float(net.get("bt_alpha", 50.0)),
+        temperature=float(net.get("T", 1.0)),
         entropy=bool(net.entropy),
-        kld_w=1.0,
-        kld_w_annealing=(1.0, 20 * 1200),
-        n_train_hypotheses=10,
+        kld_w=float(net.get("kld_w", 1.0)),
+        kld_w_annealing=tuple(net.get("kld_w_annealing", (1.0, 24000))),
+        n_train_hypotheses=int(tr.get("n_train_hypotheses", 10)),
+        use_chamfer_loss=bool(net.get("use_chamfer_loss", False)),
+        w_chamfer=float(net.get("w_chamfer", 10.0)),
+        use_mask_loss=bool(net.get("use_mask_loss", False)),
+        b_mask=float(net.get("b_mask", 50.0)),
     )
 
 
@@ -144,7 +153,13 @@ def make_rle_train_step(model_cfg: RLEConfig, optimizer, mesh):
                 params, state.batch_stats, model_cfg, image, target, key,
                 train=True,
             )
-            return -out["log_p"].mean(), (out, new_stats)
+            lp = out["log_p"]
+            if "valid" in target:  # padded tail batch: mask padding out
+                v = target["valid"]
+                loss = -(lp * v).sum() / (v.sum() + 1e-16)
+            else:
+                loss = -lp.mean()
+            return loss, (out, new_stats)
 
         (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -223,7 +238,12 @@ def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer, mesh):
                 model, params, state.batch_stats, model_cfg, target, image,
                 key, train=True,
             )
-            loss = -out["log_p"].mean()  # criteria.py:55,173
+            lp = out["log_p"]  # criteria.py:55,173
+            if "valid" in target:  # padded tail batch: mask padding out
+                v = target["valid"]
+                loss = -(lp * v).sum() / (v.sum() + 1e-16)
+            else:
+                loss = -lp.mean()
             return loss, (out, new_stats)
 
         (loss, (out, new_stats)), grads = jax.value_and_grad(
@@ -247,7 +267,10 @@ def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer, mesh):
                      donate=(0,))
 
 
-def make_eval_step(model: ManoModel, model_cfg: MHEntConfig, mesh, n: int, temp: float):
+def make_eval_step(
+    model: ManoModel, model_cfg: MHEntConfig, mesh, n: int, temp: float,
+    n_quant: int | None = None,
+):
     """Multi-hypothesis eval: N sharded over 'hypo', batch over 'data'."""
 
     def eval_fn(params, batch_stats, image, target, key):
@@ -257,7 +280,7 @@ def make_eval_step(model: ManoModel, model_cfg: MHEntConfig, mesh, n: int, temp:
         )
         samples = mhent.sample_hypotheses(
             model, params, batch_stats, model_cfg, image, key,
-            n=n, n_quant=n, temp=temp,
+            n=n, n_quant=n_quant if n_quant is not None else n, temp=temp,
         )
         hypo_spec = P(mesh_lib.HYPO_AXIS, mesh_lib.DATA_AXIS)
         for k in ("xyz", "uv", "verts"):
@@ -402,8 +425,10 @@ class Experiment:
     def _get_eval_step(self, n: int, temp: float):
         if (n, temp) not in self._eval_step:
             if self.integrated:
+                n_quant = self.cfg.training.get("test_quant") or n
                 self._eval_step[(n, temp)] = make_eval_step(
-                    self.model, self.model_cfg, self.mesh, n, temp
+                    self.model, self.model_cfg, self.mesh, n, temp,
+                    n_quant=min(n_quant, n),
                 )
             else:
                 self._eval_step[(n, temp)] = make_rle_eval_step(
@@ -432,7 +457,8 @@ class Experiment:
         bs = self.cfg.training.batch_size
         loss_meter = AverageMeter()
         for idx, (image, target) in enumerate(
-                data_common.batches(data, bs, shuffle=True, seed=self.seed + epoch)
+                data_common.batches(data, bs, shuffle=True, seed=self.seed + epoch,
+                                    pad_remainder=True)
         ):
             self.key, k_step = jax.random.split(self.key)
             self.state, aux = self._train_step(self.state, image, target, k_step)
@@ -455,14 +481,18 @@ class Experiment:
             bs = self.cfg.training.batch_size
             self._ensure_state(max(1, _num_samples(data) // bs))
         n = n or self.cfg.training.test_samples
-        step = self._get_eval_step(n, temp=0.8)
+        step = self._get_eval_step(n, temp=self.cfg.training.get("eval_temp", 0.8))
         bs = self.cfg.training.batch_size
         meters = {}
-        for image, target in data_common.batches(data, bs):
+        # pad_remainder keeps tail samples (no drop_last in the reference's
+        # eval DataLoader, CrossModalHand.py:176-179); metric means are
+        # weighted by the per-batch valid count.
+        for image, target in data_common.batches(data, bs, pad_remainder=True):
             self.key, k = jax.random.split(self.key)
             mets = step(self.state.params, self.state.batch_stats, image, target, k)
+            n_valid = float(mets.pop("n_valid", bs))
             for name, v in mets.items():
-                meters.setdefault(name, AverageMeter()).update(float(v))
+                meters.setdefault(name, AverageMeter()).update(float(v), n=n_valid)
         summary = {k: m.avg for k, m in meters.items()}
         line = f"Epoch:{epoch}|"
         if "eucLoss_3d_rgb_sample" in summary:

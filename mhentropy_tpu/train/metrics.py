@@ -83,7 +83,14 @@ def mhent_metrics(output: dict, target: dict) -> tuple[jax.Array, dict, dict]:
     Returns:
         (total_loss, losses, metrics) — metric names match the reference's
         (eucLoss_{3d,2d}_rgb_{sample,vis,invis}[_std|_mean]).
+
+    An optional target['valid'] (B,) mask excludes padded tail samples (see
+    data.common.batches pad_remainder): their joint weights are zeroed so the
+    empty-group renormalisation in _group_stats drops them, and the total
+    loss becomes a valid-weighted mean. metrics['n_valid'] reports the count
+    for weighted meter updates.
     """
+    valid = target.get("valid")
     losses = {"neg_log_p": -output["log_p"]}
 
     src = output["xyz"] if "xyz" in output else output["uv"]
@@ -119,6 +126,8 @@ def mhent_metrics(output: dict, target: dict) -> tuple[jax.Array, dict, dict]:
     }
     weights["vis"] = weights["vis"].at[:, ROOT_IDX].set(0.0)
     weights["invis"] = weights["invis"].at[:, ROOT_IDX].set(0.0)
+    if valid is not None:
+        weights = {k: w * valid[:, None] for k, w in weights.items()}
 
     for sup in euc:
         d = int(sup[0])
@@ -147,7 +156,12 @@ def mhent_metrics(output: dict, target: dict) -> tuple[jax.Array, dict, dict]:
             if attr == "vis":
                 metrics[f"{key}_mean"] = _group_stats(euc[sup].mean(0), weight)
 
-    total = sum(v.mean() for v in losses.values())
+    if valid is None:
+        total = sum(v.mean() for v in losses.values())
+    else:
+        denom = valid.sum() + 1e-16
+        total = sum((v * valid).sum() / denom for v in losses.values())
+        metrics["n_valid"] = valid.sum()
     return total, losses, metrics
 
 

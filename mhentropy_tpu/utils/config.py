@@ -117,6 +117,10 @@ def get_cfg_defaults() -> CfgNode:
     cfg.training.warmups = 0
     cfg.training.criterion = "ELBOLoss"
     cfg.training.test_samples = 200
+    # Knobs the reference hardcodes, surfaced with its values as defaults:
+    cfg.training.n_train_hypotheses = 10  # N (network.py:780)
+    cfg.training.test_quant = None  # N_quant; None -> = test_samples (CrossModalHand.py:359)
+    cfg.training.eval_temp = 0.8  # sample temp at eval (CrossModalHand.py:360)
 
     cfg.network = CfgNode(new_allowed=True)
     cfg.network.enc_type = "BasicEnc"
@@ -151,6 +155,21 @@ def get_cfg_defaults() -> CfgNode:
     cfg.network.b_2d = 0.03
     cfg.network.entropy = True
     cfg.network.mode = False
+    # Knobs the reference hardcodes in special_cfg / module ctors
+    # (CrossModalHand.py:85, network.py:392,429-435,441-442), surfaced with
+    # the reference's values as defaults:
+    cfg.network.b_3d = 0.03  # _Laplace b for p(xyz|z) (network.py:392)
+    cfg.network.T = 1.0  # log_p temperature divisor (special_cfg T)
+    cfg.network.kld_w = 1.0
+    cfg.network.kld_w_annealing = [1.0, 24000]  # [1, 20*1200]
+    cfg.network.th3_ref_alpha = 5.0  # th3 ball prior alpha (network.py:433)
+    cfg.network.bt_alpha = 50.0  # beta prior alpha (network.py:435)
+    # Chamfer / mask terms (dead in the reference: network.py:821-826 chamfer
+    # commented, renderer dead; functional here):
+    cfg.network.use_chamfer_loss = False
+    cfg.network.w_chamfer = 10.0
+    cfg.network.use_mask_loss = False
+    cfg.network.b_mask = 50.0
 
     cfg.loss = CfgNode()
     cfg.loss.kl = 0.0001

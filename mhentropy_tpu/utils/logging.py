@@ -36,9 +36,9 @@ class AverageMeter:
         self.sum = 0.0
         self.count = 0
 
-    def update(self, val: float, n: int = 1):
-        if self.drop_zeros:
-            n = int(val != 0)
+    def update(self, val: float, n: float = 1):
+        if self.drop_zeros and val == 0:
+            n = 0
         self.val = val
         self.sum += val * n
         self.count += n

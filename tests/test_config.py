@@ -83,3 +83,55 @@ def test_all_shipped_configs_build_model_configs():
     rle_cfg = config_lib.update_cfg("configs/rhd_rle.yaml")
     rc = engine.build_rle_config(rle_cfg)
     assert rc.flow.tsfm_on == "x" and rc.flow.dim == 3
+
+
+def test_every_knob_lands_in_model_config(tmp_path):
+    """Every reference-hardcoded knob is YAML-wirable (VERDICT r1 item 5):
+    each key set in the YAML must land in the built MHEntConfig."""
+    f = tmp_path / "knobs.yaml"
+    f.write_text(
+        """
+dataset: {dataset_name: ho3d}
+network:
+  enc_type: MHEnt
+  num_latent: 64
+  backbone: resnet18
+  h_dims: [64, 64]
+  num_steps: 2
+  b_2d: 0.05
+  b_3d: 0.07
+  T: 2.0
+  kld_w: 0.5
+  kld_w_annealing: [0.1, 1000]
+  w_reg_th: 25
+  th3_ref_alpha: 7.0
+  bt_alpha: 60.0
+  use_chamfer_loss: true
+  w_chamfer: 3.0
+  use_mask_loss: true
+  b_mask: 11.0
+training:
+  n_train_hypotheses: 4
+  test_quant: 8
+  eval_temp: 0.5
+  test_samples: 16
+"""
+    )
+    from mhentropy_tpu.train import engine
+
+    cfg = config_lib.get_cfg_defaults()
+    cfg.merge_from_file(str(f))
+    mc = engine.build_model_config(cfg)
+    assert mc.b_2d == 0.05
+    assert mc.b_3d == 0.07
+    assert mc.temperature == 2.0
+    assert mc.kld_w == 0.5
+    assert mc.kld_w_annealing == (0.1, 1000)
+    assert mc.th45_ref_alpha == 25.0
+    assert mc.th3_ref_alpha == 7.0
+    assert mc.bt_alpha == 60.0
+    assert mc.use_chamfer_loss and mc.w_chamfer == 3.0
+    assert mc.use_mask_loss and mc.b_mask == 11.0
+    assert mc.n_train_hypotheses == 4
+    assert cfg.training.test_quant == 8
+    assert cfg.training.eval_temp == 0.5

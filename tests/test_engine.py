@@ -133,3 +133,73 @@ def test_graft_dryrun_multichip_under_ambient_axon_env():
     )
     assert proc.returncode == 0, proc.stdout
     assert "dryrun_multichip OK" in proc.stdout, proc.stdout
+
+
+def test_eval_padding_equals_per_sample_loop(model):
+    """Tail samples are padded+masked, not dropped (VERDICT r1 item 3): a
+    13-sample eval at bs=4 must equal the per-sample loop exactly. Uses fixed
+    per-sample hypothesis tensors so batching is the only variable."""
+    import jax.numpy as jnp
+
+    from mhentropy_tpu.data import synthetic as synth
+    from mhentropy_tpu.train import metrics as metrics_lib
+    from mhentropy_tpu.utils.logging import AverageMeter
+
+    data = synth.make_dataset(model, n=13, image_size=IMG, seed=3)
+    rng = np.random.RandomState(0)
+    n_h = 5
+    xyz_all = (
+        np.asarray(data.targets["pose3d"])[None]
+        + rng.randn(n_h, 13, 63).astype(np.float32) * 0.1
+    )
+    log_p_all = rng.randn(13).astype(np.float32)
+
+    def metrics_for(idx, valid=None):
+        target = {k: jnp.asarray(v[idx]) for k, v in data.targets.items()}
+        if valid is not None:
+            target["valid"] = jnp.asarray(valid)
+        output = {
+            "log_p": jnp.asarray(log_p_all[idx]),
+            "xyz": jnp.asarray(xyz_all[:, idx]),
+        }
+        return metrics_lib.mhent_metrics(output, target)
+
+    keys = ("eucLoss_3d_rgb_sample", "eucLoss_3d_rgb_sample_std")
+    ref = {k: [] for k in keys}
+    tot_ref = 0.0
+    for i in range(13):
+        total, _, mets = metrics_for(np.array([i]))
+        tot_ref += float(total)
+        for k in keys:
+            ref[k].append(float(mets[k].mean()))
+    ref = {k: float(np.mean(v)) for k, v in ref.items()}
+    tot_ref /= 13
+
+    meters = {k: AverageMeter(drop_zeros=False) for k in keys}
+    tot_meter = AverageMeter(drop_zeros=False)
+    for start in range(0, 13, 4):
+        idx = np.arange(start, min(start + 4, 13))
+        k_real = len(idx)
+        if k_real < 4:
+            idx = np.concatenate([idx, np.arange(4 - k_real)])  # wrap-pad
+        valid = (np.arange(4) < k_real).astype(np.float32)
+        total, _, mets = metrics_for(idx, valid)
+        nv = float(mets["n_valid"])
+        assert nv == k_real
+        tot_meter.update(float(total), n=nv)
+        for k in keys:
+            meters[k].update(float(mets[k].mean()), n=nv)
+    for k in keys:
+        np.testing.assert_allclose(meters[k].avg, ref[k], rtol=1e-5)
+    np.testing.assert_allclose(tot_meter.avg, tot_ref, rtol=1e-5)
+
+
+def test_batches_pad_remainder_covers_all_samples(model):
+    from mhentropy_tpu.data import common as data_common, synthetic as synth
+
+    data = synth.make_dataset(model, n=13, image_size=IMG, seed=4)
+    seen = 0
+    for image, target in data_common.batches(data, 4, pad_remainder=True):
+        assert image.shape[0] == 4
+        seen += int(target["valid"].sum())
+    assert seen == 13
