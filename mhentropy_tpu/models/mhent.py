@@ -106,8 +106,11 @@ def init(key: jax.Array, cfg: MHEntConfig):
     elif cfg.regressor == "glow":
         from mhentropy_tpu.flows import glow as glow_lib
 
+        # ConditionalGlow(45, 512, 4, 2, context=512, dropout=0.2)
+        # (network.py:343-344).
         params["flow"] = glow_lib.init_params(k_flow, glow_lib.GlowConfig(
-            features=45, hidden=512, context_features=cfg.feat_dim))
+            features=45, hidden=512, context_features=cfg.feat_dim,
+            dropout=0.2))
     f, h, o = cfg.feat_dim, cfg.feat_dim, cfg.det_dims()
 
     def linear(key, din, dout):

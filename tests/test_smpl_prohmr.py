@@ -113,5 +113,5 @@ def test_prohmr_nll_grads(model, prohmr_setup):
 
     val, grads = jax.value_and_grad(loss)(params)
     assert np.isfinite(float(val))
-    assert np.abs(np.asarray(grads["flow"].net_w_out)).max() > 0
+    assert np.abs(np.asarray(grads["flow"][0]["coupling"]["final"]["w"])).max() > 0
     assert np.abs(np.asarray(grads["betas_head"]["w"])).max() > 0

@@ -147,6 +147,9 @@ def load_torch_checkpoint(path: str, model_cfg) -> dict:
     if "q_z_giv_i.mask" in enc_sd:
         n_layers = model_cfg.flow.n_layers
         params["flow"] = convert_realnvp(enc_sd, "q_z_giv_i.", n_layers)
+    elif "q_z_giv_i._transform._transforms.0.log_scale" in enc_sd:
+        # regressor: glow (network.py:343-344, the nflows-fork ConditionalGlow)
+        params["flow"] = convert_conditional_glow(enc_sd, "q_z_giv_i.")
     return params
 
 
@@ -190,36 +193,119 @@ def load_rle_checkpoint(path: str, model_cfg) -> dict:
     return params
 
 
-def load_prohmr_smpl_flow(path: str, glow_cfg) -> dict:
-    """Map the reference's released ProHMR-style SMPL-flow weights into
-    flows.glow.GlowParams (BASELINE config 5).
+def convert_conditional_glow(sd: dict, prefix: str = "") -> list:
+    """nkolot/nflows ConditionalGlow state_dict -> flows.glow params (list of
+    per-step {actnorm, linear, coupling} dicts).
 
-    The released .pt holds an nflows ConditionalGlow state_dict. Layer
-    grouping: per step i, actnorm (log_scale/shift), LU-decomposed linear
-    (recomposed to a dense matrix here), and the conditional coupling's
-    residual transform net. Names vary across nflows forks; this mapper
-    handles the nkolot layout and reports anything it cannot place so the
-    load is never silently wrong.
+    The fork's schema: `{prefix}_transform._transforms.{j}.*` where steps
+    repeat (ActNorm: log_scale/shift; LULinear: bias/lower_entries/
+    upper_entries/unconstrained_upper_diag; AffineCoupling:
+    transform_net.{initial_layer,blocks.{k}.{context_layer,linear_layers.
+    {0,1},batch_norm_layers.{0,1}},final_layer}). Transforms are classified
+    by parameter names, not fixed positions, so extra permutation transforms
+    or variant orderings fail loudly instead of mapping wrongly.
     """
-    import numpy as np
+    import jax.numpy as jnp
+
+    pat = re.compile(
+        re.escape(prefix) + r"_transform\._transforms\.(\d+)\.(.*)"
+    )
+    groups: dict = {}
+    for k, v in sd.items():
+        m = pat.match(k)
+        if m:
+            groups.setdefault(int(m.group(1)), {})[m.group(2)] = _np(v)
+    if not groups:
+        raise ValueError(
+            f"no ConditionalGlow tensors under prefix {prefix!r}; keys look "
+            f"like {sorted(sd)[:3]}"
+        )
+
+    layers = []
+    cur: dict = {}
+    for j in sorted(groups):
+        g = groups[j]
+        if "log_scale" in g:  # ActNorm
+            if cur:
+                raise ValueError(f"unexpected transform order at index {j}")
+            cur = {"actnorm": {
+                "log_scale": jnp.asarray(g["log_scale"]),
+                "shift": jnp.asarray(g["shift"]),
+            }}
+        elif "lower_entries" in g:  # LULinear
+            cur["linear"] = {
+                "lower_entries": jnp.asarray(g["lower_entries"]),
+                "upper_entries": jnp.asarray(g["upper_entries"]),
+                "unconstrained_upper_diag": jnp.asarray(
+                    g["unconstrained_upper_diag"]
+                ),
+                "bias": jnp.asarray(g["bias"]),
+            }
+        elif any(k.startswith("transform_net.") for k in g):  # coupling
+            def lin(name):
+                return {
+                    "w": jnp.asarray(g[f"transform_net.{name}.weight"].T),
+                    "b": jnp.asarray(g[f"transform_net.{name}.bias"]),
+                }
+
+            n_blocks = 1 + max(
+                int(m.group(1))
+                for k in g
+                if (m := re.match(r"transform_net\.blocks\.(\d+)\.", k))
+            )
+            blocks = []
+            for k_blk in range(n_blocks):
+                p = f"blocks.{k_blk}"
+                blk = {
+                    "l0": lin(f"{p}.linear_layers.0"),
+                    "l1": lin(f"{p}.linear_layers.1"),
+                    "ctx": lin(f"{p}.context_layer"),
+                }
+                bn_key = f"transform_net.{p}.batch_norm_layers.0.weight"
+                if bn_key in g:
+                    for b_i in (0, 1):
+                        q = f"transform_net.{p}.batch_norm_layers.{b_i}"
+                        blk[f"bn{b_i}"] = {
+                            "scale": jnp.asarray(g[f"{q}.weight"]),
+                            "bias": jnp.asarray(g[f"{q}.bias"]),
+                            "mean": jnp.asarray(g[f"{q}.running_mean"]),
+                            "var": jnp.asarray(g[f"{q}.running_var"]),
+                        }
+                blocks.append(blk)
+            cur["coupling"] = {
+                "initial": lin("initial_layer"),
+                "blocks": blocks,
+                "final": lin("final_layer"),
+            }
+            if set(cur) != {"actnorm", "linear", "coupling"}:
+                raise ValueError(
+                    f"incomplete glow step ending at transform {j}: {set(cur)}"
+                )
+            layers.append(cur)
+            cur = {}
+        else:
+            raise ValueError(
+                f"unrecognised transform at index {j}: params {sorted(g)[:4]}"
+            )
+    if cur:
+        raise ValueError(f"trailing partial glow step: {set(cur)}")
+    return layers
+
+
+def load_prohmr_smpl_flow(path: str, glow_cfg=None) -> list:
+    """Load the reference's released ProHMR-style SMPL-flow weights
+    (/root/reference/README.md:26-42) into flows.glow params (BASELINE
+    config 5). Auto-detects the ConditionalGlow key prefix (ProHMR stores it
+    as `flow.`; standalone dumps use '')."""
     import torch
 
     sd = torch.load(path, map_location="cpu")
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    unplaced = sorted(
-        k for k in sd if not any(t in k for t in (
-            "actnorm", "linear", "transform_net", "_log_scale", "_shift",
-        ))
-    )
-    if unplaced:
-        import warnings
-
-        warnings.warn(f"prohmr flow: {len(unplaced)} unmapped tensors, e.g. "
-                      f"{unplaced[:5]}")
-    raise NotImplementedError(
-        "released ProHMR weights are not present in this environment to "
-        "verify the exact nflows fork layout against; the Glow architecture "
-        "(flows/glow.py) is dimension-aligned and this mapper is completed "
-        "when the asset is available"
-    )
+    marker = "_transform._transforms.0.log_scale"
+    prefixes = sorted({k[: -len(marker)] for k in sd if k.endswith(marker)})
+    if not prefixes:
+        raise ValueError(
+            f"{path}: no ConditionalGlow found; keys like {sorted(sd)[:5]}"
+        )
+    return convert_conditional_glow(sd, prefixes[0])
