@@ -21,6 +21,10 @@ _DEVICE_BATCH_MEMO: dict = {}
 
 
 def _collate(samples):
+    """Stack (image, target) pairs — or the RLE datasets' 4-tuples
+    (img, target, img_id, bbox) (custom.py:87-102), collated to
+    (images, target, img_ids, bboxes) for target_transform's coco/h36m
+    branches."""
     images = np.stack([s[0] for s in samples])
     keys = samples[0][1].keys()
     target = {}
@@ -29,6 +33,10 @@ def _collate(samples):
         if isinstance(vals[0], (str,)):
             continue
         target[k] = np.stack([np.asarray(v) for v in vals])
+    if len(samples[0]) == 4:
+        ids = np.asarray([s[2] for s in samples])
+        bboxes = np.stack([np.asarray(s[3]) for s in samples])
+        return images, target, ids, bboxes
     return images, target
 
 
@@ -84,10 +92,11 @@ def batches(
             if pad_remainder and k < batch_size:
                 idxs = np.concatenate([idxs, order[np.arange(batch_size - k) % n]])
             samples = list(pool.map(dataset.__getitem__, idxs))
-            images, target = _collate(samples)
+            batch = _collate(samples)
+            images, target, extras = batch[0], batch[1], batch[2:]
             if pad_remainder:
                 target["valid"] = (np.arange(batch_size) < k).astype(np.float32)
             if to_device:
                 images = jnp.asarray(images)
                 target = {k2: jnp.asarray(v) for k2, v in target.items()}
-            yield images, target
+            yield (images, target, *extras)

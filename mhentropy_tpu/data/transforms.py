@@ -243,11 +243,39 @@ def flip_left_to_right(image, uv, pose3d, masks=(), size: int = 256):
 
 def target_transform(data: tuple, dataset_name: str):
     """Normalise per-dataset batch tuples to the common target dict
-    (dataset_transforms.py:4-36)."""
+    (dataset_transforms.py:4-36), including the RLE coco / human3.6m
+    branches."""
     if dataset_name in ("rhd", "freihand", "ho3d", "mixed_ho3d_rhd", "synthetic"):
         image, target = data
         target = dict(target)
         target["target_uvd_weight"] = np.ones_like(target["pose3d"])
+    elif dataset_name == "coco":
+        # (dataset_transforms.py:15-18)
+        image, src, _, bboxes = data
+        target = {
+            "crop_uv": np.asarray(src["target_uv"]),
+            "target_uv_weight": np.asarray(src["target_uv_weight"]),
+        }
+    elif dataset_name == "human3.6m":
+        # (dataset_transforms.py:19-33)
+        image, src, _, bboxes = data
+        b = np.asarray(image).shape[0]
+        pose3d = np.asarray(src["target_xyz"])
+        uvd = np.asarray(src["target_uvd"]).reshape(b, -1, 3)
+        uvd_w = np.asarray(src["target_uvd_weight"])
+        vis = uvd_w.reshape(b, -1, 3)[..., 0].copy()
+        vis[vis == 0] = 2
+        target = {
+            "pose3d": pose3d,
+            "target_uvd_weight": uvd_w,
+            "scale": np.ones(pose3d.shape[0], np.float32),
+            "crop_uv": uvd[..., :2].reshape(b, -1),
+            "vis": vis,
+            "st": np.asarray(src["st"]),
+            "st_cam": np.asarray(src["st_cam"]),
+            "action": np.asarray(src["action"]),
+            "pose3d_root": np.asarray(src["root_xyz"]),
+        }
     else:
         raise NotImplementedError(dataset_name)
     target["image"] = image
