@@ -33,10 +33,13 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv1")(x)
+        # Explicit pad 1 (torch semantics): SAME mis-centres strided kernels.
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides),
+                      padding=[(1, 1), (1, 1)], name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), name="conv2")(y)
+        y = self.conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)],
+                      name="conv2")(y)
         y = self.norm(name="bn2")(y)
         if residual.shape != y.shape:
             residual = self.conv(
@@ -59,8 +62,10 @@ class Bottleneck(nn.Module):
         y = self.conv(self.filters, (1, 1), name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        # v1.5: stride lives on the 3x3 (torchvision semantics).
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv2")(y)
+        # v1.5: stride lives on the 3x3 (torchvision semantics); explicit
+        # pad 1 — SAME mis-centres strided kernels vs torch.
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides),
+                      padding=[(1, 1), (1, 1)], name="conv2")(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
         y = self.conv(self.filters * self.expansion, (1, 1), name="conv3")(y)
