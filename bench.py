@@ -54,17 +54,19 @@ def main():
     xyz, uv = step(params, batch_stats, image, key)
     jax.block_until_ready(xyz)
 
-    # Two rounds, best-of (relay-latency variance is large on this box).
+    # Best-of-3 with a variance field: relay-latency noise on this box is
+    # large, and the recorded spread lets future rounds tell drift from
+    # noise (VERDICT r1 item 10: 381k recorded vs 415-450k measured).
     iters = 20
-    best = 0.0
-    for _ in range(2):
+    rates = []
+    for _ in range(3):
         t0 = time.perf_counter()
         for i in range(iters):
             xyz, uv = step(params, batch_stats, image, jax.random.fold_in(key, i))
         jax.block_until_ready(xyz)
-        best = max(best, n_hypo * batch * iters / (time.perf_counter() - t0))
+        rates.append(n_hypo * batch * iters / (time.perf_counter() - t0))
 
-    hypos_per_sec = best
+    hypos_per_sec = max(rates)
     print(
         json.dumps(
             {
@@ -72,6 +74,10 @@ def main():
                 "value": round(hypos_per_sec, 1),
                 "unit": "hypos/s",
                 "vs_baseline": round(hypos_per_sec / 20000.0, 3),
+                "rounds": [round(r, 1) for r in rates],
+                "spread_pct": round(
+                    100.0 * (max(rates) - min(rates)) / max(rates), 2
+                ),
             }
         )
     )

@@ -71,6 +71,15 @@ class MHEntConfig(NamedTuple):
     # dead; functional here through core/render.
     use_mask_loss: bool = False
     b_mask: float = 50.0
+    # Measured fused-sampler dispatch thresholds (rows = N*B):
+    # * inference: the kernel beats the XLA scan from ~1k rows up (887k-1.05M
+    #   vs 726k hypos/s at 3.2k rows, r1 measurements); below that the
+    #   weight streaming dominates.
+    # * training: the custom-VJP backward re-runs the XLA forward for
+    #   residuals, so kernel-under-grad is strictly more work at ANY row
+    #   count (168 ms vs 33 ms/step at 320 rows measured) — it is used only
+    #   when use_pallas_sampler is force-True.
+    pallas_min_rows: int = 1024
 
     def det_dims(self) -> int:
         # th45 is deterministic only in 'det' mode; everything else always is.
@@ -178,16 +187,25 @@ def sample_q_z(
     b = feat.shape[0]
     z_flow, log_q = None, jnp.zeros(n * b)
     if cfg.regressor == "realnvp":
+        # Measured row-count dispatch (see MHEntConfig.pallas_min_rows).
         use_fused = cfg.use_pallas_sampler is not False
         if use_fused and cfg.use_pallas_sampler is None:
-            use_fused = jax.default_backend() == "tpu" and cfg.flow.dim == 45
-        if differentiable:
-            # Training rows are few (N~10 x B): the XLA scan wins there
-            # (33 ms vs 168 ms/step measured with the kernel fwd + remat
-            # bwd); flows.pallas_sampler.sample_fused_diff remains available
-            # for large-N differentiable sampling.
+            use_fused = (
+                jax.default_backend() == "tpu"
+                and cfg.flow.dim == 45
+                and n * b >= cfg.pallas_min_rows
+            )
+        if differentiable and cfg.use_pallas_sampler is not True:
+            # Under grad the custom-VJP backward re-runs the XLA forward, so
+            # the kernel is strictly extra work — XLA scan unless forced.
             use_fused = False
-        if use_fused:
+        if use_fused and differentiable:
+            from mhentropy_tpu.flows import pallas_sampler
+
+            z_flow, log_q = pallas_sampler.sample_fused_diff(
+                params["flow"], cfg.flow, key, feat, n, temp=temp,
+            )
+        elif use_fused:
             from mhentropy_tpu.flows import pallas_sampler
 
             # bf16 weights + 24-image tiles: 1.05M vs 0.69M hypos/s for the

@@ -1,0 +1,127 @@
+"""Multi-host input pipeline: per-host dataset sharding + global-array
+assembly.
+
+The reference is single-process (SURVEY.md §2.3); this is the TPU-native
+scale-out design for pod slices: each host reads only its slice of the
+dataset and the per-host arrays are stitched into one globally-sharded
+jax.Array with `make_array_from_process_local_data` — data rides the hosts'
+NICs once and lands directly on the host's local chips (no gather through
+host 0).
+
+Single-process behaviour is the identity (process_count == 1), so the same
+loop runs everywhere from a dev box to a v5e pod.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mhentropy_tpu.parallel import mesh as mesh_lib
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """jax.distributed bring-up (no-op when already initialised or single
+    process). On TPU pods the arguments auto-detect from the environment."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # Already initialised, or single-process run without a coordinator.
+        pass
+
+
+def host_shard_indices(n: int, process_index: int | None = None,
+                       process_count: int | None = None) -> np.ndarray:
+    """Contiguous per-host index slice, padded by wrapping so every host
+    serves the same count (static shapes across hosts are required — a
+    ragged final host would deadlock the collectives)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per_host = -(-n // pc)  # ceil
+    idx = np.arange(pi * per_host, (pi + 1) * per_host) % n
+    return idx
+
+
+def global_batch_from_local(mesh: Mesh, local_tree, spec: P | None = None):
+    """Assemble host-local numpy batches into one globally-sharded jax.Array
+    pytree. The local leading axis must be global_batch / process_count."""
+    spec = spec if spec is not None else P(mesh_lib.DATA_AXIS)
+
+    def put(x):
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(np.asarray(x), sharding)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, local_tree)
+
+
+def multihost_batches(
+    dataset,
+    global_batch_size: int,
+    mesh: Mesh,
+    shuffle: bool = False,
+    seed: int = 0,
+    pad_remainder: bool = True,
+):
+    """Yield globally-sharded (image, target) batches where each host only
+    touched its own slice of the dataset.
+
+    Every host must iterate in lockstep (same seed -> same order); the
+    per-host loader is data.common.batches over the host's index shard.
+    """
+    from mhentropy_tpu.data import common as data_common
+
+    pc = jax.process_count()
+    assert global_batch_size % pc == 0, (global_batch_size, pc)
+    local_bs = global_batch_size // pc
+
+    n = (dataset.images.shape[0] if hasattr(dataset, "images")
+         else len(dataset))
+    order = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    local_idx = host_shard_indices(len(order))
+    local_order = order[local_idx]
+
+    view = _IndexedView(dataset, local_order)
+    for batch in data_common.batches(
+        view, local_bs, shuffle=False, pad_remainder=pad_remainder,
+        to_device=False,
+    ):
+        image, target = batch[0], batch[1]
+        yield (
+            global_batch_from_local(mesh, image),
+            global_batch_from_local(mesh, target),
+        )
+
+
+class _IndexedView:
+    """len/__getitem__ adapter exposing a permuted subset of a dataset."""
+
+    def __init__(self, dataset, indices: np.ndarray):
+        self._ds = dataset
+        self._idx = np.asarray(indices)
+        self._array_backed = hasattr(dataset, "images")
+
+    def __len__(self):
+        return len(self._idx)
+
+    def __getitem__(self, i: int):
+        j = int(self._idx[i])
+        if self._array_backed:
+            return (
+                self._ds.images[j],
+                {k: v[j] for k, v in self._ds.targets.items()},
+            )
+        return self._ds[j]

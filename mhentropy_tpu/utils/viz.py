@@ -125,3 +125,102 @@ def export_pose3d_gif(xyz: np.ndarray, path: str, frames: int = 36, lim=2.0):
     plt.close(fig)
     imageio.mimsave(path, images, fps=12)
     return path
+
+
+# ---------------------------------------------------------------- 3D viewer
+# The reference's interactive surface: manopth/demo.py:10-59 (display_hand /
+# cam_equal_aspect_3d / generate_random_hand) and the Open3D scene viewer in
+# ho3d_vis_utils.py:249-330 (open3dVisualize). Open3D is not in this
+# environment; the viewer renders the same scene with matplotlib 3D —
+# interactive when a display exists, PNG export otherwise.
+
+
+def cam_equal_aspect_3d(ax, verts: np.ndarray, flip_x: bool = False):
+    """Center the view on the verts cuboid, invert y/z (demo.py:44-59)."""
+    extents = np.stack([verts.min(0), verts.max(0)], axis=1)
+    sz = extents[:, 1] - extents[:, 0]
+    centers = np.mean(extents, axis=1)
+    r = max(abs(sz)) / 2
+    if flip_x:
+        ax.set_xlim(centers[0] + r, centers[0] - r)
+    else:
+        ax.set_xlim(centers[0] - r, centers[0] + r)
+    ax.set_ylim(centers[1] + r, centers[1] - r)
+    ax.set_zlim(centers[2] + r, centers[2] - r)
+
+
+def display_hand(hand_info: dict, mano_faces=None, ax=None, alpha=0.2,
+                 batch_idx: int = 0, show: bool = True, path: str | None = None):
+    """Mesh + joints 3D display (demo.py:18-41). Saves to `path` (or just
+    returns the axis) when headless/show=False."""
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    fig = None
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(111, projection="3d")
+    verts = np.asarray(hand_info["verts"][batch_idx])
+    joints = np.asarray(hand_info["joints"][batch_idx])
+    if mano_faces is None:
+        ax.scatter(verts[:, 0], verts[:, 1], verts[:, 2], alpha=0.1)
+    else:
+        mesh = Poly3DCollection(verts[np.asarray(mano_faces)], alpha=alpha)
+        mesh.set_edgecolor((50 / 255,) * 3)
+        mesh.set_facecolor((141 / 255, 184 / 255, 226 / 255))
+        ax.add_collection3d(mesh)
+    ax.scatter(joints[:, 0], joints[:, 1], joints[:, 2], color="r")
+    cam_equal_aspect_3d(ax, verts)
+    if path is not None and fig is not None:
+        fig.savefig(path)
+        plt.close(fig)
+    elif show:
+        plt.show()
+    return ax
+
+
+def generate_random_hand(model, batch_size: int = 1, ncomps: int = 6,
+                         seed: int = 0) -> dict:
+    """Random MANO hands for the viewer (demo.py:10-15)."""
+    import jax.numpy as jnp
+
+    from mhentropy_tpu.core import mano as mano_lib
+    from mhentropy_tpu.core.mano import ManoConfig
+
+    rng = np.random.RandomState(seed)
+    pose = rng.rand(batch_size, ncomps + 3).astype(np.float32)
+    betas = np.zeros((batch_size, 10), np.float32)
+    verts, joints = mano_lib.mano_forward(
+        model, jnp.asarray(pose), jnp.asarray(betas),
+        ManoConfig(use_pca=True, ncomps=ncomps, flat_hand_mean=False),
+    )
+    return {"verts": np.asarray(verts), "joints": np.asarray(joints),
+            "faces": model.faces}
+
+
+def show_scene(meshes, colors=None, path: str | None = None, show: bool = True):
+    """Multi-mesh scene viewer (ho3d_vis_utils.py:304-330 open3dVisualize
+    equivalent): meshes = [(verts, faces), ...], colors = per-mesh RGB.
+    Interactive window when a display exists; PNG export via `path`."""
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    default = [(0.6, 0.2, 0.2), (0.5, 0.5, 0.5), (0.2, 0.5, 0.2)]
+    all_verts = []
+    for i, (verts, faces) in enumerate(meshes):
+        verts = np.asarray(verts)
+        all_verts.append(verts)
+        color = (colors or default)[i % len(colors or default)]
+        poly = Poly3DCollection(verts[np.asarray(faces)], alpha=0.3)
+        poly.set_facecolor(color)
+        ax.add_collection3d(poly)
+    cam_equal_aspect_3d(ax, np.concatenate(all_verts, 0))
+    if path is not None:
+        fig.savefig(path)
+        plt.close(fig)
+        return path
+    if show:
+        plt.show()
+    return ax

@@ -108,3 +108,40 @@ def test_diff_sample_consistency():
     cproj = realnvp.cond_cache(params, cfg, cond)
     lp_inv = realnvp.log_prob(params, cfg, x, cproj=jnp.tile(cproj, (1, 1, 5, 1)))
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_inv), atol=1e-4)
+
+
+def test_forced_kernel_train_step_under_grad():
+    """use_pallas_sampler=True routes training sampling through
+    sample_fused_diff (kernel fwd, XLA-remat bwd) and gradients flow
+    (VERDICT r1 item 7 dispatch wiring)."""
+    from mhentropy_tpu.core import mano
+    from mhentropy_tpu.data import synthetic
+    from mhentropy_tpu.models import mhent
+    from mhentropy_tpu.models.encoder import EncoderConfig
+    from mhentropy_tpu.models.mhent import MHEntConfig
+
+    img = 32
+    cfg = MHEntConfig(
+        encoder=EncoderConfig(backbone="resnet18", n_latent=(16, 16),
+                              dtype="float32"),
+        flow=RealNVPConfig(dim=45, cond_dim=16, h_dim=32, num_steps=1),
+        feat_dim=16,
+        image_size=img,
+        n_train_hypotheses=2,
+        use_pallas_sampler=True,  # force the kernel even under grad
+    )
+    model = mano.synthetic_mano_model(0)
+    params, stats = mhent.init(jax.random.key(0), cfg)
+    data = synthetic.make_dataset(model, n=2, image_size=img, seed=0)
+    image, target = next(synthetic.batches(data, 2))
+
+    def loss_fn(p):
+        out, _ = mhent.reverse_kld(
+            model, p, stats, cfg, target, image, jax.random.key(1), train=False
+        )
+        return -out["log_p"].mean()
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    assert np.abs(np.asarray(grads["flow"].s_w0)).max() > 0
+    assert np.abs(np.asarray(grads["encoder"]["l1"]["w"])).max() > 0

@@ -71,3 +71,33 @@ def test_viz_outputs(tmp_path):
     xyz = rng.randn(21, 3).astype(np.float32)
     p3 = viz.export_pose3d_gif(xyz, os.path.join(tmp_path, "p.gif"), frames=4)
     assert os.path.getsize(p3) > 0
+
+
+def test_viewer_and_argutils(tmp_path):
+    """display_hand / show_scene / generate_random_hand (manopth demo +
+    open3dVisualize equivalents) and the argutils port, headless."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from mhentropy_tpu.core import mano as mano_lib
+    from mhentropy_tpu.utils import viz
+    from mhentropy_tpu.utils.logging import print_args, save_args
+
+    model = mano_lib.synthetic_mano_model(0)
+    hand = viz.generate_random_hand(model, batch_size=2, ncomps=6, seed=1)
+    assert hand["verts"].shape[0] == 2 and hand["joints"].shape[1] == 21
+    p1 = str(tmp_path / "hand.png")
+    viz.display_hand(hand, mano_faces=hand["faces"], path=p1, show=False)
+    assert os.path.getsize(p1) > 0
+
+    p2 = str(tmp_path / "scene.png")
+    viz.show_scene(
+        [(hand["verts"][0], hand["faces"]), (hand["verts"][1], hand["faces"])],
+        path=p2,
+    )
+    assert os.path.getsize(p2) > 0
+
+    print_args({"lr": 1e-4, "mode": "eval"})
+    save_args({"lr": 1e-4}, str(tmp_path / "run"), verbose=False)
+    assert (tmp_path / "run" / "opt.txt").exists()
+    assert (tmp_path / "run" / "opt.pkl").exists()
