@@ -20,5 +20,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is compile-dominated on this 1-core
+# box; caching XLA executables across runs cuts repeat wall time sharply.
+# (CPU executables only serialise with xla_caches="all"; min_compile_time 0
+# is required for entries to be written on the CPU backend.)
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_test_cache")
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass  # older jax: compile as usual
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.devices()
