@@ -266,12 +266,13 @@ def mano_forward(
 
     # LBS. Remove the rest-pose joint offset: A_j = G_j - [0 | R_j @ j_j].
     rotated_j = _einsum("bjrc,bjc->bjr", transforms[..., :3, :3], joints)
-    skin_tf = transforms.at[..., :3, 3].add(-rotated_j)
-    per_vert = _einsum("vj,bjrc->bvrc", model.lbs_weights, skin_tf)
-    verts = (
-        _einsum("bvrc,bvc->bvr", per_vert[..., :3, :3], v_posed)
-        + per_vert[..., :3, 3]
-    )
+    skin_t = transforms[..., :3, 3] - rotated_j
+    # Blend R and t separately: materialising per-vertex (3, 3) + (3,) costs
+    # 12/16 the HBM traffic of the homogeneous (4, 4) blend, and the wasted
+    # constant bottom row is never computed.
+    per_vert_r = _einsum("vj,bjrc->bvrc", model.lbs_weights, transforms[..., :3, :3])
+    per_vert_t = _einsum("vj,bjr->bvr", model.lbs_weights, skin_t)
+    verts = _einsum("bvrc,bvc->bvr", per_vert_r, v_posed) + per_vert_t
 
     chain_joints = transforms[..., :3, 3]  # (B, 16, 3)
     tips = verts[:, model.tips]  # (B, 5, 3)

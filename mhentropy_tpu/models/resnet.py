@@ -23,6 +23,54 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 
+class S2DStemConv(nn.Module):
+    """The 7x7/2 stem conv, computed as a 4x4/1 conv on a 2x2 space-to-depth
+    input with identically-transformed weights (the MLPerf-style TPU stem).
+
+    Exact rewrite: out[i] = sum_k x[2i-3+k] w[k] becomes, after zero-padding
+    the kernel on the top/left to 8x8 and padding the input (4, 2) per dim,
+    out[i] = sum_{q,r} X[i+q, r] w'[2q+r] — a stride-1 VALID conv over 12
+    channels, which tiles onto the MXU far better than a strided conv over 3.
+    The parameter keeps the torch layout (7, 7, 3, features) under the same
+    "conv1"/"kernel" path, so checkpoints and the torch converter are
+    unchanged.
+    """
+
+    features: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, 3, self.features),
+            jnp.float32,
+        )
+        w = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w = (
+            w.reshape(4, 2, 4, 2, 3, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 12, self.features)
+        )
+        xp = jnp.pad(x, ((0, 0), (4, 2), (4, 2), (0, 0)))
+        b, h, wd, c = xp.shape
+        xs = (
+            xp.reshape(b, h // 2, 2, wd // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h // 2, wd // 2, 4 * c)
+        )
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype),
+            w.astype(self.dtype),
+            (1, 1),
+            "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class BasicBlock(nn.Module):
     filters: int
     strides: int = 1
@@ -86,6 +134,7 @@ class ResNet(nn.Module):
     block_cls: Callable
     num_filters: int = 64
     dtype: Any = jnp.bfloat16
+    s2d_stem: bool = True  # exact space-to-depth stem rewrite (TPU-friendly)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -98,7 +147,10 @@ class ResNet(nn.Module):
             dtype=self.dtype,
         )
         x = x.astype(self.dtype)
-        x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv1")(x)
+        if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = S2DStemConv(self.num_filters, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

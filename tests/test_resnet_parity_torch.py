@@ -144,3 +144,19 @@ def test_converted_resnet_forward_matches_torch(block_name):
             np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-4,
             err_msg=f"size {size}",
         )
+
+
+def test_s2d_stem_equals_naive_stem():
+    """The space-to-depth stem is an exact rewrite: same params, same
+    output as the strided 7x7 conv (resnet.py::S2DStemConv)."""
+    layers = [1, 1, 1, 1]
+    kw = dict(stage_sizes=layers, block_cls=BasicBlock, num_filters=8,
+              dtype=jnp.float32)
+    naive = ResNet(s2d_stem=False, **kw)
+    s2d = ResNet(s2d_stem=True, **kw)
+    x = np.random.RandomState(2).randn(2, 64, 64, 3).astype(np.float32)
+    variables = naive.init(jax.random.key(0), jnp.asarray(x), train=False)
+    want = naive.apply(variables, jnp.asarray(x), train=False)
+    got = s2d.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
