@@ -59,9 +59,17 @@ def main():
     @jax.jit
     def scan_steps(params, batch_stats, image, key):
         def body(carry, k):
-            xyz, uv = one_step(params, batch_stats, image, k)
-            # fold a scalar of the result into the carry so no step is elided
-            return carry + xyz[0, 0, 0] * 1e-20, None
+            # Derive a per-step image from the key: without this, the image
+            # is loop-invariant and XLA hoists the WHOLE ENCODER out of the
+            # scan (verified in a profile — conv ops appeared x1, not
+            # x STEPS), inflating the rate ~1.6x.
+            img_k = image + jax.random.uniform(k, (1,)) * 1e-6
+            xyz, uv = one_step(params, batch_stats, img_k, k)
+            # Full reductions in the carry: a single-element dependency
+            # (xyz[0,0,0]) lets XLA prune most of the decode out of the
+            # loop (verified — a [0,0] carry made a scanned resnet50 report
+            # an impossible 0.03 ms/step).
+            return carry + (xyz.sum() + uv.sum()) * 1e-20, None
 
         acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, steps))
         return acc

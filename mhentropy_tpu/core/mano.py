@@ -239,42 +239,77 @@ def mano_forward(
     joints = _einsum("jv,bvd->bjd", model.j_regressor, v_shaped)  # (B, 16, 3)
     v_posed = v_shaped + _einsum("vdp,bp->bvd", model.posedirs, pose_map)
 
-    # Kinematic chain: root + 3 levels, each level one batched 4x4 matmul
-    # over the 5 fingers.
-    root_j = joints[:, 0]
-    root_tf = _with_zeros(
-        jnp.concatenate([root_rot, root_j[:, :, None]], axis=-1)
-    )  # (B, 4, 4)
+    # Kinematic chain: root + 3 levels, each level one batched affine
+    # compose over the 5 fingers. Transforms are kept as (R, t) pairs —
+    # (Ra, ta) o (Rb, tb) = (Ra Rb, Ra tb + ta) — never materialising 4x4
+    # homogeneous matrices, and laid out BATCH-LAST: trailing (3, 3) dims
+    # tile as T(4,128) (42x lane padding, ~0.9 ms/step of copies at R=3200,
+    # profiled r2); with the row axis on lanes the 3x3 algebra is pure
+    # elementwise VPU work.
+    rots_nl = jnp.transpose(rots, (2, 3, 1, 0))  # (3, 3, 16, B)
+    joints_nl = jnp.transpose(joints, (2, 1, 0))  # (3, 16, B)
 
-    def _rel(level_rots, level_j, parent_j):
-        return _with_zeros(
-            jnp.concatenate([level_rots, (level_j - parent_j)[..., None]], axis=-1)
+    def _mm3(a, b):
+        """(3, 3, ...) @ (3, 3, ...) over the leading matrix dims."""
+        return jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        a[i, 0] * b[0, j] + a[i, 1] * b[1, j] + a[i, 2] * b[2, j]
+                        for j in range(3)
+                    ],
+                    0,
+                )
+                for i in range(3)
+            ],
+            0,
         )
 
-    lev1_tf = _einsum(
-        "brc,bfcd->bfrd",
-        root_tf,
-        _rel(rots[:, LEV1], joints[:, LEV1], root_j[:, None]),
+    def _mv3(a, v):
+        """(3, 3, ...) @ (3, ...) over the leading matrix dims."""
+        return jnp.stack(
+            [a[i, 0] * v[0] + a[i, 1] * v[1] + a[i, 2] * v[2] for i in range(3)],
+            0,
+        )
+
+    def _compose(r_par, t_par, level_rots, level_j, parent_j):
+        return _mm3(r_par, level_rots), _mv3(r_par, level_j - parent_j) + t_par
+
+    root_rot_nl = rots_nl[:, :, 0]  # (3, 3, B)
+    root_j_nl = joints_nl[:, 0]  # (3, B)
+    r1, t1 = _compose(
+        root_rot_nl[:, :, None],
+        root_j_nl[:, None],
+        rots_nl[:, :, LEV1],
+        joints_nl[:, LEV1],
+        joints_nl[:, 0:1],
     )
-    lev2_tf = _einsum("bfrc,bfcd->bfrd", lev1_tf, _rel(rots[:, LEV2], joints[:, LEV2], joints[:, LEV1])
+    r2, t2 = _compose(
+        r1, t1, rots_nl[:, :, LEV2], joints_nl[:, LEV2], joints_nl[:, LEV1]
     )
-    lev3_tf = _einsum("bfrc,bfcd->bfrd", lev2_tf, _rel(rots[:, LEV3], joints[:, LEV3], joints[:, LEV2])
+    r3, t3 = _compose(
+        r2, t2, rots_nl[:, :, LEV3], joints_nl[:, LEV3], joints_nl[:, LEV2]
     )
-    transforms = jnp.concatenate(
-        [root_tf[:, None], lev1_tf, lev2_tf, lev3_tf], axis=1
-    )[:, CHAIN_REORDER]  # (B, 16, 4, 4)
+    chain_r_nl = jnp.concatenate(
+        [root_rot_nl[:, :, None], r1, r2, r3], axis=2
+    )[:, :, CHAIN_REORDER]  # (3, 3, 16, B)
+    chain_t_nl = jnp.concatenate([root_j_nl[:, None], t1, t2, t3], axis=1)[
+        :, CHAIN_REORDER
+    ]  # (3, 16, B)
 
     # LBS. Remove the rest-pose joint offset: A_j = G_j - [0 | R_j @ j_j].
-    rotated_j = _einsum("bjrc,bjc->bjr", transforms[..., :3, :3], joints)
-    skin_t = transforms[..., :3, 3] - rotated_j
+    skin_t_nl = chain_t_nl - _mv3(chain_r_nl, joints_nl)
+    chain_r = jnp.transpose(chain_r_nl, (3, 2, 0, 1))  # (B, 16, 3, 3)
+    chain_t = jnp.transpose(chain_t_nl, (2, 1, 0))  # (B, 16, 3)
+    skin_t = jnp.transpose(skin_t_nl, (2, 1, 0))  # (B, 16, 3)
     # Blend R and t separately: materialising per-vertex (3, 3) + (3,) costs
     # 12/16 the HBM traffic of the homogeneous (4, 4) blend, and the wasted
     # constant bottom row is never computed.
-    per_vert_r = _einsum("vj,bjrc->bvrc", model.lbs_weights, transforms[..., :3, :3])
+    per_vert_r = _einsum("vj,bjrc->bvrc", model.lbs_weights, chain_r)
     per_vert_t = _einsum("vj,bjr->bvr", model.lbs_weights, skin_t)
     verts = _einsum("bvrc,bvc->bvr", per_vert_r, v_posed) + per_vert_t
 
-    chain_joints = transforms[..., :3, 3]  # (B, 16, 3)
+    chain_joints = chain_t  # (B, 16, 3)
     tips = verts[:, model.tips]  # (B, 5, 3)
     joints21 = jnp.concatenate([chain_joints, tips], axis=1)
     joints21 = joints21[:, skeletons.MANOCHAIN2VIZ]
