@@ -191,12 +191,6 @@ def synthetic_mano_model(seed: int = 0) -> ManoModel:
     )
 
 
-def _with_zeros(rt: jax.Array) -> jax.Array:
-    """(..., 3, 4) -> (..., 4, 4) homogeneous transforms."""
-    pad = jnp.zeros((*rt.shape[:-2], 1, 4), rt.dtype).at[..., 0, 3].set(1.0)
-    return jnp.concatenate([rt, pad], axis=-2)
-
-
 @functools.partial(jax.jit, static_argnames=("config",))
 def mano_forward(
     model: ManoModel,

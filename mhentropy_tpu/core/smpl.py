@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mhentropy_tpu.core.mano import _as_np, _install_chumpy_stub, _with_zeros
+from mhentropy_tpu.core.mano import _as_np, _install_chumpy_stub
 from mhentropy_tpu.core.rotations import batch_rodrigues, rotmat_from_6d
 
 _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
@@ -107,33 +107,53 @@ def smpl_forward(
     pose_map = (rotmats[:, 1:] - jnp.eye(3, dtype=rotmats.dtype)).reshape(b, 207)
     v_posed = v_shaped + _einsum("vdp,bp->bvd", model.posedirs, pose_map)
 
-    # Kinematic tree: sequential composition (parents[i] < i).
-    rel = _with_zeros(
-        jnp.concatenate(
-            [
-                rotmats,
-                (joints - jnp.concatenate(
-                    [jnp.zeros_like(joints[:, :1]), joints[:, PARENTS[1:]]], 1
-                ))[..., None],
-            ],
-            axis=-1,
-        )
-    )  # (B, 24, 4, 4) relative transforms
-    transforms = [rel[:, 0]]
-    for i in range(1, N_JOINTS):
-        transforms.append(
-            _einsum("brc,bcd->brd", transforms[PARENTS[i]], rel[:, i])
-        )
-    transforms = jnp.stack(transforms, axis=1)  # (B, 24, 4, 4)
+    # Kinematic tree: sequential composition (parents[i] < i) on (R, t)
+    # affine pairs in batch-LAST layout — trailing (3, 3)/(4, 4) dims tile
+    # T(4,128) with heavy lane padding (see core/mano.py, profiled r2);
+    # with B on lanes the 3x3 algebra is pure elementwise VPU work.
+    rots_nl = jnp.transpose(rotmats, (2, 3, 1, 0))  # (3, 3, 24, B)
+    joints_nl = jnp.transpose(joints, (2, 1, 0))  # (3, 24, B)
+    rel_t = joints_nl - jnp.concatenate(
+        [jnp.zeros_like(joints_nl[:, :1]), joints_nl[:, PARENTS[1:]]], 1
+    )  # (3, 24, B)
 
-    rotated_j = _einsum("bjrc,bjc->bjr", transforms[..., :3, :3], joints)
-    skin_tf = transforms.at[..., :3, 3].add(-rotated_j)
-    per_vert = _einsum("vj,bjrc->bvrc", model.lbs_weights, skin_tf)
-    verts = (
-        _einsum("bvrc,bvc->bvr", per_vert[..., :3, :3], v_posed)
-        + per_vert[..., :3, 3]
-    )
-    joints_out = transforms[..., :3, 3]
+    def _mm3(a, b_):
+        return jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        a[i, 0] * b_[0, j] + a[i, 1] * b_[1, j] + a[i, 2] * b_[2, j]
+                        for j in range(3)
+                    ],
+                    0,
+                )
+                for i in range(3)
+            ],
+            0,
+        )
+
+    def _mv3(a, v):
+        return jnp.stack(
+            [a[i, 0] * v[0] + a[i, 1] * v[1] + a[i, 2] * v[2] for i in range(3)],
+            0,
+        )
+
+    chain_r = [rots_nl[:, :, 0]]  # each (3, 3, B)
+    chain_t = [rel_t[:, 0]]  # each (3, B)
+    for i in range(1, N_JOINTS):
+        par_r, par_t = chain_r[PARENTS[i]], chain_t[PARENTS[i]]
+        chain_r.append(_mm3(par_r, rots_nl[:, :, i]))
+        chain_t.append(_mv3(par_r, rel_t[:, i]) + par_t)
+    chain_r_nl = jnp.stack(chain_r, axis=2)  # (3, 3, 24, B)
+    chain_t_nl = jnp.stack(chain_t, axis=1)  # (3, 24, B)
+
+    skin_t_nl = chain_t_nl - _mv3(chain_r_nl, joints_nl)
+    chain_r_bl = jnp.transpose(chain_r_nl, (3, 2, 0, 1))  # (B, 24, 3, 3)
+    skin_t = jnp.transpose(skin_t_nl, (2, 1, 0))  # (B, 24, 3)
+    per_vert_r = _einsum("vj,bjrc->bvrc", model.lbs_weights, chain_r_bl)
+    per_vert_t = _einsum("vj,bjr->bvr", model.lbs_weights, skin_t)
+    verts = _einsum("bvrc,bvc->bvr", per_vert_r, v_posed) + per_vert_t
+    joints_out = jnp.transpose(chain_t_nl, (2, 1, 0))  # (B, 24, 3)
     if transl is not None:
         verts = verts + transl[:, None]
         joints_out = joints_out + transl[:, None]
