@@ -52,6 +52,37 @@ LEV3 = np.array([3, 6, 9, 12, 15])
 CHAIN_REORDER = np.array([0, 1, 6, 11, 2, 7, 12, 3, 8, 13, 4, 9, 14, 5, 10, 15])
 
 
+def mm3(a, b):
+    """(3, 3, ...) @ (3, 3, ...) over the LEADING matrix dims.
+
+    Batch-last 3x3 algebra: kinematic-chain tensors keep the batch axis on
+    lanes (trailing (3, 3) dims tile T(4,128) with 42x padding — profiled
+    r2), so matrix products are explicit elementwise VPU work. Shared by
+    the MANO and SMPL chains.
+    """
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    a[i, 0] * b[0, j] + a[i, 1] * b[1, j] + a[i, 2] * b[2, j]
+                    for j in range(3)
+                ],
+                0,
+            )
+            for i in range(3)
+        ],
+        0,
+    )
+
+
+def mv3(a, v):
+    """(3, 3, ...) @ (3, ...) over the leading matrix dims (see mm3)."""
+    return jnp.stack(
+        [a[i, 0] * v[0] + a[i, 1] * v[1] + a[i, 2] * v[2] for i in range(3)],
+        0,
+    )
+
+
 class ManoModel(NamedTuple):
     """Frozen MANO constants (all float32 device arrays)."""
 
@@ -243,31 +274,8 @@ def mano_forward(
     rots_nl = jnp.transpose(rots, (2, 3, 1, 0))  # (3, 3, 16, B)
     joints_nl = jnp.transpose(joints, (2, 1, 0))  # (3, 16, B)
 
-    def _mm3(a, b):
-        """(3, 3, ...) @ (3, 3, ...) over the leading matrix dims."""
-        return jnp.stack(
-            [
-                jnp.stack(
-                    [
-                        a[i, 0] * b[0, j] + a[i, 1] * b[1, j] + a[i, 2] * b[2, j]
-                        for j in range(3)
-                    ],
-                    0,
-                )
-                for i in range(3)
-            ],
-            0,
-        )
-
-    def _mv3(a, v):
-        """(3, 3, ...) @ (3, ...) over the leading matrix dims."""
-        return jnp.stack(
-            [a[i, 0] * v[0] + a[i, 1] * v[1] + a[i, 2] * v[2] for i in range(3)],
-            0,
-        )
-
     def _compose(r_par, t_par, level_rots, level_j, parent_j):
-        return _mm3(r_par, level_rots), _mv3(r_par, level_j - parent_j) + t_par
+        return mm3(r_par, level_rots), mv3(r_par, level_j - parent_j) + t_par
 
     root_rot_nl = rots_nl[:, :, 0]  # (3, 3, B)
     root_j_nl = joints_nl[:, 0]  # (3, B)
@@ -292,7 +300,7 @@ def mano_forward(
     ]  # (3, 16, B)
 
     # LBS. Remove the rest-pose joint offset: A_j = G_j - [0 | R_j @ j_j].
-    skin_t_nl = chain_t_nl - _mv3(chain_r_nl, joints_nl)
+    skin_t_nl = chain_t_nl - mv3(chain_r_nl, joints_nl)
     chain_r = jnp.transpose(chain_r_nl, (3, 2, 0, 1))  # (B, 16, 3, 3)
     chain_t = jnp.transpose(chain_t_nl, (2, 1, 0))  # (B, 16, 3)
     skin_t = jnp.transpose(skin_t_nl, (2, 1, 0))  # (B, 16, 3)

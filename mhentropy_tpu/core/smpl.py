@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mhentropy_tpu.core.mano import _as_np, _install_chumpy_stub
+from mhentropy_tpu.core.mano import _as_np, _install_chumpy_stub, mm3, mv3
 from mhentropy_tpu.core.rotations import batch_rodrigues, rotmat_from_6d
 
 _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
@@ -117,37 +117,16 @@ def smpl_forward(
         [jnp.zeros_like(joints_nl[:, :1]), joints_nl[:, PARENTS[1:]]], 1
     )  # (3, 24, B)
 
-    def _mm3(a, b_):
-        return jnp.stack(
-            [
-                jnp.stack(
-                    [
-                        a[i, 0] * b_[0, j] + a[i, 1] * b_[1, j] + a[i, 2] * b_[2, j]
-                        for j in range(3)
-                    ],
-                    0,
-                )
-                for i in range(3)
-            ],
-            0,
-        )
-
-    def _mv3(a, v):
-        return jnp.stack(
-            [a[i, 0] * v[0] + a[i, 1] * v[1] + a[i, 2] * v[2] for i in range(3)],
-            0,
-        )
-
     chain_r = [rots_nl[:, :, 0]]  # each (3, 3, B)
     chain_t = [rel_t[:, 0]]  # each (3, B)
     for i in range(1, N_JOINTS):
         par_r, par_t = chain_r[PARENTS[i]], chain_t[PARENTS[i]]
-        chain_r.append(_mm3(par_r, rots_nl[:, :, i]))
-        chain_t.append(_mv3(par_r, rel_t[:, i]) + par_t)
+        chain_r.append(mm3(par_r, rots_nl[:, :, i]))
+        chain_t.append(mv3(par_r, rel_t[:, i]) + par_t)
     chain_r_nl = jnp.stack(chain_r, axis=2)  # (3, 3, 24, B)
     chain_t_nl = jnp.stack(chain_t, axis=1)  # (3, 24, B)
 
-    skin_t_nl = chain_t_nl - _mv3(chain_r_nl, joints_nl)
+    skin_t_nl = chain_t_nl - mv3(chain_r_nl, joints_nl)
     chain_r_bl = jnp.transpose(chain_r_nl, (3, 2, 0, 1))  # (B, 24, 3, 3)
     skin_t = jnp.transpose(skin_t_nl, (2, 1, 0))  # (B, 24, 3)
     per_vert_r = _einsum("vj,bjrc->bvrc", model.lbs_weights, chain_r_bl)

@@ -15,6 +15,10 @@ deliberately rather than replicated:
   - the reference's `flip_right_hand` calls `.get_shape()` (a TensorFlow
     API) on numpy arrays (canonical_trafo.py:148) and crashes on any input;
     fixed with `.shape`.
+  - the reference's `depth2mask` zeroes its crop window with raw negative
+    indices (preprocessingSK.py:164-167: `mask[:y1, :] = 0` with y1 < 0
+    wipes almost the whole mask when the crop overruns the top/left edge);
+    here the window is clamped, so edge crops keep a valid mask.
 """
 
 from __future__ import annotations
@@ -100,8 +104,11 @@ def flip_right_hand(coords_xyz_canonical, cond_right):
     if expanded:
         coords = coords[None]
         cond_right = np.expand_dims(cond_right, 0)
+    cond = np.asarray(cond_right)
+    if cond.ndim == 1 and cond.shape[0] == coords.shape[0]:
+        cond = cond[:, None, None]  # per-sample flags broadcast over (N, 3)
     mirrored = np.concatenate([coords[..., :2], -coords[..., 2:]], -1)
-    out = np.where(cond_right, mirrored, coords)
+    out = np.where(cond, mirrored, coords)
     return out[0] if expanded else out
 
 

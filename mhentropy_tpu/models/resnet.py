@@ -18,6 +18,7 @@ from functools import partial
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 ModuleDef = Any
@@ -41,8 +42,6 @@ class S2DStemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import jax
-
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),

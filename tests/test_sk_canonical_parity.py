@@ -164,3 +164,25 @@ def test_preprocess_sample_sk_parity(ref_mods):
     np.testing.assert_array_equal(got["hand_side"], r_side)
     assert got["heatmaps"].shape == (64, 64, 21)
     np.testing.assert_allclose(got["heatmaps"], r_heat, atol=1e-5)
+
+
+def test_flip_right_hand_per_sample_flags():
+    # Natural (B,) per-sample flags must broadcast over the batch axis,
+    # not the coordinate axis.
+    coords = np.random.RandomState(8).randn(3, 21, 3)
+    flipped = sk.flip_right_hand(coords, np.array([True, False, True]))
+    np.testing.assert_allclose(flipped[0, :, 2], -coords[0, :, 2])
+    np.testing.assert_allclose(flipped[1], coords[1])
+    np.testing.assert_allclose(flipped[2, :, 2], -coords[2, :, 2])
+    np.testing.assert_allclose(flipped[:, :, :2], coords[:, :, :2])
+
+
+def test_depth2mask_edge_crop_keeps_valid_window():
+    # Deliberate divergence from the reference: its raw negative-index
+    # windowing (preprocessingSK.py:164-167, mask[:y1,:]=0 with y1<0)
+    # wipes nearly the whole mask for crops past the top/left edge. Here
+    # the window is clamped so edge crops keep the in-range region.
+    depth = np.full((480, 640), 500.0)
+    mask = sk.depth2mask(depth, (400, 650), (10.0, 10.0), 50.0)
+    assert mask[:60, :60].all()
+    assert not mask[61:, :].any() and not mask[:, 61:].any()
