@@ -1,0 +1,55 @@
+"""Serving export round-trip: StableHLO artifact == live pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mhentropy_tpu.core import mano
+from mhentropy_tpu.flows.realnvp import RealNVPConfig
+from mhentropy_tpu.models import mhent
+from mhentropy_tpu.models.encoder import EncoderConfig
+from mhentropy_tpu.models.mhent import MHEntConfig
+from tools import export as export_lib
+
+BATCH, IMG, N = 2, 64, 4
+
+
+def _tiny_setup():
+    cfg = MHEntConfig(
+        encoder=EncoderConfig(backbone="resnet18", n_latent=(32, 32)),
+        flow=RealNVPConfig(dim=45, cond_dim=32, h_dim=32, num_steps=2),
+        feat_dim=32,
+        image_size=IMG,
+    )
+    model = mano.synthetic_mano_model(0)
+    params, batch_stats = mhent.init(jax.random.key(0), cfg)
+    return cfg, model, params, batch_stats
+
+
+def test_export_roundtrip_matches_live():
+    cfg, model, params, batch_stats = _tiny_setup()
+    blob = export_lib.export_sampler(
+        model, cfg, params, batch_stats, BATCH, n=N, temp=0.8
+    )
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 1000
+
+    image = jax.random.uniform(jax.random.key(1), (BATCH, IMG, IMG, 3)) * 2 - 1
+    key = jax.random.key(2)
+    raw_key = jax.random.key_data(key).astype(jnp.uint32)
+
+    live = export_lib.make_sample_fn(model, cfg, N, 0.8)(
+        params, batch_stats, image, raw_key
+    )
+    restored = export_lib.load_sampler(blob)
+    served = restored.call(params, batch_stats, image, raw_key)
+
+    assert set(served.keys()) == {"xyz", "uv"}
+    # The AOT-compiled artifact and the live jit differ at bf16-matmul
+    # level (different compile flags); mm-scale agreement is the serving
+    # contract.
+    np.testing.assert_allclose(
+        np.asarray(served["xyz"]), np.asarray(live["xyz"]), rtol=1e-2, atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(served["uv"]), np.asarray(live["uv"]), rtol=1e-2, atol=0.2
+    )

@@ -1,0 +1,130 @@
+"""Serving export: serialize the flagship inference pipeline to StableHLO.
+
+Production-deployment story the reference lacks entirely: the jitted
+multi-hypothesis sampler (encoder + flow + MANO decode, i.e. everything
+`hand/network.py:846-883` does) is exported with `jax.export` into a
+self-contained StableHLO artifact that a serving system (or a later jax
+process, possibly without the framework installed) can deserialize and call.
+
+Notes:
+  - Export is platform-specific: exporting under a TPU backend bakes the
+    TPU lowering (including the fused Pallas sampler custom-call); under
+    CPU it bakes the XLA path. Artifacts record their lowering platform
+    and refuse to run elsewhere.
+  - Shapes are static (batch, n fixed at export time) — the serving-side
+    contract a batcher pads to, exactly like any XLA serving deployment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def make_sample_fn(model, cfg, n: int, temp: float, mods=("xyz", "uv")):
+    """The jittable serving entry: (params, batch_stats, image, raw_key).
+
+    raw_key is the uint32 key data (`jax.random.key_data(key)`) — typed PRNG
+    keys don't cross the serialization boundary, raw arrays do.
+    """
+    import jax
+
+    from mhentropy_tpu.models import mhent
+
+    def sample(params, batch_stats, image, raw_key):
+        key = jax.random.wrap_key_data(raw_key)
+        out = mhent.sample_hypotheses(
+            model, params, batch_stats, cfg, image, key, n=n, temp=temp,
+            mods=mods,
+        )
+        return {m: out[m] for m in mods}
+
+    return sample
+
+
+_REGISTERED = False
+
+
+def _register_param_types():
+    """NamedTuple containers in the params pytree need named serializers."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    from jax import export as jexport
+
+    from mhentropy_tpu.flows.realnvp import RealNVPParams
+
+    jexport.register_namedtuple_serialization(
+        RealNVPParams, serialized_name="mhentropy_tpu.RealNVPParams"
+    )
+    _REGISTERED = True
+
+
+def export_sampler(
+    model, cfg, params, batch_stats, batch: int, n: int = 100,
+    temp: float = 0.8, mods=("xyz", "uv"),
+) -> bytes:
+    """Serialize the sampler for `batch` images to a StableHLO artifact."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    _register_param_types()
+
+    fn = make_sample_fn(model, cfg, n, temp, mods)
+    img = jax.ShapeDtypeStruct((batch, cfg.image_size, cfg.image_size, 3),
+                               jnp.float32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    exported = jexport.export(jax.jit(fn))(params, batch_stats, img, key)
+    return exported.serialize()
+
+
+def load_sampler(blob: bytes):
+    """Deserialize an exported sampler; returns an object with .call(...)."""
+    from jax import export as jexport
+
+    _register_param_types()
+    return jexport.deserialize(blob)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("out", help="artifact path (.stablehlo)")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--n", type=int, default=100)
+    p.add_argument("--temp", type=float, default=0.8)
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--image-size", type=int, default=256)
+    args = p.parse_args()
+
+    import jax
+
+    from mhentropy_tpu.core import mano
+    from mhentropy_tpu.flows.realnvp import RealNVPConfig
+    from mhentropy_tpu.models import mhent
+    from mhentropy_tpu.models.encoder import EncoderConfig
+    from mhentropy_tpu.models.mhent import MHEntConfig
+
+    cfg = MHEntConfig(
+        encoder=EncoderConfig(backbone=args.backbone, n_latent=(512, 512)),
+        flow=RealNVPConfig(dim=45, cond_dim=512, h_dim=512, num_steps=6),
+        feat_dim=512,
+        image_size=args.image_size,
+    )
+    model = mano.synthetic_mano_model(0)
+    params, batch_stats = mhent.init(jax.random.key(0), cfg)
+    blob = export_sampler(model, cfg, params, batch_stats, args.batch,
+                          n=args.n, temp=args.temp)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(json.dumps({
+        "path": args.out,
+        "bytes": len(blob),
+        "platform": jax.default_backend(),
+        "batch": args.batch,
+        "n": args.n,
+    }))
+
+
+if __name__ == "__main__":
+    main()
