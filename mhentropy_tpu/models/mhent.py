@@ -72,14 +72,15 @@ class MHEntConfig(NamedTuple):
     use_mask_loss: bool = False
     b_mask: float = 50.0
     # Measured fused-sampler dispatch thresholds (rows = N*B):
-    # * inference: the kernel beats the XLA scan from ~1k rows up (887k-1.05M
-    #   vs 726k hypos/s at 3.2k rows, r1 measurements); below that the
-    #   weight streaming dominates.
+    # * inference: the kernel beats the XLA scan at EVERY row count in the
+    #   honest full-pipeline sweep (r2, scanned steps with per-step images):
+    #   rows 320: 4.95 vs 5.11 ms; 1k: 5.08 vs 5.67; 2k: 5.67 vs 7.15;
+    #   3.2k: 5.94 vs 8.45 — so the row threshold defaults to 0.
     # * training: the custom-VJP backward re-runs the XLA forward for
     #   residuals, so kernel-under-grad is strictly more work at ANY row
     #   count (168 ms vs 33 ms/step at 320 rows measured) — it is used only
     #   when use_pallas_sampler is force-True.
-    pallas_min_rows: int = 1024
+    pallas_min_rows: int = 0
 
     def det_dims(self) -> int:
         # th45 is deterministic only in 'det' mode; everything else always is.
