@@ -155,3 +155,48 @@ def test_rle_h36m_uvd_branch():
         np.asarray(samples[1]).reshape(b, -1, 3)[..., 2] / 2.0,
         atol=1e-6,
     )
+
+
+def test_rle_train_step_sharding_matches_single_device():
+    """The RLE data-parallel step must compute the same update as 1 device
+    (multichip correctness for the second model family, cf. the MHEnt
+    equivalent in test_engine.py)."""
+    from mhentropy_tpu.core import mano
+    from mhentropy_tpu.data import synthetic
+    from mhentropy_tpu.flows.realnvp import RealNVPConfig
+    from mhentropy_tpu.models import rle
+    from mhentropy_tpu.models.encoder import EncoderConfig
+    from mhentropy_tpu.parallel import mesh as mesh_lib
+    from mhentropy_tpu.train import engine
+
+    img = 32
+    cfg = rle.RLEConfig(
+        encoder=EncoderConfig(backbone="resnet18", n_latent=(63, 63), dtype="float32"),
+        flow=RealNVPConfig(dim=3, tsfm_on="x", h_dim=16, num_steps=1, joint_n=21),
+        pe="3d",
+        k1=3,
+        image_size=img,
+        nf_res="rle",
+    )
+    model = mano.synthetic_mano_model(0)
+    data = synthetic.make_dataset(model, n=8, image_size=img, seed=3)
+    image, target = next(synthetic.batches(data, 8))
+    optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
+
+    results = {}
+    for ndev in (1, 8):
+        mesh = mesh_lib.make_mesh(n_devices=ndev, hypo=1)
+        params, stats = rle.init(jax.random.key(0), cfg)
+        state = engine.TrainState(params, stats, optimizer.init(params), 0)
+        im = mesh_lib.shard_batch(mesh, image)
+        tg = mesh_lib.shard_batch(mesh, target)
+        step = engine.make_rle_train_step(cfg, optimizer, mesh)
+        state, aux = step(state, im, tg, jax.random.key(7))
+        results[ndev] = (
+            float(aux["loss"]),
+            np.asarray(state.params["encoder"]["l1"]["w"]),
+        )
+    assert abs(results[1][0] - results[8][0]) / abs(results[1][0]) < 1e-4
+    # Adam's per-param normalisation amplifies cross-shard reduction-order
+    # noise on near-zero grads; a real sharding bug shows O(1) diffs.
+    np.testing.assert_allclose(results[1][1], results[8][1], atol=1e-3)
