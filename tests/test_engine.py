@@ -245,3 +245,33 @@ def test_host_shard_indices_cover_and_balance():
     assert all(len(s) == 4 for s in shards)  # equal static sizes
     covered = set(np.concatenate(shards).tolist())
     assert covered == set(range(n))  # every sample served by some host
+
+
+def test_glow_train_step_sharding_matches_single_device(model):
+    """MHEnt with the ConditionalGlow posterior: data-parallel step equals
+    one device (covers the glow sampler under pjit, third compute path)."""
+    cfg = MHEntConfig(
+        encoder=EncoderConfig(backbone="resnet18", n_latent=(32, 32), dtype="float32"),
+        regressor="glow",
+        feat_dim=32,
+        image_size=IMG,
+        n_train_hypotheses=2,
+    )
+    optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
+    data = synthetic.make_dataset(model, n=8, image_size=IMG, seed=4)
+    image, target = next(synthetic.batches(data, 8))
+
+    results = {}
+    for ndev in (1, 8):
+        mesh = mesh_lib.make_mesh(n_devices=ndev, hypo=1)
+        state = engine.init_state(jax.random.key(0), cfg, optimizer)
+        im = mesh_lib.shard_batch(mesh, image)
+        tg = mesh_lib.shard_batch(mesh, target)
+        step = engine.make_train_step(model, cfg, optimizer, mesh)
+        state, aux = step(state, im, tg, jax.random.key(7))
+        results[ndev] = (
+            float(aux["loss"]),
+            np.asarray(state.params["det_head"]["l0"]["w"]),
+        )
+    assert abs(results[1][0] - results[8][0]) / abs(results[1][0]) < 1e-4
+    np.testing.assert_allclose(results[1][1], results[8][1], atol=1e-3)
