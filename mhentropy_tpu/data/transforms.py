@@ -214,11 +214,18 @@ def apply_affine_uv(uv: np.ndarray, m: np.ndarray) -> np.ndarray:
 
 
 def warp_image(img: np.ndarray, m: np.ndarray, size: int = 256, border=0.0):
-    if cv2 is None:  # pragma: no cover
-        raise RuntimeError("cv2 required for image warping")
-    return cv2.warpAffine(
-        img, m, (size, size), flags=cv2.INTER_NEAREST, borderValue=border
-    )
+    # cv2's SIMD fixed-point warp is ~5x the scalar native kernel (110 vs
+    # 595 us at 640x480->256, measured r2); the native path is the
+    # cv2-absent fallback.
+    if cv2 is not None:
+        return cv2.warpAffine(
+            img, m, (size, size), flags=cv2.INTER_NEAREST, borderValue=border
+        )
+    ho = _hostops()
+    if ho:  # pragma: no cover — exercised only when cv2 is absent
+        return ho.warp_affine_nearest(img, np.asarray(m, np.float32), size,
+                                      border=float(border))
+    raise RuntimeError("cv2 or native hostops required for image warping")
 
 
 def pixel_noise(rng: np.random.RandomState, rgb: np.ndarray, factor=0.4):

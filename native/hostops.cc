@@ -16,40 +16,62 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
-extern "C" {
-
-// Padded square crop + nearest resize, fused.
-// img: HxWxC float32; out: SxSxC float32.
-void crop_resize_nearest(const float* img, int h, int w, int c,
-                         float cx, float cy, float half, float pad_value,
-                         float* out, int s) {
+// Templated over the SOURCE pixel type: a uint8 source is read directly
+// (the common case — dataset images), fusing the uint8->float convert into
+// the gather instead of converting the whole source image up front (the
+// full-image ascontiguousarray(float32) cost ~7x more than the kernel).
+template <typename T>
+static void crop_resize_nearest_t(const T* img, int h, int w, int c,
+                                  float cx, float cy, float half,
+                                  float pad_value, float* out, int s) {
   const int x1 = (int)std::lround(cx - half);
   const int y1 = (int)std::lround(cy - half);
   const int x2 = (int)std::lround(cx + half);
   const int y2 = (int)std::lround(cy + half);
   const int cw = x2 - x1, ch = y2 - y1;
+  // Match numpy nearest: src = floor(dst * crop / s). Precompute the column
+  // map once — a per-pixel int64 division dominated the original loop.
+  std::vector<int> col(s);
+  for (int ox = 0; ox < s; ++ox) col[ox] = x1 + (int)((int64_t)ox * cw / s);
   for (int oy = 0; oy < s; ++oy) {
-    // Match numpy nearest: src = floor(dst * crop / s).
     const int sy = y1 + (int)((int64_t)oy * ch / s);
-    for (int ox = 0; ox < s; ++ox) {
-      const int sx = x1 + (int)((int64_t)ox * cw / s);
-      float* dst = out + ((int64_t)oy * s + ox) * c;
-      if (sx < 0 || sy < 0 || sx >= w || sy >= h) {
-        for (int k = 0; k < c; ++k) dst[k] = pad_value;
-      } else {
-        const float* src = img + ((int64_t)sy * w + sx) * c;
-        std::memcpy(dst, src, sizeof(float) * c);
+    float* dst = out + (int64_t)oy * s * c;
+    if (sy < 0 || sy >= h) {
+      for (int q = 0; q < s * c; ++q) dst[q] = pad_value;
+      continue;
+    }
+    const T* row = img + (int64_t)sy * w * c;
+    // col[] is monotone, so the out-of-bounds columns are a prefix/suffix:
+    // pad them en bloc and keep the interior loop branch-free (vectorizes).
+    int lo = 0, hi = s;
+    while (lo < s && (col[lo] < 0 || col[lo] >= w)) ++lo;
+    while (hi > lo && (col[hi - 1] < 0 || col[hi - 1] >= w)) --hi;
+    for (int q = 0; q < lo * c; ++q) dst[q] = pad_value;
+    for (int q = hi * c; q < s * c; ++q) dst[q] = pad_value;
+    if (c == 3) {
+      float* d3 = dst + (int64_t)lo * 3;
+      for (int ox = lo; ox < hi; ++ox, d3 += 3) {
+        const T* src = row + (int64_t)col[ox] * 3;
+        d3[0] = (float)src[0];
+        d3[1] = (float)src[1];
+        d3[2] = (float)src[2];
+      }
+    } else {
+      float* dc = dst + (int64_t)lo * c;
+      for (int ox = lo; ox < hi; ++ox, dc += c) {
+        const T* src = row + (int64_t)col[ox] * c;
+        for (int k = 0; k < c; ++k) dc[k] = (float)src[k];
       }
     }
   }
 }
 
-// Inverse-mapped affine warp with nearest sampling (cv2.warpAffine
-// semantics: m maps src->dst; we invert here).
-void warp_affine_nearest(const float* img, int h, int w, int c,
-                         const float* m /* 2x3 src->dst */, float border,
-                         float* out, int s) {
+template <typename T>
+static void warp_affine_nearest_t(const T* img, int h, int w, int c,
+                                  const float* m /* 2x3 src->dst */,
+                                  float border, float* out, int s) {
   // Invert [a b tx; d e ty].
   const float a = m[0], b = m[1], tx = m[2];
   const float d = m[3], e = m[4], ty = m[5];
@@ -68,11 +90,40 @@ void warp_affine_nearest(const float* img, int h, int w, int c,
       if (sx < 0 || sy < 0 || sx >= w || sy >= h) {
         for (int k = 0; k < c; ++k) dst[k] = border;
       } else {
-        const float* src = img + ((int64_t)sy * w + sx) * c;
-        std::memcpy(dst, src, sizeof(float) * c);
+        const T* src = img + ((int64_t)sy * w + sx) * c;
+        for (int k = 0; k < c; ++k) dst[k] = (float)src[k];
       }
     }
   }
+}
+
+extern "C" {
+
+// Padded square crop + nearest resize, fused.
+// img: HxWxC float32; out: SxSxC float32.
+void crop_resize_nearest(const float* img, int h, int w, int c,
+                         float cx, float cy, float half, float pad_value,
+                         float* out, int s) {
+  crop_resize_nearest_t<float>(img, h, w, c, cx, cy, half, pad_value, out, s);
+}
+
+void crop_resize_nearest_u8(const uint8_t* img, int h, int w, int c,
+                            float cx, float cy, float half, float pad_value,
+                            float* out, int s) {
+  crop_resize_nearest_t<uint8_t>(img, h, w, c, cx, cy, half, pad_value, out, s);
+}
+
+// Inverse-mapped affine warp with nearest sampling (cv2.warpAffine
+// semantics: m maps src->dst; we invert here).
+void warp_affine_nearest(const float* img, int h, int w, int c,
+                         const float* m /* 2x3 src->dst */, float border,
+                         float* out, int s) {
+  warp_affine_nearest_t<float>(img, h, w, c, m, border, out, s);
+}
+
+void warp_affine_nearest_u8(const uint8_t* img, int h, int w, int c,
+                            const float* m, float border, float* out, int s) {
+  warp_affine_nearest_t<uint8_t>(img, h, w, c, m, border, out, s);
 }
 
 // Circular occluder: zero pixels inside radius r of (cx, cy); flag joints.

@@ -29,7 +29,9 @@ def _load():
     i = ctypes.c_int
     f = ctypes.c_float
     lib.crop_resize_nearest.argtypes = [f32p, i, i, i, f, f, f, f, f32p, i]
+    lib.crop_resize_nearest_u8.argtypes = [u8p, i, i, i, f, f, f, f, f32p, i]
     lib.warp_affine_nearest.argtypes = [f32p, i, i, i, f32p, f, f32p, i]
+    lib.warp_affine_nearest_u8.argtypes = [u8p, i, i, i, f32p, f, f32p, i]
     lib.circle_occlude.argtypes = [f32p, i, i, i, i, i, i, f32p, i, u8p]
     lib.depth_mask_visibility.argtypes = [f32p, i, u8p, f32p, i, i, i, f, u8p]
     lib.check_occlusion.argtypes = [f32p, f32p, i, f32p, i, i, f, i, f32p]
@@ -48,13 +50,20 @@ def available() -> bool:
 def crop_resize_nearest(img: np.ndarray, centre, half: float, size: int,
                         pad_value: float = 127.0) -> np.ndarray:
     lib = _load()
-    img = np.ascontiguousarray(img, np.float32)
+    # uint8 sources go straight to the u8 kernel (the convert fuses into
+    # the gather — converting the whole source first cost 7x the kernel).
+    if img.dtype == np.uint8:
+        img = np.ascontiguousarray(img)
+        fn = lib.crop_resize_nearest_u8
+    else:
+        img = np.ascontiguousarray(img, np.float32)
+        fn = lib.crop_resize_nearest
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
     h, w, c = img.shape
     out = np.empty((size, size, c), np.float32)
-    lib.crop_resize_nearest(
+    fn(
         img, h, w, c, float(centre[0]), float(centre[1]), float(half),
         float(pad_value), out, size,
     )
@@ -64,13 +73,18 @@ def crop_resize_nearest(img: np.ndarray, centre, half: float, size: int,
 def warp_affine_nearest(img: np.ndarray, m: np.ndarray, size: int,
                         border: float = 0.0) -> np.ndarray:
     lib = _load()
-    img = np.ascontiguousarray(img, np.float32)
+    if img.dtype == np.uint8:
+        img = np.ascontiguousarray(img)
+        fn = lib.warp_affine_nearest_u8
+    else:
+        img = np.ascontiguousarray(img, np.float32)
+        fn = lib.warp_affine_nearest
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
     h, w, c = img.shape
     out = np.empty((size, size, c), np.float32)
-    lib.warp_affine_nearest(
+    fn(
         img, h, w, c, np.ascontiguousarray(m, np.float32).reshape(6),
         float(border), out, size,
     )
