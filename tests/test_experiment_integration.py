@@ -75,3 +75,21 @@ def test_experiment_trains_on_real_format_rhd(tmp_path):
     a = np.asarray(exp.state.params["det_head"]["l0"]["w"])
     b = np.asarray(exp2.state.params["det_head"]["l0"]["w"])
     assert a.shape == b.shape
+
+
+def test_experiment_rle_mode_smoke(tmp_path):
+    """The non-integrated BasicEnc + p_nf RLE experiment path end to end
+    (CrossModalHand.py:86-105, 262-346 dispatch): train an epoch on the
+    synthetic fixture, eval, checkpoint."""
+    import os
+
+    from mhentropy_tpu.train.engine import Experiment
+    from mhentropy_tpu.utils.config import update_cfg
+
+    cfg = update_cfg("configs/smoke_rle.yaml")
+    cfg.model_dir = str(tmp_path / "run")
+    exp = Experiment(cfg)
+    exp.train_baseline()
+    assert os.path.exists(os.path.join(cfg.model_dir, "models.txt"))
+    ckpts = [d for d in os.listdir(cfg.model_dir) if d.startswith("baseline_")]
+    assert ckpts, os.listdir(cfg.model_dir)
