@@ -93,3 +93,21 @@ def test_experiment_rle_mode_smoke(tmp_path):
     assert os.path.exists(os.path.join(cfg.model_dir, "models.txt"))
     ckpts = [d for d in os.listdir(cfg.model_dir) if d.startswith("baseline_")]
     assert ckpts, os.listdir(cfg.model_dir)
+
+
+def test_experiment_glow_regressor_smoke(tmp_path):
+    """MHEnt with the ConditionalGlow posterior through the full Experiment
+    (the reference's network.regressor='glow' mode, CrossModalHand.py:101-104)."""
+    import os
+
+    from mhentropy_tpu.train.engine import Experiment
+    from mhentropy_tpu.utils.config import update_cfg
+
+    cfg = update_cfg("configs/smoke.yaml")
+    cfg.network.regressor = "glow"
+    cfg.model_dir = str(tmp_path / "run")
+    exp = Experiment(cfg)
+    exp.train_baseline()
+    assert os.path.exists(os.path.join(cfg.model_dir, "models.txt"))
+    ckpts = [d for d in os.listdir(cfg.model_dir) if d.startswith("baseline_")]
+    assert ckpts, os.listdir(cfg.model_dir)
