@@ -1,0 +1,73 @@
+"""Train-step throughput bench (honest methodology — see CLAUDE.md):
+10 optimisation steps inside one jitted lax.scan, per-step perturbed
+images, state threaded through the carry so no step can be elided.
+
+Prints ONE JSON line. Run on the TPU: `python tools/bench_train.py`.
+r2 measured: 23.4 ms/step at B=32 (resnet50 256px, N=10 hypotheses,
+reverse-KLD + Adam + global-norm clip), 1,370 imgs/s/chip.
+"""
+import time, json
+from mhentropy_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+import jax, jax.numpy as jnp
+from mhentropy_tpu.core import mano
+from mhentropy_tpu.flows.realnvp import RealNVPConfig
+from mhentropy_tpu.models import mhent
+from mhentropy_tpu.models.encoder import EncoderConfig
+from mhentropy_tpu.models.mhent import MHEntConfig
+from mhentropy_tpu.train import engine
+import optax
+
+batch, img, STEPS = 32, 256, 10
+cfg = MHEntConfig(
+    encoder=EncoderConfig(backbone="resnet50", n_latent=(512, 512)),
+    flow=RealNVPConfig(dim=45, cond_dim=512, h_dim=512, num_steps=6),
+    feat_dim=512, image_size=img, n_train_hypotheses=10,
+)
+model = mano.synthetic_mano_model(0)
+optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+state = engine.init_state(jax.random.key(0), cfg, optimizer)
+key = jax.random.key(1)
+image = jax.random.uniform(jax.random.key(2), (batch, img, img, 3)) * 2 - 1
+from mhentropy_tpu.data import synthetic
+data = synthetic.make_dataset(model, n=batch, image_size=img, seed=0)
+image, target = next(synthetic.batches(data, batch))
+image = jnp.asarray(image)
+target = {k: jnp.asarray(v) for k, v in target.items()}
+
+
+def one_step(state, image, target, key):
+    def loss_fn(params):
+        out, new_stats = mhent.reverse_kld(
+            model, params, state.batch_stats, cfg, target, image, key,
+            train=True)
+        return -out["log_p"].mean(), (out, new_stats)
+
+    (loss, (out, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return engine.TrainState(params, new_stats, opt_state, state.step + 1), loss
+
+
+@jax.jit
+def scan_steps(state, image, target, key):
+    def body(st, k):
+        img_k = image + jax.random.uniform(k, (1,)) * 1e-6
+        st, loss = one_step(st, img_k, target, k)
+        return st, loss
+
+    st, losses = jax.lax.scan(body, state, jax.random.split(key, STEPS))
+    return st, losses
+
+
+st, losses = scan_steps(state, image, target, key)
+jax.block_until_ready(losses)
+best = 1e9
+for r in range(3):
+    t0 = time.perf_counter()
+    st2, losses = scan_steps(state, image, target, jax.random.fold_in(key, r))
+    jax.block_until_ready(losses)
+    best = min(best, (time.perf_counter() - t0) / STEPS)
+print(json.dumps({"train_step_ms": round(best * 1e3, 3),
+                  "imgs_per_sec": round(batch / best, 1)}))
