@@ -81,8 +81,6 @@ def test_experiment_rle_mode_smoke(tmp_path):
     """The non-integrated BasicEnc + p_nf RLE experiment path end to end
     (CrossModalHand.py:86-105, 262-346 dispatch): train an epoch on the
     synthetic fixture, eval, checkpoint."""
-    import os
-
     from mhentropy_tpu.train.engine import Experiment
     from mhentropy_tpu.utils.config import update_cfg
 
@@ -98,8 +96,6 @@ def test_experiment_rle_mode_smoke(tmp_path):
 def test_experiment_glow_regressor_smoke(tmp_path):
     """MHEnt with the ConditionalGlow posterior through the full Experiment
     (the reference's network.regressor='glow' mode, CrossModalHand.py:101-104)."""
-    import os
-
     from mhentropy_tpu.train.engine import Experiment
     from mhentropy_tpu.utils.config import update_cfg
 

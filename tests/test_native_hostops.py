@@ -77,3 +77,35 @@ def test_warp_affine_matches_numpy_cv2():
     # identical pixels and identical borders.
     same = np.isclose(ours, ref, atol=1e-6).mean()
     assert same > 0.98, same
+
+
+def test_u8_kernels_match_f32_and_numpy():
+    """The uint8-source fast paths (crop_resize_nearest_u8 /
+    warp_affine_nearest_u8 + the dtype dispatch in native/hostops.py) must
+    match the f32 kernels and the numpy reference exactly, including
+    edge-overrunning crop windows (the new prefix/suffix padding)."""
+    hostops = pytest.importorskip("native.hostops")
+    if not hostops.available():  # pragma: no cover
+        pytest.skip("native library unavailable")
+    from mhentropy_tpu.data import transforms as T
+
+    rng = np.random.RandomState(0)
+    img_u8 = rng.randint(0, 255, (96, 128, 3)).astype(np.uint8)
+    img_f32 = img_u8.astype(np.float32)
+    for centre, half in [((60.0, 50.0), 30.0), ((5.0, 4.0), 25.0),
+                         ((126.0, 94.0), 20.0), ((64.0, 48.0), 12.0)]:
+        a = hostops.crop_resize_nearest(img_u8, centre, half, 64)
+        b = hostops.crop_resize_nearest(img_f32, centre, half, 64)
+        np.testing.assert_array_equal(a, b)
+        c = np.asarray(
+            T.resize_nearest(
+                T.crop_with_padding(img_u8, centre, half, pad_rgb=127.0), 64
+            ),
+            np.float32,
+        )
+        np.testing.assert_array_equal(a, c)
+
+    m = np.array([[0.9, 0.15, 6.0], [-0.15, 0.9, 3.0]], np.float32)
+    wa = hostops.warp_affine_nearest(img_u8, m, 64)
+    wb = hostops.warp_affine_nearest(img_f32, m, 64)
+    np.testing.assert_array_equal(wa, wb)

@@ -28,7 +28,6 @@ model = mano.synthetic_mano_model(0)
 optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
 state = engine.init_state(jax.random.key(0), cfg, optimizer)
 key = jax.random.key(1)
-image = jax.random.uniform(jax.random.key(2), (batch, img, img, 3)) * 2 - 1
 from mhentropy_tpu.data import synthetic
 data = synthetic.make_dataset(model, n=batch, image_size=img, seed=0)
 image, target = next(synthetic.batches(data, batch))
