@@ -109,3 +109,19 @@ def test_u8_kernels_match_f32_and_numpy():
     wa = hostops.warp_affine_nearest(img_u8, m, 64)
     wb = hostops.warp_affine_nearest(img_f32, m, 64)
     np.testing.assert_array_equal(wa, wb)
+
+
+def test_warp_image_native_fallback(monkeypatch):
+    """warp_image must fall back to the native kernel when cv2 is absent
+    (transforms.py cv2-first dispatch) and stay ~pixel-identical."""
+    import cv2
+
+    rng = np.random.RandomState(5)
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    m = T.aug_rot_mat(T.make_aug_params(rng), 64)
+    ref = cv2.warpAffine(img, m, (64, 64), flags=cv2.INTER_NEAREST,
+                         borderValue=0.0)
+    monkeypatch.setattr(T, "cv2", None)
+    out = T.warp_image(img, m, 64, border=0.0)
+    same = np.isclose(out, ref, atol=1e-6).mean()
+    assert same > 0.98, same
