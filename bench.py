@@ -36,7 +36,10 @@ def main():
     n_hypo = 100
     batch = 32
     img = 256
-    steps = 20
+    # The relay costs ~25 ms per dispatch round-trip (device-side timeline
+    # is ~100% occupied at 4.5 ms/step — profiled r2); 100 scanned steps
+    # amortize it to noise, matching a sustained eval epoch.
+    steps = 100
 
     cfg = MHEntConfig(
         encoder=EncoderConfig(backbone="resnet50", n_latent=(512, 512)),
