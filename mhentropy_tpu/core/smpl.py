@@ -21,7 +21,7 @@ import numpy as np
 from mhentropy_tpu.core.mano import _as_np, _install_chumpy_stub, mm3, mv3
 from mhentropy_tpu.core.rotations import batch_rodrigues, rotmat_from_6d
 
-_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGH)
 
 N_VERTS = 6890
 N_JOINTS = 24

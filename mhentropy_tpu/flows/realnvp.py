@@ -34,7 +34,7 @@ import numpy as np
 
 # The 61-dim flow is parity-critical (log_prob must match the reference to
 # 1e-4): run its contractions at full f32 rather than the bf16 MXU default.
-_PREC = jax.lax.Precision.HIGHEST
+_PREC = jax.lax.Precision.HIGH
 
 
 class RealNVPConfig(NamedTuple):

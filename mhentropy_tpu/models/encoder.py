@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from mhentropy_tpu.models import resnet
 
-_PREC = jax.lax.Precision.HIGHEST
+_PREC = jax.lax.Precision.HIGH
 
 
 class EncoderConfig(NamedTuple):

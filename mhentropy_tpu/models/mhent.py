@@ -37,7 +37,7 @@ from mhentropy_tpu.flows.realnvp import RealNVPConfig
 from mhentropy_tpu.models import encoder
 from mhentropy_tpu.models.encoder import EncoderConfig
 
-_PREC = jax.lax.Precision.HIGHEST
+_PREC = jax.lax.Precision.HIGH
 
 # z layout (network.py:367-373).
 ZDIMS = (("th3", 3), ("th45", 45), ("bt", 10), ("logs", 1), ("t", 2))

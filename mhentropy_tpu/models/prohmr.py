@@ -28,7 +28,7 @@ from mhentropy_tpu.flows.glow import GlowConfig
 from mhentropy_tpu.models import encoder
 from mhentropy_tpu.models.encoder import EncoderConfig
 
-_PREC = jax.lax.Precision.HIGHEST
+_PREC = jax.lax.Precision.HIGH
 
 POSE_DIM = 24 * 6  # 6D rotations
 
