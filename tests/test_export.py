@@ -53,3 +53,35 @@ def test_export_roundtrip_matches_live():
     np.testing.assert_allclose(
         np.asarray(served["uv"]), np.asarray(live["uv"]), rtol=1e-2, atol=0.2
     )
+
+
+def test_sharded_export_roundtrip():
+    """A data-sharded serving artifact exports and serves on the 8-device
+    virtual mesh (the multi-chip serving path of tools/export.py)."""
+    from jax import export as jexport
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mhentropy_tpu.parallel import mesh as mesh_lib
+
+    cfg, model, params, batch_stats = _tiny_setup()
+    mesh = mesh_lib.make_mesh(n_devices=8, hypo=2)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    fn = export_lib.make_sample_fn(model, cfg, N, 0.8)
+    jf = jax.jit(fn, in_shardings=(repl, repl, data, repl), out_shardings=repl)
+    img = jax.ShapeDtypeStruct((8, IMG, IMG, 3), jnp.float32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    export_lib._register_param_types()
+    exported = jexport.export(jf)(params, batch_stats, img, key)
+    assert exported.nr_devices == 8
+
+    restored = export_lib.load_sampler(exported.serialize())
+    image = jax.device_put(
+        jax.random.uniform(jax.random.key(1), (8, IMG, IMG, 3)) * 2 - 1, data
+    )
+    raw_key = jax.random.key_data(jax.random.key(2)).astype(jnp.uint32)
+    served = jax.jit(restored.call)(params, batch_stats, image, raw_key)
+    live = jf(params, batch_stats, image, raw_key)
+    np.testing.assert_allclose(
+        np.asarray(served["xyz"]), np.asarray(live["xyz"]), rtol=1e-2, atol=0.05
+    )
