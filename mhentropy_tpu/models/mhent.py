@@ -209,13 +209,15 @@ def sample_q_z(
         elif use_fused:
             from mhentropy_tpu.flows import pallas_sampler
 
-            # bf16 weights + 24-image tiles: 1.05M vs 0.69M hypos/s for the
-            # XLA path (f32 accumulation keeps log_q usable for ranking).
+            # bf16 weights + 16-image tiles (f32 accumulation keeps log_q
+            # usable for ranking). r2 honest full-pipeline A/B at B=32,
+            # N=100: ipt=16 4.38 ms/step vs ipt=24 4.54; f32 weights tie
+            # bf16 at ipt=16 (4.36) but bf16 keeps 2x VMEM headroom.
             small = cfg.flow.h_dim <= 512
             z_flow, log_q = pallas_sampler.sample_fused(
                 params["flow"], cfg.flow, key, feat, n, temp=temp,
                 return_log_prob=True,
-                images_per_tile=24 if small else 8,
+                images_per_tile=16 if small else 8,
                 weight_dtype=jnp.bfloat16 if small else jnp.float32,
             )
         else:
