@@ -40,7 +40,8 @@ def rot_y(a):
 
 def view_correction(crop_center, cam, cloud, joints):
     """Rotate the camera ray through the crop centre onto the optical axis
-    (preprocess.py:64-77)."""
+    (preprocess.py:64-77; note the reference uses u0 for BOTH axes here —
+    'for RHD, fx = fy and u0 = v0' — kept for parity)."""
     f, u0 = cam[0, 0], cam[0, 2]
     ay = np.arctan((crop_center[0] - u0) / f)
     c3d = np.array([crop_center[0] - u0, crop_center[1] - u0, f])
@@ -48,6 +49,19 @@ def view_correction(crop_center, cam, cloud, joints):
     ax = np.arctan(c3d[1] / c3d[2])
     rot = rot_x(ax) @ rot_y(-ay)
     return rot, cloud @ rot.T, joints @ rot.T
+
+
+def view_correction_joint(crop_center, cam, joints):
+    """Joints-only view correction (preprocess.py:51-62). Unlike its cloud
+    sibling above, the reference's joint variant uses the true principal
+    point v0 for the y axis."""
+    f, u0, v0 = cam[0, 0], cam[0, 2], cam[1, 2]
+    ay = np.arctan((crop_center[0] - u0) / f)
+    c3d = np.array([crop_center[0] - u0, crop_center[1] - v0, f])
+    c3d = c3d @ rot_y(-ay).T
+    ax = np.arctan(c3d[1] / c3d[2])
+    rot = rot_x(ax) @ rot_y(-ay)
+    return rot, joints @ rot.T
 
 
 def depth_to_cloud(depth, mask, center3d, cam, cloud_size=4000, rng=None):

@@ -232,3 +232,16 @@ def test_patch_occlusion_parity(ref_rhdloader):
         np.testing.assert_allclose(our_img, ref_img, atol=1e-6)
         np.testing.assert_array_equal(our_vis, ref_vis)
         np.testing.assert_array_equal(our_mask, ref_mask)
+
+
+def test_view_correction_joint_parity(ref_preprocess):
+    """viewCorrectionJoint (preprocess.py:51-62) — the joints-only variant
+    that, unlike viewCorrection, uses the true principal point v0."""
+    ref_pre, _ = ref_preprocess
+    rng = np.random.RandomState(9)
+    cam = np.array([[283.1, 0, 160.0], [0, 283.1, 123.0], [0, 0, 1.0]])
+    joints = rng.randn(21, 3)
+    ref_rot, ref_j = ref_pre.viewCorrectionJoint((170.0, 140.0), cam, joints)
+    rot, j = rhd.view_correction_joint((170.0, 140.0), cam, joints)
+    np.testing.assert_allclose(rot, ref_rot, atol=1e-10)
+    np.testing.assert_allclose(j, ref_j, atol=1e-10)
