@@ -32,6 +32,15 @@ def make_mesh(n_devices: int | None = None, hypo: int = 1, devices=None) -> Mesh
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"make_mesh: need {n_devices} devices, have {len(devices)} "
+            f"(backend {jax.default_backend()!r}). For host-side testing run "
+            "under JAX_PLATFORMS=cpu "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+            "in a process whose PYTHONPATH does not pull in a hardware-plugin "
+            "sitecustomize."
+        )
     devices = devices[:n_devices]
     assert n_devices % hypo == 0, (n_devices, hypo)
     grid = np.asarray(devices).reshape(n_devices // hypo, hypo)
