@@ -223,8 +223,12 @@ def warp_image(img: np.ndarray, m: np.ndarray, size: int = 256, border=0.0):
         )
     ho = _hostops()
     if ho:  # pragma: no cover — exercised only when cv2 is absent
-        return ho.warp_affine_nearest(img, np.asarray(m, np.float32), size,
-                                      border=float(border))
+        out = ho.warp_affine_nearest(img, np.asarray(m, np.float32), size,
+                                     border=float(border))
+        # cv2.warpAffine preserves the input dtype; keep the fallback's
+        # contract identical (nearest warp copies pixels, so the cast back
+        # from the kernel's float32 output is exact for integer sources).
+        return out if out.dtype == img.dtype else out.astype(img.dtype)
     raise RuntimeError("cv2 or native hostops required for image warping")
 
 

@@ -376,8 +376,18 @@ class Experiment:
         return train, evald
 
     # ----------------------------------------------------------------- setup
+    def _apply_pending_restore(self):
+        """Consume a queued checkpoint restore (cfg.training.pth or
+        eval(name=...)). Must run whenever the restore is set — not only on
+        first state init — or eval("ckpt") after train_baseline() on the
+        same Experiment would silently evaluate the current params."""
+        if self._pending_restore:
+            self.load_model(self._pending_restore)
+            self._pending_restore = None
+
     def _ensure_state(self, steps_per_epoch: int):
         if self.state is not None:
+            self._apply_pending_restore()
             return
         self.steps_per_epoch = steps_per_epoch
         self.optimizer = make_optimizer(
@@ -400,9 +410,7 @@ class Experiment:
                 self.model_cfg, self.optimizer, self.mesh
             )
         self._dump_models_txt()
-        if self._pending_restore:
-            self.load_model(self._pending_restore)
-            self._pending_restore = None
+        self._apply_pending_restore()
 
     def _dump_models_txt(self):
         """Architecture + parameter counts (CrossModalHand.py:129-142)."""
@@ -480,6 +488,7 @@ class Experiment:
         if self.state is None:
             bs = self.cfg.training.batch_size
             self._ensure_state(max(1, _num_samples(data) // bs))
+        self._apply_pending_restore()
         n = n or self.cfg.training.test_samples
         step = self._get_eval_step(n, temp=self.cfg.training.get("eval_temp", 0.8))
         bs = self.cfg.training.batch_size

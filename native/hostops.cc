@@ -31,6 +31,13 @@ static void crop_resize_nearest_t(const T* img, int h, int w, int c,
   const int x2 = (int)std::lround(cx + half);
   const int y2 = (int)std::lround(cy + half);
   const int cw = x2 - x1, ch = y2 - y1;
+  // Degenerate crop (half <= 0): everything is padding. The prefix/suffix
+  // padding below assumes col[] is monotone non-decreasing, which only
+  // holds for cw >= 0.
+  if (cw <= 0 || ch <= 0) {
+    for (int64_t q = 0; q < (int64_t)s * s * c; ++q) out[q] = pad_value;
+    return;
+  }
   // Match numpy nearest: src = floor(dst * crop / s). Precompute the column
   // map once — a per-pixel int64 division dominated the original loop.
   std::vector<int> col(s);

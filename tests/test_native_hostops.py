@@ -27,6 +27,17 @@ def test_crop_resize_padding():
     assert out[-1, -1] == 1.0  # inside
 
 
+def test_crop_resize_degenerate_half_is_all_padding():
+    """half <= 0 gives an empty crop: the kernel must fill the whole output
+    with pad_value (the monotone prefix/suffix padding assumes cw >= 0 —
+    ADVICE r2)."""
+    img = np.full((50, 50, 3), 9.0, np.float32)
+    for half in (0.0, -10.0):
+        out = hostops.crop_resize_nearest(img, (25.0, 25.0), half, 16,
+                                          pad_value=3.0)
+        np.testing.assert_array_equal(out, np.full((16, 16, 3), 3.0))
+
+
 def test_circle_occlude_matches_numpy():
     rng = np.random.RandomState(1)
     img = rng.rand(128, 128, 3).astype(np.float32)
