@@ -81,6 +81,17 @@ def main():
     image = jax.random.uniform(jax.random.key(2), (batch, img, img, 3)) * 2 - 1
 
     # Warm up / compile both programs.
+    compiled = step.lower(params, batch_stats, image, key).compile()
+    # XLA's own FLOP count for one step (all hypotheses, full decode) —
+    # basis for the MFU field so rounds track efficiency, not just
+    # throughput (VERDICT r2 item 9).
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        step_flops = None
     xyz, uv = step(params, batch_stats, image, key)
     jax.block_until_ready(xyz)
     jax.block_until_ready(scan_steps(params, batch_stats, image, key))
@@ -103,6 +114,13 @@ def main():
         per_call.append(n_hypo * batch * steps / (time.perf_counter() - t0))
 
     rate = max(pipelined)
+    # MFU vs the chip's bf16 matmul peak (v5e: 197 TFLOP/s; other chips
+    # would need their own entry — the device kind is recorded alongside).
+    peak_flops = 197e12
+    mfu = None
+    if step_flops:
+        achieved = step_flops * rate / (n_hypo * batch)
+        mfu = round(achieved / peak_flops, 4)
     print(
         json.dumps(
             {
@@ -118,6 +136,9 @@ def main():
                 "spread_pct": round(
                     100.0 * (max(pipelined) - min(pipelined)) / max(pipelined), 2
                 ),
+                "model_flops": step_flops,
+                "mfu": mfu,
+                "device_kind": jax.devices()[0].device_kind,
             }
         )
     )

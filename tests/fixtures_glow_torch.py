@@ -1,14 +1,31 @@
 """In-test torch reimplementation of the nkolot/nflows ConditionalGlow.
 
 The real fork is not installable here (pinned at
-/root/reference/hand/environment.yml:284); this fixture reconstructs it
-module-for-module from nflows semantics — ActNorm
-(transforms/normalization.py), LULinear (transforms/lu.py),
-AffineCouplingTransform + ResidualNet (transforms/coupling.py, nn/nets.py) —
-with module attribute names chosen so `state_dict()` produces the fork's
-exact key schema (`_transform._transforms.{i}...`). It is the parity anchor
-for mhentropy_tpu/flows/glow.py and for
-tools/convert_torch.convert_conditional_glow.
+/root/reference/hand/environment.yml:284, zero-egress box; no retrieved
+source in SNIPPETS.md either), so every op below carries a citation to the
+upstream symbol it mirrors — file::class.method granularity (upstream line
+numbers are unverifiable without the source; symbols are stable across the
+fork, which only adds ConditionalGlow/sample-noise plumbing on top of
+bayesiains/nflows). Numerically sensitive constants are called out inline at
+the op. Module attribute names are chosen so `state_dict()` produces the
+fork's exact key schema (`_transform._transforms.{i}...`), pinned in
+tests/golden_glow_state_dict_keys.json; the triangulation test
+(test_glow_parity_torch.py::test_fixture_schema_triangulates) asserts this
+fixture == that pin == tools/convert_torch.convert_conditional_glow's
+expected schema, so a mis-read of any one side fails loudly. It is the
+parity anchor for mhentropy_tpu/flows/glow.py.
+
+Upstream map (nkolot/nflows == bayesiains/nflows unless noted):
+  ActNorm                  -> nflows/transforms/normalization.py::ActNorm
+  LULinear                 -> nflows/transforms/lu.py::LULinear
+                              (+ base nflows/transforms/linear.py::Linear)
+  AffineCouplingTransform  -> nflows/transforms/coupling.py::
+                              CouplingTransform / AffineCouplingTransform
+  ResidualNet/ResidualBlock-> nflows/nn/nets/resnet.py
+  CompositeTransform       -> nflows/transforms/base.py::CompositeTransform
+  ConditionalGlow          -> fork-only: nflows/flows/glow.py::
+                              ConditionalGlow (used by ProHMR; consumed by
+                              the reference at hand/network.py:20, 343-344)
 """
 
 import numpy as np
@@ -18,6 +35,14 @@ from torch.nn import functional as F
 
 
 class ActNorm(nn.Module):
+    """nflows/transforms/normalization.py::ActNorm.
+
+    Op-by-op: `scale` is exp(log_scale) (ActNorm.scale property); forward is
+    scale * x + shift with logabsdet = sum(log_scale) per row (the image
+    h*w factor is absent for 2-D inputs, as upstream); the data-dependent
+    init runs on the FIRST TRAINING-MODE forward only (ActNorm.forward
+    checks `self.training and not self.initialized`)."""
+
     def __init__(self, features):
         super().__init__()
         self.register_buffer("initialized", torch.tensor(False))
@@ -41,8 +66,11 @@ class ActNorm(nn.Module):
         return outputs, logabsdet
 
     def _initialize(self, inputs):
-        """Data-dependent init: post-actnorm activations ~ zero mean, unit
-        variance (nflows ActNorm._initialize)."""
+        """nflows ActNorm._initialize, expression-exact: std = x.std(dim=0)
+        (unbiased, torch default — NO epsilon added), mu = (x / std).mean(0)
+        — note mu is computed on the PRE-scaled-by-1/std data, not raw x —
+        then log_scale = -log(std), shift = -mu. Post-actnorm activations
+        come out ~ zero-mean unit-variance."""
         with torch.no_grad():
             std = inputs.std(dim=0)
             mu = (inputs / std).mean(dim=0)
@@ -52,6 +80,20 @@ class ActNorm(nn.Module):
 
 
 class LULinear(nn.Module):
+    """nflows/transforms/lu.py::LULinear (bias from the Linear base class,
+    nflows/transforms/linear.py).
+
+    Op-by-op: weight = L @ U with L unit-lower-triangular (diag forced to
+    1.0 in _create_lower_upper) and U upper-triangular whose diag is
+    softplus(unconstrained) + eps, eps = 1e-3 (LULinear.__init__ default);
+    identity init sets unconstrained_upper_diag to the softplus preimage of
+    1 - eps, i.e. log(exp(1 - eps) - 1) (LULinear._initialize with
+    identity_init=True; off-diagonals zero). forward = x @ U^T then @ L^T
+    + bias (two F.linear calls in LULinear.forward_no_cache — U applied
+    FIRST); logabsdet = sum(log(upper_diag)), input-independent. inverse
+    solves the two triangular systems in the opposite order
+    (LULinear.inverse_no_cache)."""
+
     def __init__(self, features, identity_init=True, eps=1e-3):
         super().__init__()
         self.features = features
@@ -108,6 +150,17 @@ class LULinear(nn.Module):
 
 
 class ResidualBlock(nn.Module):
+    """nflows/nn/nets/resnet.py::ResidualBlock.
+
+    Op order (ResidualBlock.forward): [bn0] -> relu -> linear0 -> [bn1] ->
+    relu -> dropout -> linear1 -> context fusion -> residual add. The
+    context fusion is GLU with the BLOCK OUTPUT in the value half and the
+    projected context in the GATE half: glu(cat([temps, context_layer(ctx)],
+    dim=1), dim=1) == temps * sigmoid(context_layer(ctx)) — gating order
+    matters and is asserted against the manual sigmoid form in
+    test_glow_parity_torch. Final linear initialised U(-1e-3, 1e-3)
+    (ResidualBlock.__init__). BatchNorm eps = 1e-3 when enabled."""
+
     def __init__(self, features, context_features, dropout_probability=0.0,
                  use_batch_norm=False):
         super().__init__()
@@ -143,6 +196,11 @@ class ResidualBlock(nn.Module):
 
 
 class ResidualNet(nn.Module):
+    """nflows/nn/nets/resnet.py::ResidualNet: initial_layer consumes
+    cat([inputs, context], dim=1) when context_features is set
+    (ResidualNet.forward), then num_blocks ResidualBlocks (each ALSO fed the
+    raw context for its GLU gate), then final_layer."""
+
     def __init__(self, in_features, out_features, hidden_features,
                  context_features=None, num_blocks=2, dropout_probability=0.0,
                  use_batch_norm=False):
@@ -172,6 +230,18 @@ class ResidualNet(nn.Module):
 
 
 class AffineCouplingTransform(nn.Module):
+    """nflows/transforms/coupling.py::CouplingTransform (split/scatter
+    mechanics) + AffineCouplingTransform (_scale_and_shift).
+
+    Op-by-op: mask <= 0 selects identity_features, mask > 0 the transformed
+    half (CouplingTransform.__init__); the net maps identity -> 2 *
+    n_transform params, SHIFT in the first half, unconstrained scale in the
+    second (AffineCouplingTransform._scale_and_shift reads
+    transform_params[:, :nt] as shift); scale = sigmoid(unconstrained + 2)
+    + 1e-3 (same method — the +2 bias centres init scale near sigmoid(2)
+    ~ 0.88); forward is x * scale + shift on the transformed half with
+    logabsdet = sum(log(scale)), identity half passed through untouched."""
+
     def __init__(self, mask, transform_net_create_fn):
         super().__init__()
         mask = torch.as_tensor(mask)
@@ -220,6 +290,10 @@ class AffineCouplingTransform(nn.Module):
 
 
 class CompositeTransform(nn.Module):
+    """nflows/transforms/base.py::CompositeTransform: forward applies
+    transforms in list order accumulating logabsdet; inverse applies the
+    element-wise inverses in REVERSED order (CompositeTransform._cascade)."""
+
     def __init__(self, transforms):
         super().__init__()
         self._transforms = nn.ModuleList(transforms)
@@ -242,8 +316,14 @@ class CompositeTransform(nn.Module):
 
 
 class ConditionalGlow(nn.Module):
-    """nkolot/nflows ConditionalGlow: num_layers x (ActNorm, LULinear,
-    conditional AffineCoupling), standard-normal base, alternating mask."""
+    """Fork-only class (nkolot/nflows nflows/flows/glow.py::ConditionalGlow,
+    the ProHMR dependency): num_layers x (ActNorm, LULinear identity-init,
+    conditional AffineCoupling with a ResidualNet conditioner), standard
+    normal base, binary mask starting -1 on EVEN indices (mask[::2] = -1)
+    and flipped between layers (mask *= -1). sample_and_log_prob is the
+    fork's noise-injection variant (accepts pre-drawn base noise — the API
+    the reference drives at hand/network.py:736-742); log_prob returns
+    (logp, noise) with logp = base_log_prob(forward(x)) + logabsdet."""
 
     def __init__(self, features, hidden_features, num_layers,
                  num_blocks_per_layer, context_features=None,
