@@ -43,6 +43,10 @@ class ProHMRConfig(NamedTuple):
     )
     image_size: int = 224
     n_train_hypotheses: int = 2  # ProHMR trains with mode + 1 sample
+    # None -> auto: fused Pallas glow sampler on the TPU backend when the
+    # architecture qualifies (2 residual blocks, no BN). Full-pipeline A/B
+    # at ProHMR shapes recorded in docs/PERF.md.
+    use_pallas_sampler: bool | None = None
 
 
 def init(key: jax.Array, cfg: ProHMRConfig):
@@ -130,9 +134,21 @@ def sample_hypotheses(
     """
     b = image.shape[0]
     feat, _ = context_features(params, batch_stats, cfg, image, train=False)
-    pose, log_q = glow_lib.sample_and_log_prob(
-        params["flow"], feat, key, n, temp=temp, cfg=cfg.flow
-    )
+    use_fused = cfg.use_pallas_sampler
+    if use_fused is None:
+        from mhentropy_tpu.flows import pallas_glow_sampler
+
+        use_fused = pallas_glow_sampler.supported(cfg.flow)
+    if use_fused:
+        from mhentropy_tpu.flows import pallas_glow_sampler
+
+        pose, log_q = pallas_glow_sampler.sample_and_log_prob_fused(
+            params["flow"], feat, key, n, temp=temp, cfg=cfg.flow
+        )
+    else:
+        pose, log_q = glow_lib.sample_and_log_prob(
+            params["flow"], feat, key, n, temp=temp, cfg=cfg.flow
+        )
     betas, cam = heads(params, feat)
     betas_n = jnp.tile(betas, (n, 1))
     verts, joints = smpl_lib.smpl_forward_6d(model, pose, betas_n)

@@ -12,7 +12,7 @@ import jax
 import numpy as np
 
 
-def main(epochs: int = 30):
+def main(epochs: int = 30, lr: float = 2e-4):
     from mhentropy_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -38,7 +38,7 @@ def main(epochs: int = 30):
     model = mano.synthetic_mano_model(0)
     mesh = mesh_lib.make_mesh(hypo=1)
     steps_per_epoch = n_train // bs
-    optimizer = engine.make_optimizer(2e-4, [int(epochs * 0.8)], steps_per_epoch)
+    optimizer = engine.make_optimizer(lr, [int(epochs * 0.8)], steps_per_epoch)
     state = engine.init_state(jax.random.key(0), cfg, optimizer)
 
     train = synthetic.make_dataset(model, n=n_train, image_size=img, seed=0,
@@ -59,9 +59,17 @@ def main(epochs: int = 30):
                 mets.setdefault(k, []).append(float(v))
         return {k: float(np.mean(v)) for k, v in mets.items()}
 
+    def report(tag, m):
+        print(
+            f"{tag}: BH-MPJPE {m['eucLoss_3d_rgb_sample'] * 1000:.2f} mm  "
+            f"2D-vis WH {m['eucLoss_2d_rgb_vis']:.2f} px  "
+            f"2D-vis mean {m['eucLoss_2d_rgb_vis_mean']:.2f} px  "
+            f"3D-occ PJD {m['eucLoss_3d_rgb_invis_std'] * 1000:.2f} mm",
+            flush=True,
+        )
+
     before = evaluate()
-    print(f"before: BH-MPJPE {before['eucLoss_3d_rgb_sample'] * 1000:.2f} mm  "
-          f"2D-vis WH {before['eucLoss_2d_rgb_vis']:.2f} px", flush=True)
+    report("before", before)
 
     # Stage all batches on device once — per-step H2D through the relay
     # dominates otherwise.
@@ -83,12 +91,16 @@ def main(epochs: int = 30):
     print(f"trained {epochs} epochs in {time.time() - t0:.0f}s", flush=True)
 
     after = evaluate()
-    print(f"after:  BH-MPJPE {after['eucLoss_3d_rgb_sample'] * 1000:.2f} mm  "
-          f"2D-vis WH {after['eucLoss_2d_rgb_vis']:.2f} px", flush=True)
-    improved = after["eucLoss_3d_rgb_sample"] < before["eucLoss_3d_rgb_sample"]
-    print("IMPROVED" if improved else "NOT IMPROVED", flush=True)
+    report("after", after)
+    drop = 1.0 - after["eucLoss_3d_rgb_sample"] / before["eucLoss_3d_rgb_sample"]
+    improved = drop > 0
+    print(f"BH-MPJPE drop {drop * 100:.1f}%  "
+          + ("IMPROVED" if improved else "NOT IMPROVED"), flush=True)
     return 0 if improved else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 30))
+    sys.exit(main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 30,
+        float(sys.argv[2]) if len(sys.argv) > 2 else 2e-4,
+    ))
