@@ -110,7 +110,7 @@ def loss_and_predict(
     if cfg.pe == "3d":
         out["xyz"] = samples
     else:
-        out["uv"] = (samples + 1.0) / 2.0 * 256.0
+        out["uv"] = (samples + 1.0) / 2.0 * cfg.image_size
 
     if cfg.nf_res == "rle":
         # Gaussian-Q residual (CrossModalHand.py:337-346).

@@ -186,7 +186,9 @@ def make_rle_eval_step(model_cfg: RLEConfig, mesh):
             output["xyz"] = out["xyz"].reshape(*out["xyz"].shape[:2], -1)
         if "uv" in out:
             output["uv"] = out["uv"].reshape(*out["uv"].shape[:2], -1)
-        total, losses, mets = metrics_lib.mhent_metrics(output, target)
+        total, losses, mets = metrics_lib.mhent_metrics(
+            output, target, image_size=model_cfg.image_size
+        )
         mets = {k: v.mean() for k, v in mets.items()}
         mets["loss_total"] = total
         mets["sigma_i"] = out["sigma_i"]
@@ -290,7 +292,9 @@ def make_eval_step(
                 )
         output = dict(samples)
         output["log_p"] = out["log_p"]
-        total, losses, mets = metrics_lib.mhent_metrics(output, target)
+        total, losses, mets = metrics_lib.mhent_metrics(
+            output, target, image_size=model_cfg.image_size
+        )
         mets = {k: v.mean() for k, v in mets.items()}
         mets["loss_total"] = total
         return mets

@@ -70,7 +70,8 @@ def chamfer_dist(norm_rel_xyz: jax.Array, target: dict) -> jax.Array:
     return dist[0] if squeeze else dist
 
 
-def mhent_metrics(output: dict, target: dict) -> tuple[jax.Array, dict, dict]:
+def mhent_metrics(output: dict, target: dict,
+                  image_size: int = 256) -> tuple[jax.Array, dict, dict]:
     """MHEntLoss.forward (criteria.py:47-173).
 
     Args:
@@ -79,6 +80,11 @@ def mhent_metrics(output: dict, target: dict) -> tuple[jax.Array, dict, dict]:
             GT st), optionally verts.
         target: pose3d (B, 63), crop_uv (B, 42) in [-1,1), vis (B, 21),
             scale (B,), st (B, 3).
+        image_size: pixel canvas predicted uv lives on. The reference
+            hardcodes 256 (its loaders always crop to 256; criteria.py
+            relocates with 256) — MUST match the model's decode image_size
+            or the 2D metrics compare mismatched frames (caught round 3:
+            a 64px demo config reported ~150px of pure units artifact).
 
     Returns:
         (total_loss, losses, metrics) — metric names match the reference's
@@ -103,7 +109,7 @@ def mhent_metrics(output: dict, target: dict) -> tuple[jax.Array, dict, dict]:
         euc["3d"] = mean_euclidean(
             xyz, jnp.tile(target["pose3d"], (n, 1)), jnp.tile(target["scale"], n)
         ).reshape(n, b, -1)
-    uv_gt = (target["crop_uv"] + 1.0) / 2.0 * 256.0
+    uv_gt = (target["crop_uv"] + 1.0) / 2.0 * image_size
     if "uv" in output:
         uv_pred = output["uv"]
     else:
@@ -113,7 +119,7 @@ def mhent_metrics(output: dict, target: dict) -> tuple[jax.Array, dict, dict]:
             target["st"][None, :, None, 0:1] * xyz3[..., :2]
             + target["st"][None, :, None, 1:3]
         )
-        uv_pred = ((uv_pred + 1.0) / 2.0 * 256.0).reshape(n, b, -1)
+        uv_pred = ((uv_pred + 1.0) / 2.0 * image_size).reshape(n, b, -1)
         output["uv"] = uv_pred
     euc["2d"] = jnp.linalg.norm(
         (uv_pred - uv_gt[None]).reshape(n, b, -1, 2), axis=-1

@@ -121,11 +121,14 @@ def test_oracle_z_achieves_near_zero_error(setup):
         "xyz": dec["xyz"].reshape(1, BATCH, -1),
         "uv": dec["uv"].reshape(1, BATCH, -1),
     }
-    _, _, m = metrics.mhent_metrics(output, target)
+    _, _, m = metrics.mhent_metrics(output, target, image_size=IMG)
     # 3D in metres after scale mult; oracle -> < 0.1 mm.
     assert np.asarray(m["eucLoss_3d_rgb_sample"]).max() < 1e-4
-    # 2D in pixels (image_size=64 here vs 256 in metrics: uv_gt is built for
-    # 256 crops; rescale target for this check).
+    # 2D metric must be ~0 too now that the canvas is parameterised
+    # (regression for the round-3 units bug: predictions on an image_size
+    # canvas were compared against a hardcoded 256 GT canvas, making every
+    # 2D eval metric at non-256 image sizes a frame artifact).
+    assert np.asarray(m["eucLoss_2d_rgb_sample"]).max() < 0.1
     uv_gt_px = (np.asarray(target["crop_uv"]) + 1) / 2 * IMG
     uv_pred = np.asarray(dec["uv"]).reshape(BATCH, -1)
     assert np.abs(uv_pred - uv_gt_px).max() < 0.05
