@@ -369,12 +369,14 @@ class Experiment:
         img = self.model_cfg.image_size
         bs = self.cfg.training.batch_size
         ds = name if name in ("rhd", "ho3d", "freihand") else "ho3d"
-        n_train = max(4 * bs, 64)
+        # Floors sized for smoke/CI runs on the 1-core box (the synthetic
+        # path is only ever a stand-in when no real data_dir is configured).
+        n_train = max(4 * bs, 32)
         train = synthetic.make_dataset(
             self.model, n=n_train, image_size=img, seed=self.seed, ds=ds
         )
         evald = synthetic.make_dataset(
-            self.model, n=max(2 * bs, 64), image_size=img, seed=self.seed + 1,
+            self.model, n=max(2 * bs, 32), image_size=img, seed=self.seed + 1,
             ds=ds,
         )
         return train, evald
