@@ -231,9 +231,27 @@ def sample_q_z(
     elif cfg.regressor == "glow":
         from mhentropy_tpu.flows import glow as glow_lib
 
-        z_flow, log_q = glow_lib.sample_and_log_prob(
-            params["flow"], feat, key, n, temp=temp
+        glow_cfg = glow_lib.infer_config(params["flow"])
+        structural = glow_cfg.num_blocks == 2 and not glow_cfg.use_batch_norm
+        use_fused = (
+            cfg.use_pallas_sampler is not False
+            and not differentiable  # no custom VJP for the glow kernel
+            and structural
         )
+        if cfg.use_pallas_sampler is None:
+            use_fused = use_fused and jax.default_backend() == "tpu"
+        if use_fused:
+            # Inference only (no dropout, no custom VJP); 1.55x on the
+            # ProHMR pipeline, same kernel family (docs/PERF.md).
+            from mhentropy_tpu.flows import pallas_glow_sampler
+
+            z_flow, log_q = pallas_glow_sampler.sample_and_log_prob_fused(
+                params["flow"], feat, key, n, temp=temp, cfg=glow_cfg
+            )
+        else:
+            z_flow, log_q = glow_lib.sample_and_log_prob(
+                params["flow"], feat, key, n, temp=temp
+            )
     z_det = jnp.tile(det_head_apply(params["det_head"], feat), (n, 1))
     return combine_z(cfg, z_det, z_flow), log_q
 

@@ -105,3 +105,35 @@ def test_fused_own_noise_statistics():
     lp_ref = glow.log_prob(params, x, ctx_rows, cfg=cfg)
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_mhent_glow_regressor_uses_fused_sampler():
+    """MHEnt's glow-regressor inference path routes through the fused
+    sampler when forced; z layout and flow log-density stay consistent with
+    an XLA re-evaluation of the produced samples."""
+    from mhentropy_tpu.models import mhent as mhent_lib
+    from mhentropy_tpu.models.mhent import MHEntConfig
+
+    cfg = MHEntConfig(regressor="glow", feat_dim=16, use_pallas_sampler=True)
+    d_out = cfg.det_dims()
+    params = {
+        "flow": glow.init_params(
+            jax.random.key(0),
+            GlowConfig(features=45, hidden=32, num_layers=2, num_blocks=2,
+                       context_features=16),
+        ),
+        "det_head": {
+            "l0": {"w": jax.random.normal(jax.random.key(1), (16, 16)) * 0.1,
+                   "b": jnp.zeros(16)},
+            "l1": {"w": jax.random.normal(jax.random.key(4), (16, d_out)) * 0.1,
+                   "b": jnp.zeros(d_out)},
+        },
+    }
+    feat = jax.random.normal(jax.random.key(2), (3, 16))
+    z, log_q = mhent_lib.sample_q_z(params, cfg, feat, jax.random.key(3),
+                                    n=4, temp=0.9, differentiable=False)
+    assert z.shape == (12, 61)
+    ctx_rows = jnp.tile(feat, (4, 1))
+    lp_ref = glow.log_prob(params["flow"], z[:, 3:48], ctx_rows)
+    np.testing.assert_allclose(np.asarray(log_q), np.asarray(lp_ref),
+                               rtol=1e-3, atol=1e-3)
