@@ -70,6 +70,37 @@ class S2DStemConv(nn.Module):
         )
 
 
+class _StemConvParam(nn.Module):
+    """Declares conv1's kernel under the exact path nn.Conv would use
+    (conv1/kernel), so checkpoints are oblivious to which stem ran."""
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, self.features),
+            jnp.float32,
+        )
+
+
+class _StemBNParam(nn.Module):
+    """bn1's params/stats under flax BatchNorm's exact paths."""
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        mean = self.variable("batch_stats", "mean", jnp.zeros,
+                             (self.features,))
+        var = self.variable("batch_stats", "var", jnp.ones, (self.features,))
+        return scale, bias, mean.value, var.value
+
+
 class BasicBlock(nn.Module):
     filters: int
     strides: int = 1
@@ -139,6 +170,9 @@ class ResNet(nn.Module):
     # stem is the default; the option is kept for larger batches/images
     # where the balance may flip.
     s2d_stem: bool = False
+    # Fused Pallas stem (conv+BN+ReLU+maxpool in one kernel) on the TPU
+    # inference path at 256px — see models/stem_pallas.py and docs/PERF.md.
+    pallas_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -150,14 +184,34 @@ class ResNet(nn.Module):
             epsilon=1e-5,
             dtype=self.dtype,
         )
-        x = x.astype(self.dtype)
-        if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            x = S2DStemConv(self.num_filters, dtype=self.dtype, name="conv1")(x)
+        use_pallas = False
+        if self.pallas_stem and not self.s2d_stem and self.dtype == jnp.bfloat16:
+            # bf16 only: the f32 im2col scratch would exceed VMEM.
+            from mhentropy_tpu.models import stem_pallas
+
+            use_pallas = stem_pallas.supported(x, self.num_filters, train)
+        if use_pallas:
+            from mhentropy_tpu.models import stem_pallas
+
+            w = _StemConvParam(self.num_filters, name="conv1")()
+            scale, bias, mean, var = _StemBNParam(
+                self.num_filters, name="bn1"
+            )()
+            x = stem_pallas.stem_forward(
+                x, w, scale, bias, mean, var, eps=1e-5,
+                compute_dtype=self.dtype, out_dtype=self.dtype,
+            )
         else:
-            x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv1")(x)
-        x = norm(name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+            x = x.astype(self.dtype)
+            if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                x = S2DStemConv(self.num_filters, dtype=self.dtype,
+                                name="conv1")(x)
+            else:
+                x = conv(self.num_filters, (7, 7), (2, 2),
+                         padding=[(3, 3), (3, 3)], name="conv1")(x)
+            x = norm(name="bn1")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
@@ -172,20 +226,23 @@ class ResNet(nn.Module):
         return x.astype(jnp.float32)
 
 
-def resnet18(dtype=jnp.bfloat16) -> ResNet:
-    return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, dtype=dtype)
+def resnet18(dtype=jnp.bfloat16, pallas_stem: bool = False) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, dtype=dtype,
+                  pallas_stem=pallas_stem)
 
 
-def resnet50(dtype=jnp.bfloat16) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, dtype=dtype)
+def resnet50(dtype=jnp.bfloat16, pallas_stem: bool = False) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, dtype=dtype,
+                  pallas_stem=pallas_stem)
 
 
 FEAT_DIMS = {"resnet18": 512, "resnet50": 2048}
 
 
-def make_backbone(name: str, dtype=jnp.bfloat16) -> ResNet:
+def make_backbone(name: str, dtype=jnp.bfloat16,
+                  pallas_stem: bool = False) -> ResNet:
     if name == "resnet18":
-        return resnet18(dtype)
+        return resnet18(dtype, pallas_stem)
     if name == "resnet50":
-        return resnet50(dtype)
+        return resnet50(dtype, pallas_stem)
     raise NotImplementedError(name)
