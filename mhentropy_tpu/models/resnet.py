@@ -211,6 +211,10 @@ class ResNet(nn.Module):
                          padding=[(3, 3), (3, 3)], name="conv1")(x)
             x = norm(name="bn1")(x)
             x = nn.relu(x)
+            # NOTE: reduce_window + select-and-scatter bwd is the right
+            # call here. A 9-strided-slice max reformulation (to avoid the
+            # 0.55 ms/step select-and-scatter in the bwd) measured 35.0 vs
+            # 23.4 ms/train-step — stride-2 spatial slices tile terribly.
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
