@@ -33,8 +33,10 @@ def main():
     from mhentropy_tpu.models.encoder import EncoderConfig
     from mhentropy_tpu.models.mhent import MHEntConfig
 
-    n_hypo = 100
-    batch = 32
+    # Optional overrides (e.g. `python bench.py 200 64` for the shipped
+    # README-table eval shape); bare invocation = the driver's headline.
+    n_hypo = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     img = 256
     # The relay costs ~25 ms per dispatch round-trip (device-side timeline
     # is ~100% occupied at 4.5 ms/step — profiled r2); 100 scanned steps

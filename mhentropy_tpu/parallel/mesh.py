@@ -8,7 +8,10 @@ absence: a 2-D (data, hypo) mesh over ICI where
   gradients all-reduce over ICI, inserted by the partitioner),
 * multi-hypothesis inference additionally shards the N-hypothesis axis over
   'hypo' (the model is tiny, N is the scaling axis: N=200 eval hypotheses
-  per image spread across chips; per-image features are broadcast once).
+  per image spread across chips; per-image features are broadcast once),
+* optionally the TrainState itself shards over 'data' (`fsdp_sharding` —
+  ZeRO-3: params/moments partitioned, XLA inserts all-gathers and
+  reduce-scatters; `engine.make_train_step(..., fsdp=True)`).
 
 Everything uses jit + NamedSharding + with_sharding_constraint — XLA inserts
 the collectives.
@@ -71,6 +74,47 @@ def constrain_hypotheses(z_nb, mesh: Mesh | None = None):
     """Annotate an (N, B, ...) tensor to live sharded over (hypo, data)."""
     spec = P(HYPO_AXIS, DATA_AXIS)
     return jax.lax.with_sharding_constraint(z_nb, spec)
+
+
+def fsdp_sharding(mesh: Mesh, tree, min_size: int = 4096):
+    """Per-leaf NamedShardings that shard each large array over 'data'
+    (ZeRO-3 / FSDP layout: parameters, gradients and optimizer moments all
+    live partitioned; XLA inserts the all-gathers before use and
+    reduce-scatters after the backward — the scaling-book recipe, no manual
+    collectives).
+
+    Each leaf's LARGEST dim divisible by the data-axis size is sharded;
+    leaves smaller than `min_size` elements (biases, BN vectors, scalars)
+    stay replicated — sharding them would cost more in latency-bound
+    collectives than the bytes saved.
+
+    Apply to a TrainState template: the optimizer moments (optax mirrors
+    the param pytree) pick up the identical layout automatically.
+    """
+    n = mesh.shape[DATA_AXIS]
+
+    def leaf(x):
+        shape = getattr(x, "shape", ())
+        size = int(np.prod(shape)) if shape else 0
+        if n == 1 or size < min_size:
+            return NamedSharding(mesh, P())
+        for d in sorted(range(len(shape)), key=lambda d: shape[d],
+                        reverse=True):
+            if shape[d] % n == 0:
+                spec = [None] * len(shape)
+                spec[d] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+def shard_tree(tree, shardings):
+    """Device-put a host pytree onto per-leaf shardings (e.g. from
+    fsdp_sharding)."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), tree, shardings
+    )
 
 
 def pad_batch(batch_size: int, n_devices: int) -> int:

@@ -76,6 +76,53 @@ def test_train_step_sharding_matches_single_device(small_cfg, model):
     np.testing.assert_allclose(results[1][1], results[8][1], atol=1e-4)
 
 
+def test_fsdp_train_step_matches_single_device(small_cfg, model):
+    """ZeRO-3 state sharding (params+moments over 'data') must compute the
+    same updates as the replicated single-device step, and must actually
+    leave the state partitioned on device."""
+    optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
+    data = synthetic.make_dataset(model, n=8, image_size=IMG, seed=1)
+    image, target = next(synthetic.batches(data, 8))
+
+    results = {}
+    for ndev, fsdp in ((1, False), (8, True)):
+        mesh = mesh_lib.make_mesh(n_devices=ndev, hypo=1)
+        state = engine.init_state(jax.random.key(0), small_cfg, optimizer)
+        im = mesh_lib.shard_batch(mesh, image)
+        tg = mesh_lib.shard_batch(mesh, target)
+        step = engine.make_train_step(model, small_cfg, optimizer, mesh,
+                                      fsdp=fsdp)
+        # Two steps: the second consumes the already-sharded state output,
+        # the layout an actual training loop runs in steady-state.
+        state, aux1 = step(state, im, tg, jax.random.key(7))
+        p1 = np.asarray(state.params["det_head"]["l0"]["w"])
+        state, aux2 = step(state, im, tg, jax.random.key(8))
+        results[ndev] = (
+            float(aux1["loss"]), p1, float(aux2["loss"]),
+            np.asarray(state.params["det_head"]["l0"]["w"]),
+        )
+        if fsdp:
+            shardings = [
+                x.sharding
+                for x in jax.tree_util.tree_leaves(state.params)
+                if hasattr(x, "sharding") and x.size >= 4096
+            ]
+            assert shardings and any(
+                not s.is_fully_replicated for s in shardings
+            ), "no large param leaf is actually sharded"
+
+    # Step 1 from identical state: tight, like the DP test above.
+    assert abs(results[1][0] - results[8][0]) / abs(results[1][0]) < 1e-4
+    np.testing.assert_allclose(results[1][1], results[8][1], atol=1e-4)
+    # Step 2 sits on step-1's reduction-order-perturbed params, and Adam's
+    # m/sqrt(v) ratio amplifies tiny grad differences ~to the learning rate
+    # early on (observed: 1.5e-3 max param diff = 1.5x lr, loss 3.4e-4
+    # rel). Loose bounds — this step checks the sharded-state input path
+    # computes sane updates, not bitwise agreement.
+    assert abs(results[1][2] - results[8][2]) / abs(results[1][2]) < 1e-2
+    np.testing.assert_allclose(results[1][3], results[8][3], atol=1e-2)
+
+
 def test_eval_step_hypo_sharding_matches_unsharded(small_cfg, model):
     """Hypo-sharded eval must equal unsharded eval (VERDICT r1 item 8 —
     strongest multi-chip correctness evidence without hardware)."""
