@@ -225,26 +225,17 @@ def synthetic_mano_model(seed: int = 0) -> ManoModel:
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def mano_forward(
+def _mano_forward_nl(
     model: ManoModel,
     theta: jax.Array,
     beta: jax.Array,
     config: ManoConfig = ManoConfig(),
 ):
-    """MANO forward: (pose coeffs, shape) -> (verts, chain joints) in mm.
-
-    Args:
-        model: ManoModel constants.
-        theta: (B, 3 + ncomps) = global axis-angle rot ++ PCA coefficients
-            (or raw axis-angles when not use_pca).
-        beta: (B, 10) shape coefficients.
-        config: static ManoConfig.
-
-    Returns:
-        verts: (B, 778, 3) in millimetres.
-        joints21: (B, 21, 3) kinematic-chain joints + 5 fingertip vertices,
-            in the manopth visualisation order (= FreiHAND order), mm.
-    """
+    """Batch-last MANO forward core: returns (verts_nl (3, 778, B) mm,
+    joints21 (B, 21, 3) mm). Keeping the mesh batch-last end to end lets
+    consumers (the J-regressor in mano_decode, projections) contract it
+    with rows on lanes and lets XLA drop the (B, 778, 3) relayout whenever
+    the caller never reads the mesh (the bench/eval xyz+uv path)."""
     b = theta.shape[0]
     root_aa = theta[:, :3]
     coeffs = theta[:, 3 : 3 + config.ncomps]
@@ -261,10 +252,15 @@ def mano_forward(
     root_rot = rots[:, 0]
     pose_map = (rots[:, 1:] - jnp.eye(3, dtype=rots.dtype)).reshape(b, N_POSE * 3)
 
-    # Blendshapes (MXU einsums).
-    v_shaped = model.v_template + _einsum("vdc,bc->bvd", model.shapedirs, beta)
-    joints = _einsum("jv,bvd->bjd", model.j_regressor, v_shaped)  # (B, 16, 3)
-    v_posed = v_shaped + _einsum("vdp,bp->bvd", model.posedirs, pose_map)
+    # Blendshapes (MXU einsums) — batch-LAST (d, v, b): every (778, B)
+    # plane tiles T(8,128) with rows on lanes; the old (B, 778, 3) layout
+    # put the 3-dim minor (42x lane padding) and cost a 30 MB
+    # T(8,128)->T(4,128) relayout copy per step at R=3200 (xplane r3).
+    v_shaped_nl = model.v_template.T[:, :, None] + _einsum(
+        "vdc,bc->dvb", model.shapedirs, beta
+    )
+    joints_nl = _einsum("jv,dvb->djb", model.j_regressor, v_shaped_nl)  # (3, 16, B)
+    v_posed_nl = v_shaped_nl + _einsum("vdp,bp->dvb", model.posedirs, pose_map)
 
     # Kinematic chain: root + 3 levels, each level one batched affine
     # compose over the 5 fingers. Transforms are kept as (R, t) pairs —
@@ -274,7 +270,6 @@ def mano_forward(
     # profiled r2); with the row axis on lanes the 3x3 algebra is pure
     # elementwise VPU work.
     rots_nl = jnp.transpose(rots, (2, 3, 1, 0))  # (3, 3, 16, B)
-    joints_nl = jnp.transpose(joints, (2, 1, 0))  # (3, 16, B)
 
     def _compose(r_par, t_par, level_rots, level_j, parent_j):
         return mm3(r_par, level_rots), mv3(r_par, level_j - parent_j) + t_par
@@ -303,26 +298,51 @@ def mano_forward(
 
     # LBS. Remove the rest-pose joint offset: A_j = G_j - [0 | R_j @ j_j].
     skin_t_nl = chain_t_nl - mv3(chain_r_nl, joints_nl)
-    chain_r = jnp.transpose(chain_r_nl, (3, 2, 0, 1))  # (B, 16, 3, 3)
-    chain_t = jnp.transpose(chain_t_nl, (2, 1, 0))  # (B, 16, 3)
-    skin_t = jnp.transpose(skin_t_nl, (2, 1, 0))  # (B, 16, 3)
     # Blend R and t separately: materialising per-vertex (3, 3) + (3,) costs
     # 12/16 the HBM traffic of the homogeneous (4, 4) blend, and the wasted
-    # constant bottom row is never computed.
-    per_vert_r = _einsum("vj,bjrc->bvrc", model.lbs_weights, chain_r)
-    per_vert_t = _einsum("vj,bjr->bvr", model.lbs_weights, skin_t)
-    verts = _einsum("bvrc,bvc->bvr", per_vert_r, v_posed) + per_vert_t
+    # constant bottom row is never computed. All batch-last: the blend is 9
+    # (778, 16) @ (16, B) GEMMs and the rotation apply is elementwise over
+    # (778, B) planes with rows on lanes.
+    per_vert_r_nl = _einsum("vj,rcjb->rcvb", model.lbs_weights, chain_r_nl)
+    per_vert_t_nl = _einsum("vj,rjb->rvb", model.lbs_weights, skin_t_nl)
+    verts_nl = (
+        _einsum("rcvb,cvb->rvb", per_vert_r_nl, v_posed_nl) + per_vert_t_nl
+    )  # (3, 778, B)
 
-    chain_joints = chain_t  # (B, 16, 3)
-    tips = verts[:, model.tips]  # (B, 5, 3)
+    chain_joints = jnp.transpose(chain_t_nl, (2, 1, 0))  # (B, 16, 3), tiny
+    tips = jnp.transpose(verts_nl[:, model.tips], (2, 1, 0))  # (B, 5, 3)
     joints21 = jnp.concatenate([chain_joints, tips], axis=1)
     joints21 = joints21[:, skeletons.MANOCHAIN2VIZ]
 
     if config.center_idx is not None:
         center = joints21[:, config.center_idx : config.center_idx + 1]
         joints21 = joints21 - center
-        verts = verts - center
-    return verts * 1000.0, joints21 * 1000.0
+        verts_nl = verts_nl - jnp.transpose(center, (2, 1, 0))
+    return verts_nl * 1000.0, joints21 * 1000.0
+
+
+def mano_forward(
+    model: ManoModel,
+    theta: jax.Array,
+    beta: jax.Array,
+    config: ManoConfig = ManoConfig(),
+):
+    """MANO forward: (pose coeffs, shape) -> (verts, chain joints) in mm.
+
+    Args:
+        model: ManoModel constants.
+        theta: (B, 3 + ncomps) = global axis-angle rot ++ PCA coefficients
+            (or raw axis-angles when not use_pca).
+        beta: (B, 10) shape coefficients.
+        config: static ManoConfig.
+
+    Returns:
+        verts: (B, 778, 3) in millimetres.
+        joints21: (B, 21, 3) kinematic-chain joints + 5 fingertip vertices,
+            in the manopth visualisation order (= FreiHAND order), mm.
+    """
+    verts_nl, joints21 = _mano_forward_nl(model, theta, beta, config)
+    return jnp.transpose(verts_nl, (2, 1, 0)), joints21
 
 
 @functools.partial(jax.jit, static_argnames=("skeidx",))
@@ -333,14 +353,21 @@ def mano_decode(model: ManoModel, theta: jax.Array, beta: jax.Array, skeidx: str
     the kinematic-chain 21 keypoints ('mano_joints'), remapped to the
     requested skeleton ordering.
     """
-    verts, chain21 = mano_forward(model, theta, beta)
+    verts_nl, chain21 = _mano_forward_nl(model, theta, beta)
 
     # FreiHAND-style 21 keypoints from the J-regressor + fingertip vertices
-    # (ManoLayer.py:109-148).
-    reg16 = _einsum("jv,bvd->bjd", model.j_regressor, verts)
+    # (ManoLayer.py:109-148) — contracted batch-last so the (3, 778, B)
+    # mesh feeds the regressor GEMM directly; the (B, 778, 3) mesh below is
+    # only materialised if the caller reads it.
+    reg16 = jnp.transpose(
+        _einsum("jv,dvb->djb", model.j_regressor, verts_nl), (2, 1, 0)
+    )
     kp_src, tip_ids, tip_verts = skeletons.freihand_gather_indices()
     joints = reg16[:, kp_src]  # (B, 21, 3); fingertip slots overwritten next
-    joints = joints.at[:, tip_ids].set(verts[:, tip_verts])
+    joints = joints.at[:, tip_ids].set(
+        jnp.transpose(verts_nl[:, tip_verts], (2, 1, 0))
+    )
+    verts = jnp.transpose(verts_nl, (2, 1, 0))
 
     if skeidx == "RHD":
         joints = joints[:, skeletons.FREIHAND2RHD]
