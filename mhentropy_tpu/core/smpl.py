@@ -102,17 +102,21 @@ def smpl_forward(
         verts (B, V, 3), joints (B, 24, 3) in metres.
     """
     b = rotmats.shape[0]
-    v_shaped = model.v_template + _einsum("vdc,bc->bvd", model.shapedirs, betas)
-    joints = _einsum("jv,bvd->bjd", model.j_regressor, v_shaped)
+    # Batch-LAST (d, v, b) mesh end to end, like core/mano.py: (V, B)
+    # planes tile T(8,128) with rows on lanes; the old (B, V, 3) layout
+    # paid a 42x lane-padded elementwise pass + relayout copies (r3).
+    v_shaped_nl = model.v_template.T[:, :, None] + _einsum(
+        "vdc,bc->dvb", model.shapedirs, betas
+    )
+    joints_nl = _einsum("jv,dvb->djb", model.j_regressor, v_shaped_nl)
     pose_map = (rotmats[:, 1:] - jnp.eye(3, dtype=rotmats.dtype)).reshape(b, 207)
-    v_posed = v_shaped + _einsum("vdp,bp->bvd", model.posedirs, pose_map)
+    v_posed_nl = v_shaped_nl + _einsum("vdp,bp->dvb", model.posedirs, pose_map)
 
     # Kinematic tree: sequential composition (parents[i] < i) on (R, t)
     # affine pairs in batch-LAST layout — trailing (3, 3)/(4, 4) dims tile
     # T(4,128) with heavy lane padding (see core/mano.py, profiled r2);
     # with B on lanes the 3x3 algebra is pure elementwise VPU work.
     rots_nl = jnp.transpose(rotmats, (2, 3, 1, 0))  # (3, 3, 24, B)
-    joints_nl = jnp.transpose(joints, (2, 1, 0))  # (3, 24, B)
     rel_t = joints_nl - jnp.concatenate(
         [jnp.zeros_like(joints_nl[:, :1]), joints_nl[:, PARENTS[1:]]], 1
     )  # (3, 24, B)
@@ -127,11 +131,12 @@ def smpl_forward(
     chain_t_nl = jnp.stack(chain_t, axis=1)  # (3, 24, B)
 
     skin_t_nl = chain_t_nl - mv3(chain_r_nl, joints_nl)
-    chain_r_bl = jnp.transpose(chain_r_nl, (3, 2, 0, 1))  # (B, 24, 3, 3)
-    skin_t = jnp.transpose(skin_t_nl, (2, 1, 0))  # (B, 24, 3)
-    per_vert_r = _einsum("vj,bjrc->bvrc", model.lbs_weights, chain_r_bl)
-    per_vert_t = _einsum("vj,bjr->bvr", model.lbs_weights, skin_t)
-    verts = _einsum("bvrc,bvc->bvr", per_vert_r, v_posed) + per_vert_t
+    per_vert_r_nl = _einsum("vj,rcjb->rcvb", model.lbs_weights, chain_r_nl)
+    per_vert_t_nl = _einsum("vj,rjb->rvb", model.lbs_weights, skin_t_nl)
+    verts_nl = (
+        _einsum("rcvb,cvb->rvb", per_vert_r_nl, v_posed_nl) + per_vert_t_nl
+    )  # (3, V, B)
+    verts = jnp.transpose(verts_nl, (2, 1, 0))
     joints_out = jnp.transpose(chain_t_nl, (2, 1, 0))  # (B, 24, 3)
     if transl is not None:
         verts = verts + transl[:, None]
