@@ -56,18 +56,23 @@ def test_stem_kernel_matches_xla_f32():
 def test_resnet_pallas_stem_wiring(monkeypatch):
     """ResNet(pallas_stem=True) with the backend gate forced: same params
     drive both stems; outputs agree at bf16 tolerance; the param/stat paths
-    are identical so checkpoints are oblivious to the stem choice."""
+    are identical so checkpoints are oblivious to the stem choice.
+
+    The kernel itself is substituted with its XLA-equivalent math (the
+    kernel ≡ XLA equivalence is the previous test's job): this test checks
+    the flax WIRING — param paths, BN folding inputs, dtype flow — and the
+    interpreted kernel costs ~2 min of suite time it doesn't need."""
     monkeypatch.setattr(stem_pallas, "supported",
                         lambda x, f, train: not train and x.shape[1] == 256)
-    # bf16 COMPUTE inside interpret mode segfaults the CPU emulator (jax
-    # 0.8.x); force f32 compute while keeping the module's bf16 out dtype.
-    orig_forward = stem_pallas.stem_forward
 
-    def f32_forward(*args, **kwargs):
-        kwargs["compute_dtype"] = jnp.float32
-        return orig_forward(*args, **kwargs)
+    def xla_equiv_forward(image, kernel, scale, bias, mean, var, eps=1e-5,
+                          compute_dtype=jnp.bfloat16, out_dtype=jnp.bfloat16):
+        return _xla_reference(
+            image.astype(compute_dtype), kernel.astype(compute_dtype),
+            scale, bias, mean, var, eps
+        ).astype(out_dtype)
 
-    monkeypatch.setattr(stem_pallas, "stem_forward", f32_forward)
+    monkeypatch.setattr(stem_pallas, "stem_forward", xla_equiv_forward)
     image = jax.random.normal(jax.random.key(7), (1, 256, 256, 3))
 
     bb_ref = resnet.ResNet(stage_sizes=(1, 1, 1, 1),
