@@ -139,7 +139,11 @@ def stem_forward(
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, c = image.shape
-    assert h == 256 and w == 256 and c == 3, (h, w, c)
+    # W is locked to 256 by the lane design (128 lanes x 2 column parities);
+    # H only sets the row-loop trip counts — any multiple of 4 works (the
+    # CPU interpret-mode test runs h=64 to keep emulation affordable; the
+    # production path is 256).
+    assert h % 4 == 0 and w == 256 and c == 3, (h, w, c)
     rows = h + 8
     conv_rows = h // 2
 

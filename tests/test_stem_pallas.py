@@ -34,9 +34,14 @@ def _xla_reference(image, kernel, scale, bias, mean, var, eps=1e-5):
 
 
 def test_stem_kernel_matches_xla_f32():
-    """Exact math check at f32 (interpret mode has no VMEM budget)."""
+    """Exact math check at f32 (interpret mode has no VMEM budget).
+
+    h=64 (W stays 256, the lane-locked dim): H only scales the row-loop
+    trip counts, and 64 rows still exercise every code path incl. the
+    padded top/bottom edges — at 1/4 the interpret-emulation cost (150 s
+    -> ~40 s of suite time at h=256)."""
     k = jax.random.key(0)
-    image = jax.random.normal(k, (1, 256, 256, 3))
+    image = jax.random.normal(k, (1, 64, 256, 3))
     kernel = jax.random.normal(jax.random.key(1), (7, 7, 3, 64)) * 0.1
     scale = 1.0 + jax.random.normal(jax.random.key(2), (64,)) * 0.2
     bias = jax.random.normal(jax.random.key(3), (64,)) * 0.1
@@ -48,7 +53,7 @@ def test_stem_kernel_matches_xla_f32():
         compute_dtype=jnp.float32, out_dtype=jnp.float32,
     )
     ref = _xla_reference(image, kernel, scale, bias, mean, var)
-    assert ours.shape == ref.shape == (1, 64, 64, 64)
+    assert ours.shape == ref.shape == (1, 16, 64, 64)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
