@@ -1,0 +1,254 @@
+"""Production serving for the MHEnt inference pipeline.
+
+The reference has no serving story (its eval loop is the only inference
+path, hand/CrossModalHand.py:469-610); this module is the TPU-native
+deployment component: a bucketed-batch inference server around the
+flagship pipeline (encoder -> conditional flow -> MANO decode ->
+projection), usable as a library (`InferenceServer.predict`) or as a
+stdlib-only HTTP service (`python -m mhentropy_tpu.serve`).
+
+TPU-shaped design decisions:
+
+* **Static shape buckets.** XLA compiles one program per (batch, n) shape;
+  arbitrary request sizes would recompile per request. Requests pad up to
+  the nearest power-of-two bucket (1, 2, 4, ..., max_batch) and the padded
+  rows' outputs are dropped. Every bucket is compiled once, up front
+  (`warmup()`), so the serving path never hits the compiler.
+* **Async dispatch.** `predict` returns as soon as the device program is
+  enqueued and only blocks on fetch, so a caller pipelining frames
+  overlaps host work with device compute (the same property the bench's
+  scanned loop measures).
+* **Checkpoints.** Orbax pytrees (this framework's format) and converted
+  torch `.pth` (the reference's format, via tools/convert_torch) both
+  restore into the same param schema; absent checkpoint = fresh init
+  (useful for smoke/load tests).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+import numpy as np
+
+
+def _buckets(max_batch: int) -> list[int]:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    return out + [max_batch]
+
+
+class InferenceServer:
+    """Bucketed-batch multi-hypothesis inference.
+
+    Args:
+        cfg: full experiment config (utils/config.py schema).
+        checkpoint: optional path (orbax dir or torch .pth).
+        max_batch: largest request batch served in one dispatch.
+        n_hypo: hypotheses per image (the config's test_samples if None).
+        temp: sampling temperature (reference eval uses 0.8).
+    """
+
+    def __init__(self, cfg, checkpoint: str | None = None,
+                 max_batch: int = 8, n_hypo: int | None = None,
+                 temp: float = 0.8):
+        import jax
+
+        from mhentropy_tpu.train import engine
+
+        self.cfg = cfg
+        self.model_cfg = engine.build_model_config(cfg)
+        self.model = engine.load_mano_model("./mano/")
+        self.n_hypo = int(n_hypo or cfg.training.test_samples)
+        self.temp = float(temp)
+        self.max_batch = int(max_batch)
+        self.image_size = self.model_cfg.image_size
+
+        optimizer = engine.make_optimizer(1e-4, [1], steps_per_epoch=1)
+        state = engine.init_state(jax.random.key(0), self.model_cfg, optimizer)
+        self.params, self.batch_stats = state.params, state.batch_stats
+        # Kept only as the orbax restore template (checkpoints written by
+        # Experiment.save_model carry the full train state).
+        self._state_template = state
+        if checkpoint:
+            self._restore(checkpoint)
+
+        self._fns: dict[int, Any] = {}
+        self._key = jax.random.key(int(time.time()) & 0x7FFFFFFF)
+
+    def _restore(self, path: str) -> None:
+        import os
+
+        if path.endswith(".pth"):
+            from tools.convert_torch import load_torch_checkpoint
+
+            params = load_torch_checkpoint(path, self.model_cfg)
+            self.batch_stats = params.pop("_batch_stats", self.batch_stats)
+            self.params = params
+            return
+        import orbax.checkpoint as ocp
+
+        template = {
+            "params": self._state_template.params,
+            "batch_stats": self._state_template.batch_stats,
+            "opt_state": self._state_template.opt_state,
+            "step": self._state_template.step,
+        }
+        with ocp.StandardCheckpointer() as loader:
+            ckpt = loader.restore(os.path.abspath(path), template)
+        self.params, self.batch_stats = ckpt["params"], ckpt["batch_stats"]
+
+    def _fn(self, batch: int):
+        import jax
+
+        from mhentropy_tpu.models import mhent
+
+        if batch not in self._fns:
+            cfg, model = self.model_cfg, self.model
+            n = self.n_hypo
+
+            @jax.jit
+            def run(params, batch_stats, image, key, temp):
+                out = mhent.sample_hypotheses(
+                    model, params, batch_stats, cfg, image, key, n=n,
+                    temp=temp, mods=("xyz", "uv"),
+                )
+                return out["xyz"], out["uv"]
+
+            self._fns[batch] = run
+        return self._fns[batch]
+
+    def warmup(self) -> None:
+        """Compile every bucket up front (serving never hits the compiler)."""
+        import jax
+
+        for b in _buckets(self.max_batch):
+            img = np.zeros((b, self.image_size, self.image_size, 3), np.float32)
+            xyz, uv = self._fn(b)(
+                self.params, self.batch_stats, img, self._key,
+                np.float32(self.temp),
+            )
+            jax.block_until_ready(xyz)
+
+    def predict(self, images: np.ndarray, temp: float | None = None) -> dict:
+        """(B, H, W, 3) float images (dataset normalisation) -> hypotheses.
+
+        Returns {"xyz": (B, N, K, 3), "uv": (B, N, K, 2)} numpy arrays.
+        B may be anything <= max_batch; it pads to the nearest bucket.
+        """
+        import jax
+
+        images = np.asarray(images, np.float32)
+        if images.ndim == 3:
+            images = images[None]
+        b = images.shape[0]
+        if b > self.max_batch:
+            parts = [
+                self.predict(images[i : i + self.max_batch], temp)
+                for i in range(0, b, self.max_batch)
+            ]
+            return {
+                k: np.concatenate([p[k] for p in parts]) for k in parts[0]
+            }
+        bucket = next(x for x in _buckets(self.max_batch) if x >= b)
+        if bucket != b:
+            pad = np.zeros((bucket - b, *images.shape[1:]), np.float32)
+            images = np.concatenate([images, pad])
+        self._key, sub = jax.random.split(self._key)
+        xyz, uv = self._fn(bucket)(
+            self.params, self.batch_stats, images, sub,
+            np.float32(self.temp if temp is None else temp),
+        )
+        # (N, B', K*d) flat -> (B, N, K, d) request-major, padding dropped.
+        n = xyz.shape[0]
+        xyz = np.asarray(xyz).reshape(n, bucket, -1, 3).transpose(1, 0, 2, 3)[:b]
+        uv = np.asarray(uv).reshape(n, bucket, -1, 2).transpose(1, 0, 2, 3)[:b]
+        return {"xyz": xyz, "uv": uv}
+
+
+def _http_serve(server: InferenceServer, host: str, port: int):
+    """Stdlib HTTP front end: POST /predict with a raw float32 body of
+    shape (B, S, S, 3) (header X-Batch: B), JSON hypotheses back.
+    GET /healthz for liveness."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    size = server.image_size
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = json.dumps(
+                    {"ok": True, "image_size": size, "n_hypo": server.n_hypo}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self.send_response(404)
+                self.end_headers()
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            b = int(self.headers.get("X-Batch", 1))
+            raw = self.rfile.read(n)
+            images = np.frombuffer(raw, np.float32).reshape(b, size, size, 3)
+            t0 = time.perf_counter()
+            out = server.predict(images)
+            ms = (time.perf_counter() - t0) * 1e3
+            body = json.dumps(
+                {
+                    "xyz": out["xyz"].tolist(),
+                    "uv": out["uv"].tolist(),
+                    "ms": round(ms, 2),
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = HTTPServer((host, port), Handler)
+    print(f"serving on {host}:{port} (image_size={size}, "
+          f"n_hypo={server.n_hypo})", flush=True)
+    httpd.serve_forever()
+
+
+def main(argv=None):
+    import argparse
+
+    from mhentropy_tpu.utils.cache import enable_compilation_cache
+    from mhentropy_tpu.utils.config import update_cfg
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8711)
+    args = ap.parse_args(argv)
+
+    enable_compilation_cache()
+    cfg = update_cfg(args.cfg)
+    server = InferenceServer(
+        cfg, checkpoint=args.ckpt, max_batch=args.max_batch, n_hypo=args.n
+    )
+    print("warming buckets:", _buckets(server.max_batch), flush=True)
+    server.warmup()
+    _http_serve(server, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
