@@ -416,7 +416,8 @@ class Experiment:
         if self.integrated:
             self.state = init_state(k_init, self.model_cfg, self.optimizer)
             self._train_step = make_train_step(
-                self.model, self.model_cfg, self.optimizer, self.mesh
+                self.model, self.model_cfg, self.optimizer, self.mesh,
+                fsdp=bool(self.cfg.tpu.fsdp) if "tpu" in self.cfg else False,
             )
         else:
             params, stats = rle.init(k_init, self.model_cfg)
