@@ -224,12 +224,13 @@ def synthetic_mano_model(seed: int = 0) -> ManoModel:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "pallas_lbs"))
 def _mano_forward_nl(
     model: ManoModel,
     theta: jax.Array,
     beta: jax.Array,
     config: ManoConfig = ManoConfig(),
+    pallas_lbs: bool = False,
 ):
     """Batch-last MANO forward core: returns (verts_nl (3, 778, B) mm,
     joints21 (B, 21, 3) mm). Keeping the mesh batch-last end to end lets
@@ -303,11 +304,22 @@ def _mano_forward_nl(
     # constant bottom row is never computed. All batch-last: the blend is 9
     # (778, 16) @ (16, B) GEMMs and the rotation apply is elementwise over
     # (778, B) planes with rows on lanes.
-    per_vert_r_nl = _einsum("vj,rcjb->rcvb", model.lbs_weights, chain_r_nl)
-    per_vert_t_nl = _einsum("vj,rjb->rvb", model.lbs_weights, skin_t_nl)
-    verts_nl = (
-        _einsum("rcvb,cvb->rvb", per_vert_r_nl, v_posed_nl) + per_vert_t_nl
-    )  # (3, 778, B)
+    if pallas_lbs:
+        # Fused blend kernel: no (3, 3, 778, B) intermediate — the blend is
+        # pure HBM bandwidth and the kernel streams it through VMEM
+        # (core/lbs_pallas.py). Inference path only (no custom VJP needed).
+        from mhentropy_tpu.core import lbs_pallas
+
+        verts_nl = lbs_pallas.lbs_blend(
+            model.lbs_weights, chain_r_nl, skin_t_nl, v_posed_nl
+        )
+    else:
+        per_vert_r_nl = _einsum("vj,rcjb->rcvb", model.lbs_weights, chain_r_nl)
+        per_vert_t_nl = _einsum("vj,rjb->rvb", model.lbs_weights, skin_t_nl)
+        verts_nl = (
+            _einsum("rcvb,cvb->rvb", per_vert_r_nl, v_posed_nl)
+            + per_vert_t_nl
+        )  # (3, 778, B)
 
     chain_joints = jnp.transpose(chain_t_nl, (2, 1, 0))  # (B, 16, 3), tiny
     tips = jnp.transpose(verts_nl[:, model.tips], (2, 1, 0))  # (B, 5, 3)
@@ -345,15 +357,17 @@ def mano_forward(
     return jnp.transpose(verts_nl, (2, 1, 0)), joints21
 
 
-@functools.partial(jax.jit, static_argnames=("skeidx",))
-def mano_decode(model: ManoModel, theta: jax.Array, beta: jax.Array, skeidx: str = "RHD"):
+@functools.partial(jax.jit, static_argnames=("skeidx", "pallas_lbs"))
+def mano_decode(model: ManoModel, theta: jax.Array, beta: jax.Array,
+                skeidx: str = "RHD", pallas_lbs: bool = False):
     """High-level decode used by MHEnt (parity: hand/ManoLayer.py:45-60).
 
     Returns a dict with the mesh, the J-regressor 21 keypoints ('joints') and
     the kinematic-chain 21 keypoints ('mano_joints'), remapped to the
     requested skeleton ordering.
     """
-    verts_nl, chain21 = _mano_forward_nl(model, theta, beta)
+    verts_nl, chain21 = _mano_forward_nl(model, theta, beta,
+                                         pallas_lbs=pallas_lbs)
 
     # FreiHAND-style 21 keypoints from the J-regressor + fingertip vertices
     # (ManoLayer.py:109-148) — contracted batch-last so the (3, 778, B)

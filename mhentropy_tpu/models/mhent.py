@@ -275,6 +275,7 @@ def decode(
     logs_t: jax.Array,
     mods=("uv",),
     inv_norm: bool = False,
+    pallas_lbs: bool = False,
 ) -> dict:
     """MANO decode + normalisation + orthographic projection
     (network.py:455-558).
@@ -287,7 +288,8 @@ def decode(
         normalised-relative, uv (R, K, 2) if requested, bone (R,).
     """
     theta, beta = th_bt[:, :48], th_bt[:, -10:]
-    out = mano.mano_decode(model, theta, beta, skeidx="RHD")
+    out = mano.mano_decode(model, theta, beta, skeidx="RHD",
+                           pallas_lbs=pallas_lbs)
     xyz = out["mano_joints"]  # mm (network.py:472-473)
     normed, root, bone = camera.batch_normalize_pose3d(
         xyz,
@@ -444,11 +446,16 @@ def sample_hypotheses(
         z = jnp.take_along_axis(z, idx.T[:, :, None], axis=0)
         n = n_quant
     out = {"th_bt": z[..., :TH_BT], "logs_t": z[..., -3:]}
+    from mhentropy_tpu.core import lbs_pallas
+
     dec = decode(
         model, cfg,
         z.reshape(n * b, Z_TOTAL)[:, :TH_BT],
         z.reshape(n * b, Z_TOTAL)[:, -3:],
         mods=mods, inv_norm=True,
+        # Fused LBS blend on TPU (inference-only; the train path's decode
+        # keeps the autodiff-clean einsums).
+        pallas_lbs=lbs_pallas.supported(n * b),
     )
     for mod in ("verts", "xyz", "uv"):
         if mod in mods:
