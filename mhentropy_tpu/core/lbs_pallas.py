@@ -85,24 +85,35 @@ def lbs_blend(
         skin_t_nl = jnp.pad(skin_t_nl, ((0, 0), (0, 0), (0, padded - rows)))
         v_posed_nl = jnp.pad(v_posed_nl, ((0, 0), (0, 0), (0, padded - rows)))
 
-    grid = (padded // tile,)
+    # Vertex tiling bounds VMEM at SMPL scale (V=6890: a full (3, V, tile)
+    # block is ~21 MB); MANO's 778 verts fit one tile.
+    v_tile = min(v, 1024)
+    v_pad = (v + v_tile - 1) // v_tile * v_tile
+    if v_pad != v:
+        lbs_weights = jnp.pad(lbs_weights, ((0, v_pad - v), (0, 0)))
+        v_posed_nl = jnp.pad(v_posed_nl, ((0, 0), (0, v_pad - v), (0, 0)))
+
+    grid = (v_pad // v_tile, padded // tile)
     out = pl.pallas_call(
         functools.partial(_kernel, n_joints=j),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((v, j), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, 3, j, tile), lambda i: (0, 0, 0, 0, i),
+            pl.BlockSpec((v_tile, j), lambda iv, ir: (iv, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, j, tile), lambda i: (0, 0, 0, i),
+            pl.BlockSpec((1, 3, 3, j, tile), lambda iv, ir: (0, 0, 0, 0, ir),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, v, tile), lambda i: (0, 0, 0, i),
+            pl.BlockSpec((1, 3, j, tile), lambda iv, ir: (0, 0, 0, ir),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, v_tile, tile), lambda iv, ir: (0, 0, iv, ir),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, v, tile), lambda i: (0, 0, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 3, v, padded), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 3, v_tile, tile), lambda iv, ir: (0, 0, iv, ir),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 3, v_pad, padded), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             # Block double-buffering + per-iteration stack temps overflow
             # the default scoped-vmem limit at tile=512 (31 MB measured);
             # tile=256 plus this kernel-local raise keeps headroom.
@@ -114,14 +125,16 @@ def lbs_blend(
         skin_t_nl.astype(jnp.float32)[None],
         v_posed_nl.astype(jnp.float32)[None],
     )
-    return out[0, :, :, :rows]
+    return out[0, :, :v, :rows]
 
 
-def supported(rows: int) -> bool:
-    """Gate: TPU only, and only at row counts where the XLA einsum path's
-    nine (V, R) blend planes no longer fit XLA's VMEM residency. Full-
-    pipeline A/B (r3): at R=3200 the kernel LOSES (776k vs 801k hypos/s —
-    XLA already serves the planes from VMEM, S(1) layouts in the profile);
-    at R=12800 it WINS (1.10M vs 1.03M, +6.5% — 360 MB of planes forces
-    XLA through HBM). Threshold between the two measured shapes."""
-    return jax.default_backend() == "tpu" and rows >= 8192
+def supported(rows: int, n_verts: int = 778) -> bool:
+    """Gate: TPU only, and only at plane sizes (V x R elements) where the
+    XLA einsum path's nine (V, R) blend planes no longer fit XLA's VMEM
+    residency. Full-pipeline A/B (r3, MANO V=778): at R=3200 (2.5M-element
+    planes) the kernel LOSES (776k vs 801k hypos/s — XLA already serves
+    the planes from VMEM, S(1) layouts in the profile); at R=12800 (10M
+    elements, 360 MB of f32 planes) it WINS (1.10M vs 1.03M, +6.5%).
+    Threshold between the two measured shapes; real-SMPL inference
+    (V=6890) crosses it from R~1200."""
+    return jax.default_backend() == "tpu" and rows * n_verts >= 8_000_000

@@ -91,6 +91,7 @@ def smpl_forward(
     rotmats: jax.Array,
     betas: jax.Array,
     transl: jax.Array | None = None,
+    pallas_lbs: bool = False,
 ):
     """SMPL LBS from per-joint rotation MATRICES (the ProHMR convention).
 
@@ -131,11 +132,21 @@ def smpl_forward(
     chain_t_nl = jnp.stack(chain_t, axis=1)  # (3, 24, B)
 
     skin_t_nl = chain_t_nl - mv3(chain_r_nl, joints_nl)
-    per_vert_r_nl = _einsum("vj,rcjb->rcvb", model.lbs_weights, chain_r_nl)
-    per_vert_t_nl = _einsum("vj,rjb->rvb", model.lbs_weights, skin_t_nl)
-    verts_nl = (
-        _einsum("rcvb,cvb->rvb", per_vert_r_nl, v_posed_nl) + per_vert_t_nl
-    )  # (3, V, B)
+    if pallas_lbs:
+        # Fused blend kernel (core/lbs_pallas.py) — inference path only,
+        # same rationale as core/mano.py.
+        from mhentropy_tpu.core import lbs_pallas
+
+        verts_nl = lbs_pallas.lbs_blend(
+            model.lbs_weights, chain_r_nl, skin_t_nl, v_posed_nl
+        )
+    else:
+        per_vert_r_nl = _einsum("vj,rcjb->rcvb", model.lbs_weights, chain_r_nl)
+        per_vert_t_nl = _einsum("vj,rjb->rvb", model.lbs_weights, skin_t_nl)
+        verts_nl = (
+            _einsum("rcvb,cvb->rvb", per_vert_r_nl, v_posed_nl)
+            + per_vert_t_nl
+        )  # (3, V, B)
     verts = jnp.transpose(verts_nl, (2, 1, 0))
     joints_out = jnp.transpose(chain_t_nl, (2, 1, 0))  # (B, 24, 3)
     if transl is not None:
@@ -151,8 +162,9 @@ def smpl_forward_axis_angle(model: SmplModel, pose_aa: jax.Array, betas: jax.Arr
     return smpl_forward(model, rotmats, betas)
 
 
-def smpl_forward_6d(model: SmplModel, pose_6d: jax.Array, betas: jax.Array):
+def smpl_forward_6d(model: SmplModel, pose_6d: jax.Array, betas: jax.Array,
+                    pallas_lbs: bool = False):
     """(B, 144) 6D-rotation pose (the ProHMR flow's output space)."""
     b = pose_6d.shape[0]
     rotmats = rotmat_from_6d(pose_6d.reshape(b, N_JOINTS, 6))
-    return smpl_forward(model, rotmats, betas)
+    return smpl_forward(model, rotmats, betas, pallas_lbs=pallas_lbs)

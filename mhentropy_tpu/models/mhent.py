@@ -455,7 +455,7 @@ def sample_hypotheses(
         mods=mods, inv_norm=True,
         # Fused LBS blend on TPU (inference-only; the train path's decode
         # keeps the autodiff-clean einsums).
-        pallas_lbs=lbs_pallas.supported(n * b),
+        pallas_lbs=lbs_pallas.supported(n * b, model.lbs_weights.shape[0]),
     )
     for mod in ("verts", "xyz", "uv"):
         if mod in mods:

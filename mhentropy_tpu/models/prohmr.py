@@ -151,7 +151,14 @@ def sample_hypotheses(
         )
     betas, cam = heads(params, feat)
     betas_n = jnp.tile(betas, (n, 1))
-    verts, joints = smpl_lib.smpl_forward_6d(model, pose, betas_n)
+    from mhentropy_tpu.core import lbs_pallas
+
+    verts, joints = smpl_lib.smpl_forward_6d(
+        model, pose, betas_n,
+        # Fused LBS blend (inference-only; same row gate as MANO).
+        pallas_lbs=lbs_pallas.supported(pose.shape[0],
+                                        model.lbs_weights.shape[0]),
+    )
     scale = jnp.exp(cam[:, 0:1])
     uv = joints[..., :2] * jnp.tile(scale, (n, 1))[:, None] + jnp.tile(
         cam[:, 1:3], (n, 1)

@@ -20,8 +20,11 @@ def interpret_mode(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call", interp)
 
 
-def test_blend_matches_einsum_path():
-    v, j, rows = 778, 16, 100  # rows < tile exercises the padding path
+@pytest.mark.parametrize("v,j,rows", [
+    (778, 16, 100),    # MANO; rows < tile exercises the R-padding path
+    (1500, 24, 100),   # SMPL joints; V > v_tile exercises vertex tiling
+])
+def test_blend_matches_einsum_path(v, j, rows):
     rng = np.random.RandomState(0)
     w = jnp.asarray(np.abs(rng.randn(v, j)).astype(np.float32))
     chain_r = jnp.asarray(rng.randn(3, 3, j, rows).astype(np.float32))
