@@ -30,6 +30,9 @@ class EncoderConfig(NamedTuple):
     # Fused Pallas stem on the TPU eval path (256px, bf16 only — runtime
     # gated; see models/stem_pallas.py). Full-pipeline A/B in docs/PERF.md.
     pallas_stem: bool = True
+    # Fused Pallas stage-1 (three VMEM-resident bottlenecks) on the TPU
+    # eval path — see models/stage1_pallas.py; A/B-gated like the stem.
+    pallas_stage1: bool = False
 
     def resolved_feat_dim(self) -> int:
         return self.feat_dim or resnet.FEAT_DIMS[self.backbone]
@@ -39,7 +42,9 @@ def init(key: jax.Array, cfg: EncoderConfig, image_size: int = 256):
     """Returns (params, batch_stats) — stats are model state, not trainables."""
     k_bb, k_l1, k_l2 = jax.random.split(key, 3)
     bb = resnet.make_backbone(cfg.backbone, dtype=jnp.dtype(cfg.dtype),
-                              pallas_stem=getattr(cfg, 'pallas_stem', True))
+                              pallas_stem=getattr(cfg, 'pallas_stem', True),
+                              pallas_stage1=getattr(cfg, 'pallas_stage1',
+                                                    False))
     dummy = jnp.zeros((1, image_size, image_size, 3))
     variables = bb.init(k_bb, dummy, train=False)
     f = cfg.resolved_feat_dim()
@@ -74,7 +79,9 @@ def apply(
     image: (B, H, W, 3) NHWC in the dataset's normalisation.
     """
     bb = resnet.make_backbone(cfg.backbone, dtype=jnp.dtype(cfg.dtype),
-                              pallas_stem=getattr(cfg, 'pallas_stem', True))
+                              pallas_stem=getattr(cfg, 'pallas_stem', True),
+                              pallas_stage1=getattr(cfg, 'pallas_stage1',
+                                                    False))
     variables = {"params": params["backbone"], "batch_stats": batch_stats}
     if train:
         feats, mutated = bb.apply(variables, image, train=True, mutable=["batch_stats"])

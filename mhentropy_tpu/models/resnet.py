@@ -101,6 +101,61 @@ class _StemBNParam(nn.Module):
         return scale, bias, mean.value, var.value
 
 
+class _BottleneckParams(nn.Module):
+    """Declares one bottleneck block's params/stats under the exact paths
+    nn.Conv/nn.BatchNorm would use inside Bottleneck (conv1/bn1/conv2/bn2/
+    conv3/bn3 [+ downsample_*]), so checkpoints — and flax init RNG streams,
+    which key on module paths — are oblivious to whether the fused Pallas
+    stage-1 kernel or the block modules consume them."""
+
+    in_filters: int
+    filters: int = 64
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self):
+        def conv_kernel(name, shape):
+            class _K(nn.Module):
+                @nn.compact
+                def __call__(s):
+                    return s.param("kernel", nn.initializers.lecun_normal(),
+                                   shape, jnp.float32)
+
+            return _K(name=name)()
+
+        def bn(name, features):
+            class _BN(nn.Module):
+                @nn.compact
+                def __call__(s):
+                    return {
+                        "scale": s.param("scale", nn.initializers.ones,
+                                         (features,), jnp.float32),
+                        "bias": s.param("bias", nn.initializers.zeros,
+                                        (features,), jnp.float32),
+                        "mean": s.variable("batch_stats", "mean", jnp.zeros,
+                                           (features,)).value,
+                        "var": s.variable("batch_stats", "var", jnp.ones,
+                                          (features,)).value,
+                    }
+
+            return _BN(name=name)()
+
+        f, fo = self.filters, self.filters * 4
+        out = {
+            "conv1": conv_kernel("conv1", (1, 1, self.in_filters, f)),
+            "bn1": bn("bn1", f),
+            "conv2": conv_kernel("conv2", (3, 3, f, f)),
+            "bn2": bn("bn2", f),
+            "conv3": conv_kernel("conv3", (1, 1, f, fo)),
+            "bn3": bn("bn3", fo),
+        }
+        if self.downsample:
+            out["ds_conv"] = conv_kernel(
+                "downsample_conv", (1, 1, self.in_filters, fo))
+            out["ds_bn"] = bn("downsample_bn", fo)
+        return out
+
+
 class BasicBlock(nn.Module):
     filters: int
     strides: int = 1
@@ -173,6 +228,9 @@ class ResNet(nn.Module):
     # Fused Pallas stem (conv+BN+ReLU+maxpool in one kernel) on the TPU
     # inference path at 256px — see models/stem_pallas.py and docs/PERF.md.
     pallas_stem: bool = False
+    # Fused Pallas stage-1 (all three bottleneck blocks VMEM-resident) on
+    # the TPU inference path — see models/stage1_pallas.py and docs/PERF.md.
+    pallas_stage1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -217,6 +275,29 @@ class ResNet(nn.Module):
             # 23.4 ms/train-step — stride-2 spatial slices tile terribly.
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for i, block_count in enumerate(self.stage_sizes):
+            if (i == 0 and self.pallas_stage1
+                    and self.block_cls is Bottleneck
+                    and self.dtype == jnp.bfloat16):
+                # bf16 only: the f32 scratch set would double to ~26 MB.
+                from mhentropy_tpu.models import stage1_pallas
+
+                if stage1_pallas.supported(x, self.num_filters, block_count,
+                                           train):
+                    blocks = [
+                        _BottleneckParams(
+                            in_filters=x.shape[-1] if j == 0
+                            else self.num_filters * 4,
+                            filters=self.num_filters,
+                            downsample=j == 0,
+                            name=f"layer1_{j}",
+                        )()
+                        for j in range(block_count)
+                    ]
+                    x = stage1_pallas.stage1_forward(
+                        x, blocks, compute_dtype=self.dtype,
+                        out_dtype=self.dtype,
+                    )
+                    continue
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
                 x = self.block_cls(
@@ -230,23 +311,27 @@ class ResNet(nn.Module):
         return x.astype(jnp.float32)
 
 
-def resnet18(dtype=jnp.bfloat16, pallas_stem: bool = False) -> ResNet:
+def resnet18(dtype=jnp.bfloat16, pallas_stem: bool = False,
+             pallas_stage1: bool = False) -> ResNet:
+    # pallas_stage1 is Bottleneck-only; accepted and ignored for symmetry.
     return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, dtype=dtype,
                   pallas_stem=pallas_stem)
 
 
-def resnet50(dtype=jnp.bfloat16, pallas_stem: bool = False) -> ResNet:
+def resnet50(dtype=jnp.bfloat16, pallas_stem: bool = False,
+             pallas_stage1: bool = False) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, dtype=dtype,
-                  pallas_stem=pallas_stem)
+                  pallas_stem=pallas_stem, pallas_stage1=pallas_stage1)
 
 
 FEAT_DIMS = {"resnet18": 512, "resnet50": 2048}
 
 
 def make_backbone(name: str, dtype=jnp.bfloat16,
-                  pallas_stem: bool = False) -> ResNet:
+                  pallas_stem: bool = False,
+                  pallas_stage1: bool = False) -> ResNet:
     if name == "resnet18":
-        return resnet18(dtype, pallas_stem)
+        return resnet18(dtype, pallas_stem, pallas_stage1)
     if name == "resnet50":
-        return resnet50(dtype, pallas_stem)
+        return resnet50(dtype, pallas_stem, pallas_stage1)
     raise NotImplementedError(name)

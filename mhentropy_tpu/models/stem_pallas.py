@@ -51,10 +51,13 @@ def _kernel(x_ref, a_ref, g_ref, b_ref, s_ref, out_ref,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    x = x_ref[0]  # (6, rows, 128) f32 parity planes
+    x = x_ref[0]  # (6, rows, 128) parity planes, compute dtype
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape[1:], 1)
     for t, (plane, shift) in enumerate(_SPECS):
-        v = pltpu.roll(x[plane], shift % 128, axis=1)
+        # Mosaic rolls only exist for 32-bit data: planes travel through HBM
+        # at compute dtype (halves the planarise traffic — the XLA stem path
+        # quantises the image to bf16 at entry too) and widen per-plane here.
+        v = pltpu.roll(x[plane].astype(jnp.float32), shift % 128, axis=1)
         if shift > 0:
             v = jnp.where(lane >= shift, v, 0.0)
         elif shift < 0:
@@ -147,7 +150,7 @@ def stem_forward(
     rows = h + 8
     conv_rows = h // 2
 
-    xp = jnp.pad(image.astype(jnp.float32), ((0, 0), (4, 4), (0, 0), (0, 0)))
+    xp = jnp.pad(image.astype(compute_dtype), ((0, 0), (4, 4), (0, 0), (0, 0)))
     # Planarise: (B, rows, 256, 3) -> (B, colparity*3+c, rows, 128).
     planes = jnp.transpose(
         xp.reshape(b, rows, 128, 2, 3), (0, 3, 4, 1, 2)
