@@ -15,6 +15,7 @@ vs_baseline is against the BASELINE.json target of 20k hypotheses/sec/chip.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -43,8 +44,16 @@ def main():
     # amortize it to noise, matching a sustained eval epoch.
     steps = 100
 
+    # A/B toggles for kernel-default studies (docs/PERF.md); the bare
+    # invocation the driver uses takes the EncoderConfig defaults.
+    enc_overrides = {}
+    for var, field in (("MHENT_PALLAS_STAGE1", "pallas_stage1"),
+                       ("MHENT_PALLAS_STEM", "pallas_stem")):
+        if os.environ.get(var) in ("0", "1"):
+            enc_overrides[field] = os.environ[var] == "1"
     cfg = MHEntConfig(
-        encoder=EncoderConfig(backbone="resnet50", n_latent=(512, 512)),
+        encoder=EncoderConfig(backbone="resnet50", n_latent=(512, 512),
+                              **enc_overrides),
         flow=RealNVPConfig(dim=45, cond_dim=512, h_dim=512, num_steps=6),
         feat_dim=512,
         image_size=img,
@@ -94,6 +103,17 @@ def main():
         step_flops = float(ca.get("flops", 0.0)) or None
     except Exception:
         step_flops = None
+    # XLA's count cannot see inside Pallas custom calls — add the fused
+    # kernels' conv-semantics FLOPs when their runtime gates are active, so
+    # MFU stays comparable as more of the model moves into kernels.
+    if step_flops and jax.default_backend() == "tpu":
+        from mhentropy_tpu.models import stage1_pallas, stem_pallas
+
+        enc = cfg.encoder
+        if getattr(enc, "pallas_stem", True) and img == 256:
+            step_flops += stem_pallas.flops(batch, img)
+        if getattr(enc, "pallas_stage1", True) and img == 256:
+            step_flops += stage1_pallas.flops(batch, img // 4, img // 4)
     xyz, uv = step(params, batch_stats, image, key)
     jax.block_until_ready(xyz)
     jax.block_until_ready(scan_steps(params, batch_stats, image, key))

@@ -31,8 +31,9 @@ class EncoderConfig(NamedTuple):
     # gated; see models/stem_pallas.py). Full-pipeline A/B in docs/PERF.md.
     pallas_stem: bool = True
     # Fused Pallas stage-1 (three VMEM-resident bottlenecks) on the TPU
-    # eval path — see models/stage1_pallas.py; A/B-gated like the stem.
-    pallas_stage1: bool = False
+    # eval path — see models/stage1_pallas.py. Full-pipeline A/B r3:
+    # +6.3% headline (B=32), +14.5% eval shape (B=64); default ON.
+    pallas_stage1: bool = True
 
     def resolved_feat_dim(self) -> int:
         return self.feat_dim or resnet.FEAT_DIMS[self.backbone]
@@ -44,7 +45,7 @@ def init(key: jax.Array, cfg: EncoderConfig, image_size: int = 256):
     bb = resnet.make_backbone(cfg.backbone, dtype=jnp.dtype(cfg.dtype),
                               pallas_stem=getattr(cfg, 'pallas_stem', True),
                               pallas_stage1=getattr(cfg, 'pallas_stage1',
-                                                    False))
+                                                    True))
     dummy = jnp.zeros((1, image_size, image_size, 3))
     variables = bb.init(k_bb, dummy, train=False)
     f = cfg.resolved_feat_dim()
@@ -81,7 +82,7 @@ def apply(
     bb = resnet.make_backbone(cfg.backbone, dtype=jnp.dtype(cfg.dtype),
                               pallas_stem=getattr(cfg, 'pallas_stem', True),
                               pallas_stage1=getattr(cfg, 'pallas_stage1',
-                                                    False))
+                                                    True))
     variables = {"params": params["backbone"], "batch_stats": batch_stats}
     if train:
         feats, mutated = bb.apply(variables, image, train=True, mutable=["batch_stats"])

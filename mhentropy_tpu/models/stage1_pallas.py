@@ -47,9 +47,9 @@ import jax.numpy as jnp
 
 F1 = 64        # bottleneck mid width (stage-1 filters)
 FOUT = 256     # block output channels (expansion 4)
-WIMG = 64      # post-stem image width — locked by the lane design
 PAD = 128      # lane margin for tap slices (full lane-tile keeps the
-               # centre writes aligned; taps reach at most +-65 lanes)
+               # centre writes aligned; taps reach at most +-(W+1) lanes,
+               # so any post-stem width up to 127 fits — 64 and 56 shipped)
 K1 = 128       # block-0 conv1/downsample contraction: 64 ch + ones row
 KP = 272       # block-1/2 conv1 contraction: 256 ch + ones row, 16-padded
 
@@ -60,7 +60,7 @@ PAIRS = [(0, 1), (2, 3), (4, 5), (6, 7), (8, None)]
 
 
 def _kernel(x_ref, w1a_ref, wd_ref, w1_ref, wp_ref, w3_ref, out_ref,
-            xin, hpad, h2s, prev, pairbuf, acc256, *, hw: int,
+            xin, hpad, h2s, prev, pairbuf, acc256, *, hw: int, w: int,
             compute_dtype):
     c = compute_dtype
     f32 = jnp.float32
@@ -84,7 +84,7 @@ def _kernel(x_ref, w1a_ref, wd_ref, w1_ref, wp_ref, w3_ref, out_ref,
     hpad[:, 0:PAD] = jnp.zeros((F1, PAD), c)     # dy tap margins (zeros)
     hpad[:, PAD + hw:] = jnp.zeros((F1, PAD), c)
 
-    w_of = jax.lax.broadcasted_iota(jnp.int32, (F1, hw), 1) % WIMG
+    w_of = jax.lax.broadcasted_iota(jnp.int32, (F1, hw), 1) % w
     ones_plane = jnp.ones((F1, hw), c)
 
     for block in range(3):
@@ -101,13 +101,13 @@ def _kernel(x_ref, w1a_ref, wd_ref, w1_ref, wp_ref, w3_ref, out_ref,
                 if t is None:
                     return ones_plane  # carries the conv2 bias weights
                 dy, dx = TAPS[t]
-                d = WIMG * dy + dx
+                d = w * dy + dx
                 v = hpad[:, PAD + d:PAD + d + hw]
-                # dx wrap masks: flattened rows make (h, 63)+1 read (h+1, 0).
+                # dx wrap masks: flattened rows make (h, W-1)+1 read (h+1, 0).
                 if dx == -1:
                     v = jnp.where(w_of > 0, v, 0)
                 elif dx == 1:
-                    v = jnp.where(w_of < WIMG - 1, v, 0)
+                    v = jnp.where(w_of < w - 1, v, 0)
                 return v
 
             # Two ref stores, not a concat: Mosaic rejects concatenating
@@ -129,13 +129,21 @@ def _kernel(x_ref, w1a_ref, wd_ref, w1_ref, wp_ref, w3_ref, out_ref,
         else:
             # Emit NHWC: per-128-pixel-chunk MXU transpose (256, 128) ->
             # (128, 256), so stage 2 reads its preferred layout directly.
+            # hw % 128 == 64 (e.g. 56x56) gets one half-width tail chunk.
             e128 = eye(128)
+            e64 = eye(64)
             for ch in range(hw // 128):
                 t = jax.lax.dot_general(
                     e128, pnew[:, 128 * ch:128 * (ch + 1)],
                     (((1,), (1,)), ((), ())), preferred_element_type=f32)
                 out_ref[0, 128 * ch:128 * (ch + 1), :] = t.astype(
                     out_ref.dtype)
+            if hw % 128:
+                off = hw - hw % 128
+                t = jax.lax.dot_general(
+                    e64, pnew[:, off:],
+                    (((1,), (1,)), ((), ())), preferred_element_type=f32)
+                out_ref[0, off:, :] = t.astype(out_ref.dtype)
 
 
 def _fold(kernel11, bn, eps, dtype):
@@ -163,7 +171,8 @@ def stage1_forward(x, blocks, eps: float = 1e-5,
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, cin = x.shape
-    assert w == WIMG and cin == F1 and h % 8 == 0, (b, h, w, cin)
+    assert cin == F1 and h % 8 == 0 and w % 8 == 0 and hw_ok(h, w), (
+        b, h, w, cin)
     hw = h * w
     xf = x.reshape(b, hw, F1).astype(compute_dtype)
     dt = compute_dtype
@@ -207,7 +216,7 @@ def stage1_forward(x, blocks, eps: float = 1e-5,
     wp = jnp.stack([pair_weights(j) for j in range(3)])      # (3,5,64,128)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, hw=hw, compute_dtype=compute_dtype),
+        functools.partial(_kernel, hw=hw, w=w, compute_dtype=compute_dtype),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, hw, F1), lambda i: (i, 0, 0),
@@ -244,6 +253,22 @@ def stage1_forward(x, blocks, eps: float = 1e-5,
     return out.reshape(b, h, w, FOUT).astype(out_dtype)
 
 
+def flops(batch: int, h: int = 64, w: int = 64) -> int:
+    """Conv-semantics FLOPs of the fused stage (for MFU accounting — XLA's
+    cost analysis cannot see inside the custom call). Matches the measured
+    XLA-count delta when the kernel replaces the stage (56.4G at B=32,
+    analytic 55.8G; the remainder is BN/ReLU elementwise)."""
+    hw = h * w
+    block0 = 2 * hw * (F1 * F1 + 9 * F1 * F1 + F1 * FOUT + F1 * FOUT)
+    block_n = 2 * hw * (FOUT * F1 + 9 * F1 * F1 + F1 * FOUT)
+    return batch * (block0 + 2 * block_n)
+
+
+def hw_ok(h: int, w: int) -> bool:
+    # The NHWC emit handles full 128-pixel chunks plus one 64-wide tail.
+    return (h * w) % 128 in (0, 64)
+
+
 def supported(x: jax.Array, num_filters: int, stage_size: int,
               train: bool) -> bool:
     return (
@@ -251,7 +276,14 @@ def supported(x: jax.Array, num_filters: int, stage_size: int,
         and jax.default_backend() == "tpu"
         and x.ndim == 4
         and x.shape[1] % 8 == 0
-        and x.shape[2] == WIMG
+        and x.shape[2] % 8 == 0
+        and x.shape[2] <= PAD - 2      # tap slices reach +-(W+1) lanes
+        and hw_ok(x.shape[1], x.shape[2])
+        # Empirical win gate (full-pipeline A/B, both sides measured):
+        # +6.3% at 64x64 (hw=4096), a wash at 56x56 (hw=3136, 836k vs 839k
+        # on the ProHMR pipeline) — the smaller stage's XLA fusions already
+        # sit near the roofline. Gate set between, like the LBS row gate.
+        and x.shape[1] * x.shape[2] >= 4096
         and x.shape[3] == F1
         and num_filters == F1
         and stage_size == 3

@@ -210,6 +210,13 @@ def stem_forward(
     return out
 
 
+def flops(batch: int, image_size: int = 256) -> int:
+    """Conv-semantics FLOPs of the fused stem (7x7/2, 3->64 ch) for MFU
+    accounting — XLA's cost analysis cannot see inside the custom call."""
+    out_hw = (image_size // 2) ** 2
+    return batch * 2 * out_hw * F * 7 * 7 * 3
+
+
 def supported(x: jax.Array, num_filters: int, train: bool) -> bool:
     return (
         not train

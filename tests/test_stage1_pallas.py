@@ -74,18 +74,44 @@ def _xla_reference(x, blocks, eps=1e-5):
     return x
 
 
-def test_stage1_kernel_matches_xla_f32():
-    """Exact math at f32 (interpret mode has no VMEM budget). H=8 keeps the
-    emulation affordable while exercising every code path — the top/bottom
-    dy margins, both dx wrap masks, all bias rows, and the NHWC emit."""
-    x = jax.random.normal(jax.random.key(0), (2, 8, 64, 64))
+@pytest.mark.parametrize("h,w", [(8, 64), (8, 56), (16, 40)])
+def test_stage1_kernel_matches_xla_f32(h, w):
+    """Exact math at f32 (interpret mode has no VMEM budget). Small H keeps
+    the emulation affordable while exercising every code path — the
+    top/bottom dy margins, both dx wrap masks, all bias rows, and the NHWC
+    emit. (8, 56) covers the ProHMR-width half-chunk emit tail
+    (hw % 128 == 64); (16, 40) covers hw % 128 == 0 at W != 64."""
+    assert stage1_pallas.hw_ok(h, w)
+    x = jax.random.normal(jax.random.key(0), (2, h, w, 64))
     blocks = _rand_blocks(jax.random.key(1))
     ours = stage1_pallas.stage1_forward(
         x, blocks, compute_dtype=jnp.float32, out_dtype=jnp.float32)
     ref = _xla_reference(x, blocks)
-    assert ours.shape == ref.shape == (2, 8, 64, 256)
+    assert ours.shape == ref.shape == (2, h, w, 256)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_supported_gate(monkeypatch):
+    """Pins the production gate: eval-only, TPU-only, stage-1 geometry,
+    and the empirical hw >= 4096 win threshold (64x64 ON; ProHMR's 56x56
+    measured a wash on the full pipeline, so OFF — docs/PERF.md)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def ok(h, w, c=64, f=64, n=3, train=False):
+        return stage1_pallas.supported(
+            jnp.zeros((2, h, w, c)), f, n, train)
+
+    assert ok(64, 64)
+    assert not ok(64, 64, train=True)       # training keeps XLA
+    assert not ok(56, 56)                   # hw=3136 < win gate
+    assert not ok(64, 128)                  # taps exceed the lane margin
+    assert not ok(64, 64, c=128)            # wrong stage geometry
+    assert not ok(64, 64, n=4)
+    assert not ok(60, 60)                   # hw % 128 == 16: no emit path
+    assert ok(128, 64)                      # big inputs still qualify
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not ok(64, 64)                   # CPU backend never fuses
 
 
 def test_resnet_pallas_stage1_wiring(monkeypatch):

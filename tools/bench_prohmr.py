@@ -24,7 +24,13 @@ def run(variant: str, n_hypo=100, batch=32, steps=50):
     from mhentropy_tpu.core import smpl as smpl_lib
     from mhentropy_tpu.models import prohmr
 
+    import os
+
     cfg = prohmr.ProHMRConfig(use_pallas_sampler=(variant == "fused"))
+    # Stage-1 kernel A/B toggle (docs/PERF.md); default = EncoderConfig's.
+    if os.environ.get("MHENT_PALLAS_STAGE1") in ("0", "1"):
+        cfg = cfg._replace(encoder=cfg.encoder._replace(
+            pallas_stage1=os.environ["MHENT_PALLAS_STAGE1"] == "1"))
     model = smpl_lib.synthetic_smpl_model(0)
     params, batch_stats = prohmr.init(jax.random.key(0), cfg)
     img = cfg.image_size
