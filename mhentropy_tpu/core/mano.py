@@ -224,19 +224,19 @@ def synthetic_mano_model(seed: int = 0) -> ManoModel:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "pallas_lbs"))
-def _mano_forward_nl(
+def _chain_nl(
     model: ManoModel,
     theta: jax.Array,
     beta: jax.Array,
-    config: ManoConfig = ManoConfig(),
-    pallas_lbs: bool = False,
+    config: ManoConfig,
 ):
-    """Batch-last MANO forward core: returns (verts_nl (3, 778, B) mm,
-    joints21 (B, 21, 3) mm). Keeping the mesh batch-last end to end lets
-    consumers (the J-regressor in mano_decode, projections) contract it
-    with rows on lanes and lets XLA drop the (B, 778, 3) relayout whenever
-    the caller never reads the mesh (the bench/eval xyz+uv path)."""
+    """Shared MANO prefix: pose -> rotations -> kinematic chain, batch-last.
+
+    Returns (chain_r_nl (3, 3, 16, B), chain_t_nl (3, 16, B),
+    skin_t_nl (3, 16, B), v_shaped_nl (3, 778, B), pose_map (B, 135)).
+    Callers that never read v_shaped_nl (the folded-keypoint decode path)
+    let XLA dead-code the blendshape planes except the 16 rest joints.
+    """
     b = theta.shape[0]
     root_aa = theta[:, :3]
     coeffs = theta[:, 3 : 3 + config.ncomps]
@@ -250,7 +250,6 @@ def _mano_forward_nl(
     # Rotations for all 16 joints in one Rodrigues batch.
     full_aa = jnp.concatenate([root_aa, hand_pose], axis=1).reshape(b, 16, 3)
     rots = batch_rodrigues(full_aa)  # (B, 16, 3, 3)
-    root_rot = rots[:, 0]
     pose_map = (rots[:, 1:] - jnp.eye(3, dtype=rots.dtype)).reshape(b, N_POSE * 3)
 
     # Blendshapes (MXU einsums) — batch-LAST (d, v, b): every (778, B)
@@ -261,7 +260,6 @@ def _mano_forward_nl(
         "vdc,bc->dvb", model.shapedirs, beta
     )
     joints_nl = _einsum("jv,dvb->djb", model.j_regressor, v_shaped_nl)  # (3, 16, B)
-    v_posed_nl = v_shaped_nl + _einsum("vdp,bp->dvb", model.posedirs, pose_map)
 
     # Kinematic chain: root + 3 levels, each level one batched affine
     # compose over the 5 fingers. Transforms are kept as (R, t) pairs —
@@ -297,8 +295,28 @@ def _mano_forward_nl(
         :, CHAIN_REORDER
     ]  # (3, 16, B)
 
-    # LBS. Remove the rest-pose joint offset: A_j = G_j - [0 | R_j @ j_j].
+    # LBS rest-pose removal: A_j = G_j - [0 | R_j @ j_j].
     skin_t_nl = chain_t_nl - mv3(chain_r_nl, joints_nl)
+    return chain_r_nl, chain_t_nl, skin_t_nl, v_shaped_nl, pose_map
+
+
+@functools.partial(jax.jit, static_argnames=("config", "pallas_lbs"))
+def _mano_forward_nl(
+    model: ManoModel,
+    theta: jax.Array,
+    beta: jax.Array,
+    config: ManoConfig = ManoConfig(),
+    pallas_lbs: bool = False,
+):
+    """Batch-last MANO forward core: returns (verts_nl (3, 778, B) mm,
+    joints21 (B, 21, 3) mm). Keeping the mesh batch-last end to end lets
+    consumers (the J-regressor in mano_decode, projections) contract it
+    with rows on lanes and lets XLA drop the (B, 778, 3) relayout whenever
+    the caller never reads the mesh (the bench/eval xyz+uv path)."""
+    chain_r_nl, chain_t_nl, skin_t_nl, v_shaped_nl, pose_map = _chain_nl(
+        model, theta, beta, config
+    )
+    v_posed_nl = v_shaped_nl + _einsum("vdp,bp->dvb", model.posedirs, pose_map)
     # Blend R and t separately: materialising per-vertex (3, 3) + (3,) costs
     # 12/16 the HBM traffic of the homogeneous (4, 4) blend, and the wasted
     # constant bottom row is never computed. All batch-last: the blend is 9
@@ -357,6 +375,64 @@ def mano_forward(
     return jnp.transpose(verts_nl, (2, 1, 0)), joints21
 
 
+def _kp_regressor_matrix(model: ManoModel) -> jax.Array:
+    """(26, 778) keypoint-from-vertex regressor: rows 0-20 the FreiHAND
+    21-kp assembly (16 J-regressor rows in kp_src order, the 5 fingertip
+    slots replaced by one-hot vertex selectors — ManoLayer.py:109-148) and
+    rows 21-25 one-hot selectors of the kinematic-chain tip vertices."""
+    kp_src, tip_ids, tip_verts = skeletons.freihand_gather_indices()
+    m21 = model.j_regressor[kp_src]
+    m21 = m21.at[tip_ids].set(
+        jax.nn.one_hot(tip_verts, N_VERTS, dtype=m21.dtype)
+    )
+    m5 = jax.nn.one_hot(model.tips, N_VERTS, dtype=m21.dtype)
+    return jnp.concatenate([m21, m5], axis=0)
+
+
+def _folded_kp26_nl(model, chain_r_nl, skin_t_nl, beta, pose_map):
+    """All 26 decode keypoints WITHOUT materialising the 778-vertex mesh.
+
+    Keypoints are linear in the skinned vertices, and LBS is linear in the
+    rest-pose vertices, so the regressor folds through:
+
+        kp[k] = sum_j (M diag(w_j)) (v_posed R_j^T + 1 t_j^T)
+              = sum_j (C_T[j,k] + C_S[j,k] @ beta + C_P[j,k] @ f) R_j^T
+                + (M W)[k, j] t_j
+
+    with C_* = (M diag(w_j)) @ {template, shapedirs, posedirs} contracted
+    over all 778 vertices ONCE per model (loop-invariant: XLA hoists the
+    fold out of scanned eval loops). This replaces the ~320 us/step of f32
+    (778, R, 3) HBM plane traffic of the explicit blend at R=3200 (xplane
+    r3) with a (1248, 146) GEMM per sample batch — exact up to float
+    reassociation. The mesh path below survives for callers that read it.
+
+    Returns (kp26_nl (3, 26, B) in metres, uncentered; rowsum (26,) —
+    sum of regressor rows, the centering weight for non-row-stochastic
+    regressors).
+    """
+    m = _kp_regressor_matrix(model)  # (26, 778)
+    mw = m[:, :, None] * model.lbs_weights[None]  # (26, 778, 16)
+    c_t = _einsum("kvj,vc->jkc", mw, model.v_template)  # (16, 26, 3)
+    c_s = _einsum("kvj,vcs->jkcs", mw, model.shapedirs)  # (16, 26, 3, 10)
+    c_p = _einsum("kvj,vcp->jkcp", mw, model.posedirs)  # (16, 26, 3, 135)
+    w1 = jnp.sum(mw, axis=1)  # (26, 16)
+
+    q = (
+        c_t[..., None]
+        + _einsum("jkcs,bs->jkcb", c_s, beta)
+        + _einsum("jkcp,bp->jkcb", c_p, pose_map)
+    )  # (16, 26, 3, B)
+
+    kp = _einsum("kj,rjb->rkb", w1, skin_t_nl)  # (3, 26, B)
+    # The (j, c) contraction stays an explicit 48-term accumulate over
+    # (3, 26, B) planes: batch-last elementwise VPU work, like mm3 — a
+    # batched dot would make XLA relayout to 3200 tiny (3, 48) matmuls.
+    for j in range(N_JOINTS):
+        for c in range(3):
+            kp = kp + chain_r_nl[:, c, j][:, None, :] * q[j, :, c][None]
+    return kp, jnp.sum(m, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("skeidx", "pallas_lbs"))
 def mano_decode(model: ManoModel, theta: jax.Array, beta: jax.Array,
                 skeidx: str = "RHD", pallas_lbs: bool = False):
@@ -365,22 +441,53 @@ def mano_decode(model: ManoModel, theta: jax.Array, beta: jax.Array,
     Returns a dict with the mesh, the J-regressor 21 keypoints ('joints') and
     the kinematic-chain 21 keypoints ('mano_joints'), remapped to the
     requested skeleton ordering.
-    """
-    verts_nl, chain21 = _mano_forward_nl(model, theta, beta,
-                                         pallas_lbs=pallas_lbs)
 
-    # FreiHAND-style 21 keypoints from the J-regressor + fingertip vertices
-    # (ManoLayer.py:109-148) — contracted batch-last so the (3, 778, B)
-    # mesh feeds the regressor GEMM directly; the (B, 778, 3) mesh below is
-    # only materialised if the caller reads it.
-    reg16 = jnp.transpose(
-        _einsum("jv,dvb->djb", model.j_regressor, verts_nl), (2, 1, 0)
+    Both keypoint sets come from the folded regressor (`_folded_kp26_nl`)
+    and never touch the 778-vertex planes; the mesh is produced by the
+    explicit LBS blend and dead-codes away whenever the caller does not
+    read it (the bench/eval xyz+uv path) — numerically both routes agree
+    to float-reassociation (tested, test_mano.py).
+    """
+    config = ManoConfig()
+    chain_r_nl, chain_t_nl, skin_t_nl, v_shaped_nl, pose_map = _chain_nl(
+        model, theta, beta, config
     )
-    kp_src, tip_ids, tip_verts = skeletons.freihand_gather_indices()
-    joints = reg16[:, kp_src]  # (B, 21, 3); fingertip slots overwritten next
-    joints = joints.at[:, tip_ids].set(
-        jnp.transpose(verts_nl[:, tip_verts], (2, 1, 0))
+    kp26_nl, rowsum = _folded_kp26_nl(
+        model, chain_r_nl, skin_t_nl, beta, pose_map
     )
+
+    # Kinematic-chain 21 keypoints: chain joints ++ folded tip vertices.
+    chain21_nl = jnp.concatenate([chain_t_nl, kp26_nl[:, 21:]], axis=1)[
+        :, skeletons.MANOCHAIN2VIZ
+    ]  # (3, 21, B)
+    if config.center_idx is not None:
+        center_nl = chain21_nl[:, config.center_idx]  # (3, B)
+    else:
+        center_nl = jnp.zeros_like(chain21_nl[:, 0])
+    chain21_nl = chain21_nl - center_nl[:, None]
+    # Centering a regressed point shifts it by rowsum * center (exactly
+    # -center for row-stochastic regressor rows / one-hot tip selectors).
+    joints_nl = kp26_nl[:, :21] - rowsum[:21][None, :, None] * center_nl[:, None]
+    joints = jnp.transpose(joints_nl, (2, 1, 0)) * 1000.0  # (B, 21, 3) mm
+    chain21 = jnp.transpose(chain21_nl, (2, 1, 0)) * 1000.0
+
+    # Mesh: the explicit per-vertex blend (XLA einsums or the Pallas
+    # streaming kernel), computed only if the caller reads it.
+    v_posed_nl = v_shaped_nl + _einsum("vdp,bp->dvb", model.posedirs, pose_map)
+    if pallas_lbs:
+        from mhentropy_tpu.core import lbs_pallas
+
+        verts_nl = lbs_pallas.lbs_blend(
+            model.lbs_weights, chain_r_nl, skin_t_nl, v_posed_nl
+        )
+    else:
+        per_vert_r_nl = _einsum("vj,rcjb->rcvb", model.lbs_weights, chain_r_nl)
+        per_vert_t_nl = _einsum("vj,rjb->rvb", model.lbs_weights, skin_t_nl)
+        verts_nl = (
+            _einsum("rcvb,cvb->rvb", per_vert_r_nl, v_posed_nl)
+            + per_vert_t_nl
+        )  # (3, 778, B)
+    verts_nl = (verts_nl - center_nl[:, None]) * 1000.0
     verts = jnp.transpose(verts_nl, (2, 1, 0))
 
     if skeidx == "RHD":

@@ -118,3 +118,38 @@ def test_grads_flow_through_lbs(model):
     assert np.all(np.isfinite(np.asarray(g_theta)))
     assert np.all(np.isfinite(np.asarray(g_beta)))
     assert np.abs(np.asarray(g_theta)).max() > 0
+
+
+def test_folded_keypoints_match_explicit_regression(model):
+    """mano_decode's joints come from the regressor folded through the LBS
+    (never materialising the mesh); they must equal regressing the returned
+    mesh explicitly — including for a NON-row-stochastic J-regressor, where
+    centering contributes rowsum * center, not center."""
+    scaled = model._replace(
+        j_regressor=model.j_regressor
+        * (1.0 + 0.3 * jnp.arange(16, dtype=jnp.float32))[:, None]
+    )
+    key = jax.random.key(3)
+    theta = jax.random.normal(key, (4, 48)) * 0.3
+    beta = jax.random.normal(jax.random.fold_in(key, 1), (4, 10)) * 0.5
+    for m in (model, scaled):
+        out = mano.mano_decode(m, theta, beta, skeidx="FreiHand")
+        kp_src, tip_ids, tip_verts = skeletons.freihand_gather_indices()
+        # Explicit route: regress the (centered, mm) mesh the decode returns.
+        expected = np.einsum(
+            "jv,bvc->bjc", np.asarray(m.j_regressor), np.asarray(out["mesh"])
+        )[:, np.asarray(kp_src)]
+        expected[:, np.asarray(tip_ids)] = np.asarray(out["mesh"])[
+            :, np.asarray(tip_verts)
+        ]
+        np.testing.assert_allclose(
+            np.asarray(out["joints"]), expected, atol=2e-3
+        )
+        # Chain tips (mano_joints fingertip slots) = tip vertices of the mesh.
+        viz = np.asarray(skeletons.MANOCHAIN2VIZ)
+        tip_slots = np.nonzero(viz >= 16)[0]
+        np.testing.assert_allclose(
+            np.asarray(out["mano_joints"])[:, tip_slots],
+            np.asarray(out["mesh"])[:, np.asarray(m.tips)[viz[tip_slots] - 16]],
+            atol=2e-3,
+        )
