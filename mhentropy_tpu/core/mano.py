@@ -259,7 +259,17 @@ def _chain_nl(
     v_shaped_nl = model.v_template.T[:, :, None] + _einsum(
         "vdc,bc->dvb", model.shapedirs, beta
     )
-    joints_nl = _einsum("jv,dvb->djb", model.j_regressor, v_shaped_nl)  # (3, 16, B)
+    # Rest joints with the regressor folded into template/shapedirs: the
+    # model-only contractions hoist out of scanned loops and the (3, 778, B)
+    # v_shaped planes are only materialised when a caller reads the mesh.
+    joints_nl = (
+        _einsum("jv,vd->dj", model.j_regressor, model.v_template)[:, :, None]
+        + _einsum(
+            "jds,bs->djb",
+            _einsum("jv,vds->jds", model.j_regressor, model.shapedirs),
+            beta,
+        )
+    )  # (3, 16, B)
 
     # Kinematic chain: root + 3 levels, each level one batched affine
     # compose over the 5 fingers. Transforms are kept as (R, t) pairs —

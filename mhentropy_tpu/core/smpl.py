@@ -109,7 +109,17 @@ def smpl_forward(
     v_shaped_nl = model.v_template.T[:, :, None] + _einsum(
         "vdc,bc->dvb", model.shapedirs, betas
     )
-    joints_nl = _einsum("jv,dvb->djb", model.j_regressor, v_shaped_nl)
+    # Rest joints with the regressor folded into template/shapedirs (see
+    # core/mano.py::_chain_nl): joints-only consumers (MPJPE eval, the
+    # eval_prohmr GT path) never materialise the (3, V, B) v_shaped planes.
+    joints_nl = (
+        _einsum("jv,vd->dj", model.j_regressor, model.v_template)[:, :, None]
+        + _einsum(
+            "jds,bs->djb",
+            _einsum("jv,vds->jds", model.j_regressor, model.shapedirs),
+            betas,
+        )
+    )
     pose_map = (rotmats[:, 1:] - jnp.eye(3, dtype=rotmats.dtype)).reshape(b, 207)
     v_posed_nl = v_shaped_nl + _einsum("vdp,bp->dvb", model.posedirs, pose_map)
 
