@@ -8,7 +8,8 @@ K=147 GEMM over an im2col matrix built in VMEM:
 
 * XLA side: the image is padded (+4 rows each side) and 'planarised' into 6
   parity planes (column-parity x channel, (B, 6, H/2+8, W/2)); the 7x7x3
-  weights become a (64, 152) tap matrix; BN folds into a scale/shift pair.
+  weights become a (64, 152) tap matrix with eval-BN folded in (rows
+  scaled by g, bias on a ones-row in the K padding — the stage-1 trick).
 * Kernel, per image: 21 lane-rolled/masked tap planes (one per (kx, c)),
   an im2col matrix B (152, 128*128) assembled from consecutive-sublane
   (7, 128) blocks (the 7 ky-taps of a group are 7 consecutive image rows of
@@ -45,7 +46,7 @@ _SPECS = [((kx + 1) % 2 * 3 + c, (4 - kx) // 2)
           for kx in range(7) for c in range(3)]
 
 
-def _kernel(x_ref, a_ref, g_ref, b_ref, s_ref, out_ref,
+def _kernel(x_ref, a_ref, s_ref, out_ref,
             r_scratch, b_scratch, acc_scratch, *, conv_rows: int,
             compute_dtype):
     import jax.experimental.pallas as pl
@@ -64,34 +65,33 @@ def _kernel(x_ref, a_ref, g_ref, b_ref, s_ref, out_ref,
             v = jnp.where(lane <= 127 + shift, v, 0.0)
         r_scratch[t] = v.astype(compute_dtype)
 
-    # Zero the padded K rows once per cell (uninitialised VMEM may hold
-    # NaN bit patterns; 0 * NaN would poison the GEMM).
-    b_scratch[TAPS21 * 7:KDIM, :] = jnp.zeros(
-        (KDIM - TAPS21 * 7, conv_rows * 128), compute_dtype
+    # Padded K rows: row 147 is a ones-plane carrying the folded BN bias
+    # (the stage-1 kernel's trick — the K padding rides in the second MXU
+    # pass either way, so the bias is free); the rest zero (uninitialised
+    # VMEM may hold NaN bit patterns; 0 * NaN would poison the GEMM).
+    pad_rows = jax.lax.broadcasted_iota(
+        jnp.int32, (KDIM - TAPS21 * 7, conv_rows * 128), 0
     )
+    b_scratch[TAPS21 * 7:KDIM, :] = (pad_rows == 0).astype(compute_dtype)
     for i in range(conv_rows):
         for t in range(TAPS21):
             b_scratch[7 * t:7 * t + 7, 128 * i:128 * (i + 1)] = (
                 r_scratch[t, 2 * i + 1:2 * i + 8, :]
             )
 
+    # A carries BN folded in (rows scaled by g, bias on column 147), so
+    # acc IS g*conv+b and the epilogue is pure ReLU+maxpool — the old
+    # per-pooled-read affine cost ~2 VPU ops x 3 reads x 64 chunks.
     acc_scratch[:] = jnp.dot(
         a_ref[0], b_scratch[:], preferred_element_type=jnp.float32
     )
 
-    # Folded BN + ReLU + maxpool 3x3/2 pad 1 + NHWC emit. The BN tiles are
-    # lane-broadcast (F, 128) on the HOST: a (F, 1) operand crashes Mosaic's
-    # ApplyVectorLayout (extract_strided_slice limits 8 vs dim 1 — the
-    # round-3 SIGABRT; probe kernels without BN compiled fine). Applying
-    # affine+ReLU per pooled chunk (<=3 reads/chunk) also saves the full
-    # 4 MB read-modify-write pass a separate BN sweep would cost.
+    # ReLU + maxpool 3x3/2 pad 1 + NHWC emit.
     # Row pooling indexes conv-row lane BLOCKS (static slices); column
     # pooling is two rolls + the selection matmul S[k, 2k]=1, which compacts
     # stride-2 AND transposes (f, col) -> (col, f) in one MXU contraction
     # over the lane dim.
     neg = jnp.float32(-jnp.inf)
-    g_tile = g_ref[0]  # (F, 128) f32, value broadcast across lanes
-    b_tile = b_ref[0]
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (F, 128), 1)
     s_mat = s_ref[0]  # (64, 128) selection matrix, compute dtype
     for p in range(conv_rows // 2):
@@ -99,7 +99,7 @@ def _kernel(x_ref, a_ref, g_ref, b_ref, s_ref, out_ref,
 
         def bnrelu(r):
             blk = acc_scratch[:, 128 * r:128 * r + 128]
-            return jnp.maximum(blk * g_tile + b_tile, 0.0)
+            return jnp.maximum(blk, 0.0)
 
         m = bnrelu(rows[0])
         for r in rows[1:]:
@@ -156,15 +156,14 @@ def stem_forward(
         xp.reshape(b, rows, 128, 2, 3), (0, 3, 4, 1, 2)
     ).reshape(b, 6, rows, 128)
 
-    # Tap matrix: A[f, (kx*3+c)*7 + ky] = kernel[ky, kx, c, f].
-    wt = jnp.transpose(kernel, (1, 2, 0, 3)).reshape(147, F)
-    a = jnp.pad(wt, ((0, KDIM - 147), (0, 0))).T.astype(compute_dtype)[None]
-
-    g = (bn_scale * jax.lax.rsqrt(bn_var + eps)).astype(jnp.float32)
-    bb = (bn_bias - bn_mean * g).astype(jnp.float32)
-    # Lane-broadcast BN tiles: (F, 1) vectors crash Mosaic (see _kernel).
-    g = jnp.broadcast_to(g[:, None], (F, 128))[None]
-    bb = jnp.broadcast_to(bb[:, None], (F, 128))[None]
+    # Tap matrix with BN folded in: A[f, (kx*3+c)*7 + ky] =
+    # g[f] * kernel[ky, kx, c, f], and the bias rides column 147 against
+    # the ones-plane the kernel writes into the K padding.
+    g = bn_scale * jax.lax.rsqrt(bn_var + eps)
+    bb = bn_bias - bn_mean * g
+    wt = jnp.transpose(kernel, (1, 2, 0, 3)).reshape(147, F) * g[None]
+    a = jnp.pad(jnp.concatenate([wt, bb[None]], axis=0),
+                ((0, KDIM - 148), (0, 0))).T.astype(compute_dtype)[None]
 
     s_mat = jnp.zeros((F, 128)).at[jnp.arange(F), 2 * jnp.arange(F)].set(
         1.0
@@ -178,10 +177,6 @@ def stem_forward(
             pl.BlockSpec((1, 6, rows, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, F, KDIM), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 128), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, F, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -206,7 +201,7 @@ def stem_forward(
             # flag route measurably hurt the rest of the program (round 2).
             vmem_limit_bytes=48 * 1024 * 1024,
         ),
-    )(planes, a, g, bb, s_mat)
+    )(planes, a, s_mat)
     return out
 
 
