@@ -14,12 +14,14 @@ Design (probed in tools/stage1_probe.py, docs/PERF.md):
 * Channel-major (C, H*W) activations per image: every GEMM contracts at
   full K with N=4096 pixels on lanes (the pixel-major alternative caps at
   50% MXU on its N=64 GEMMs and measured 2x slower — probe variant A).
-* 3x3 conv as 4.5 tap-pair GEMMs: two 64-channel tap planes stacked on the
-  contraction dim (K=128). Tap planes are misaligned static LANE slices of
-  a 128-lane-padded buffer; Mosaic materialises them on store into the
-  pair buffer (a concatenate of offset-layout vectors is rejected —
-  "result/input offset mismatch on non-concat dimension" — so each half is
-  stored separately).
+* 3x3 conv as ONE K=640 GEMM: all 9 64-channel tap planes + the bias
+  ones-plane stacked on the contraction dim (5 MXU passes of 128 — the
+  same array time as the original five K=128 pair GEMMs, minus their four
+  (64, hw) f32 accumulate sweeps; +1% full-pipeline, r3). Tap planes are
+  misaligned static LANE slices of a 128-lane-padded buffer; Mosaic
+  materialises them on store into the pair buffer (a concatenate of
+  offset-layout vectors is rejected — "result/input offset mismatch on
+  non-concat dimension" — so each half is stored separately).
 * Every BN bias rides a spare contraction row (a ones-plane in the K
   padding), so eval-mode BN folds entirely into the GEMM weights: K=64
   contractions pad to 128 anyway (same MXU pass count), the ones-row is
@@ -95,7 +97,9 @@ def _kernel(x_ref, w1a_ref, wd_ref, w1_ref, wp_ref, w3_ref, out_ref,
                          preferred_element_type=f32)
         hpad[:, PAD:PAD + hw] = jnp.maximum(h1, 0.0).astype(c)
 
-        acc = jnp.zeros((F1, hw), f32)
+        # All 9 taps + the bias ones-plane stacked on K=640 (5 passes of
+        # 128, same MXU time as the old 5 pair GEMMs) — ONE dot instead of
+        # five, dropping 4 (64, hw) f32 accumulate sweeps per block.
         for p, (ta, tb) in enumerate(PAIRS):
             def tap(t):
                 if t is None:
@@ -112,10 +116,9 @@ def _kernel(x_ref, w1a_ref, wd_ref, w1_ref, wp_ref, w3_ref, out_ref,
 
             # Two ref stores, not a concat: Mosaic rejects concatenating
             # vectors whose layouts carry the slice offsets.
-            pairbuf[0:F1, :] = tap(ta)
-            pairbuf[F1:, :] = tap(tb)
-            acc += jnp.dot(wp_ref[block, p], pairbuf[:],
-                           preferred_element_type=f32)
+            pairbuf[2 * F1 * p:2 * F1 * p + F1, :] = tap(ta)
+            pairbuf[2 * F1 * p + F1:2 * F1 * (p + 1), :] = tap(tb)
+        acc = jnp.dot(wp_ref[block], pairbuf[:], preferred_element_type=f32)
         h2s[0:F1, :] = jnp.maximum(acc, 0.0).astype(c)
 
         acc256[:] = jnp.dot(w3_ref[block], h2s[:], preferred_element_type=f32)
@@ -211,9 +214,9 @@ def stage1_forward(x, blocks, eps: float = 1e-5,
                 rows.append(jnp.concatenate([taps[ta], half], axis=1))
             else:
                 rows.append(jnp.concatenate([taps[ta], taps[tb]], axis=1))
-        return jnp.stack(rows)                               # (5, 64, 128)
+        return jnp.concatenate(rows, axis=1)                 # (64, 640)
 
-    wp = jnp.stack([pair_weights(j) for j in range(3)])      # (3,5,64,128)
+    wp = jnp.stack([pair_weights(j) for j in range(3)])      # (3,64,640)
 
     out = pl.pallas_call(
         functools.partial(_kernel, hw=hw, w=w, compute_dtype=compute_dtype),
@@ -227,7 +230,7 @@ def stage1_forward(x, blocks, eps: float = 1e-5,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, F1, KP), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 5, F1, 2 * F1), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((3, F1, 10 * F1), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, FOUT, K1), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -240,7 +243,7 @@ def stage1_forward(x, blocks, eps: float = 1e-5,
             pltpu.VMEM((F1, hw + 2 * PAD), compute_dtype),  # hpad
             pltpu.VMEM((K1, hw), compute_dtype),            # h2s
             pltpu.VMEM((KP, hw), compute_dtype),            # prev
-            pltpu.VMEM((2 * F1, hw), compute_dtype),        # pairbuf
+            pltpu.VMEM((10 * F1, hw), compute_dtype),       # pairbuf (K=640)
             pltpu.VMEM((FOUT, hw), jnp.float32),            # acc256
         ],
         compiler_params=pltpu.CompilerParams(
