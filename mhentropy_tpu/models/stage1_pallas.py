@@ -283,10 +283,12 @@ def supported(x: jax.Array, num_filters: int, stage_size: int,
         and x.shape[2] <= PAD - 2      # tap slices reach +-(W+1) lanes
         and hw_ok(x.shape[1], x.shape[2])
         # Empirical win gate (full-pipeline A/B, both sides measured):
-        # +6.3% at 64x64 (hw=4096), a wash at 56x56 (hw=3136, 836k vs 839k
-        # on the ProHMR pipeline) — the smaller stage's XLA fusions already
-        # sit near the roofline. Gate set between, like the LBS row gate.
-        and x.shape[1] * x.shape[2] >= 4096
+        # +6.3% at 64x64 (hw=4096). 56x56 (hw=3136) was a wash with the
+        # five pair GEMMs (836k vs 839k on the ProHMR pipeline) and turned
+        # into a win with the single K=640 conv2 (863k vs 849k) — gate
+        # includes it. Below 3136 there is no measurement; the smaller the
+        # stage, the closer XLA's fusions sit to the roofline.
+        and x.shape[1] * x.shape[2] >= 3136
         and x.shape[3] == F1
         and num_filters == F1
         and stage_size == 3

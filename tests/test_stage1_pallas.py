@@ -104,7 +104,8 @@ def test_supported_gate(monkeypatch):
 
     assert ok(64, 64)
     assert not ok(64, 64, train=True)       # training keeps XLA
-    assert not ok(56, 56)                   # hw=3136 < win gate
+    assert ok(56, 56)                       # wins since the K=640 conv2
+    assert not ok(48, 56)                   # hw=2688 < win gate: unmeasured
     assert not ok(64, 128)                  # taps exceed the lane margin
     assert not ok(64, 64, c=128)            # wrong stage geometry
     assert not ok(64, 64, n=4)
