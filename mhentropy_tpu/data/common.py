@@ -10,6 +10,8 @@ pipeline at this data scale.
 
 from __future__ import annotations
 
+import queue
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import jax.numpy as jnp
@@ -100,3 +102,62 @@ def batches(
                 images = jnp.asarray(images)
                 target = {k2: jnp.asarray(v) for k2, v in target.items()}
             yield (images, target, *extras)
+
+
+class _PrefetchDone:
+    pass
+
+
+def prefetch(iterator, size: int = 2):
+    """Run `iterator` in a background thread, keeping up to `size` items
+    ready ahead of the consumer.
+
+    The torch-DataLoader-workers equivalent for this pipeline
+    (CrossModalHand.py:176-179 uses num_workers=4): jax dispatch is
+    already async, so the device overlaps with building the NEXT batch —
+    but only until the first host hiccup (a slow decode, a GC pause)
+    lands synchronously between steps. A bounded queue decouples host
+    jitter from the step cadence; `size` stays small because each slot
+    pins a full device-ready batch.
+
+    Exceptions in the producer propagate to the consumer at the point of
+    `next()`; abandoning the generator (break / close) stops the producer
+    promptly via a poison check on a bounded queue.
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(1, size))
+    stop = threading.Event()
+    err: list[BaseException] = []
+
+    def producer():
+        try:
+            for item in iterator:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # propagated to the consumer
+            err.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(_PrefetchDone, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _PrefetchDone:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()

@@ -484,10 +484,10 @@ class Experiment:
     def train_epoch(self, data, epoch: int):
         bs = self.cfg.training.batch_size
         loss_meter = AverageMeter()
-        for idx, (image, target) in enumerate(
+        for idx, (image, target) in enumerate(data_common.prefetch(
                 data_common.batches(data, bs, shuffle=True, seed=self.seed + epoch,
                                     pad_remainder=True)
-        ):
+        )):
             self.key, k_step = jax.random.split(self.key)
             self.state, aux = self._train_step(self.state, image, target, k_step)
             loss = float(aux["loss"])
@@ -516,7 +516,8 @@ class Experiment:
         # pad_remainder keeps tail samples (no drop_last in the reference's
         # eval DataLoader, CrossModalHand.py:176-179); metric means are
         # weighted by the per-batch valid count.
-        for image, target in data_common.batches(data, bs, pad_remainder=True):
+        for image, target in data_common.prefetch(
+                data_common.batches(data, bs, pad_remainder=True)):
             self.key, k = jax.random.split(self.key)
             mets = step(self.state.params, self.state.batch_stats, image, target, k)
             n_valid = float(mets.pop("n_valid", bs))

@@ -149,3 +149,50 @@ def test_target_transform_adds_weight():
     _, out = T.target_transform((image, target), "ho3d")
     assert out["target_uvd_weight"].shape == (2, 63)
     assert "image" in out
+
+
+def test_prefetch_preserves_order_and_exhausts():
+    from mhentropy_tpu.data import common
+
+    items = list(range(57))
+    out = list(common.prefetch(iter(items), size=3))
+    assert out == items
+
+
+def test_prefetch_propagates_producer_exception():
+    from mhentropy_tpu.data import common
+
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("boom in producer")
+
+    it = common.prefetch(gen(), size=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(ValueError, match="boom in producer"):
+        next(it)
+
+
+def test_prefetch_early_abandon_stops_producer():
+    import threading
+    import time
+
+    from mhentropy_tpu.data import common
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = common.prefetch(gen(), size=2)
+    assert next(it) == 0
+    it.close()  # abandon: the bounded queue must unblock the producer
+    n_after_close = len(produced)
+    time.sleep(0.5)
+    # Producer stopped: no unbounded draining of the source after close
+    # (at most the in-flight puts complete).
+    assert len(produced) <= n_after_close + 3
+    assert threading.active_count() < 50  # no thread pile-up
