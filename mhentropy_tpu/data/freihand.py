@@ -18,7 +18,7 @@ import os
 
 import numpy as np
 
-from mhentropy_tpu.data import occlusion, transforms as T
+from mhentropy_tpu.data import common, occlusion, transforms as T
 
 ROOT_IDX_FH = 9
 NORM_IDX_FH = 10
@@ -58,10 +58,8 @@ class FreiHANDDataset:
         return len(self.indices)
 
     def __getitem__(self, i: int):
-        import imageio.v2 as imageio
-
         idx = int(self.indices[i])
-        image = imageio.imread(
+        image = common.imread(
             os.path.join(self.root, "training", "rgb", f"{idx:08d}.jpg")
         )
         cam = self.k_mats[idx]

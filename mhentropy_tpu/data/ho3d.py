@@ -19,7 +19,7 @@ import pickle
 
 import numpy as np
 
-from mhentropy_tpu.data import occlusion, transforms as T
+from mhentropy_tpu.data import common, occlusion, transforms as T
 
 HO3D2RHD = np.array(
     [0, 16, 15, 14, 13, 17, 3, 2, 1, 18, 6, 5, 4, 19, 12, 11, 10, 20, 9, 8, 7]
@@ -120,14 +120,12 @@ class HO3DDataset:
 
     def __getitem__(self, idx: int):
         import cv2
-        import imageio.v2 as imageio
-
         seq, frame = self.files[idx].split("/")
-        image = imageio.imread(
+        image = common.imread(
             os.path.join(self.base, "train", seq, "rgb", frame + ".jpg")
         )
         depth = read_depth_img(self.base, seq, frame, "train")
-        seg = imageio.imread(
+        seg = common.imread(
             os.path.join(self.seg_root, "train", seq, "seg", frame + ".png")
         )
         seg = cv2.resize(seg, (640, 480), interpolation=cv2.INTER_NEAREST)

@@ -115,10 +115,21 @@ def patch_occlusion(
     k_idx = PATCH_KP_CYCLE[idx % len(PATCH_KP_CYCLE)]
     cx, cy = crop_uv[k_idx].astype(int)
     r = size
-    yy, xx = np.mgrid[0 : image_crop.shape[0], 0 : image_crop.shape[1]]
-    occ_img = (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+    from mhentropy_tpu.data import common
+
+    # The circle only touches its bounding box — build the full-frame mask
+    # from a windowed test (full-frame boolean indexing was ~0.8 ms of the
+    # ~11 ms RHD sample, tools/bench_input_pipeline.py).
+    h, w = image_crop.shape[:2]
+    y0, y1 = max(cy - r, 0), min(cy + r + 1, h)
+    x0, x1 = max(cx - r, 0), min(cx + r + 1, w)
+    occ_img = np.zeros((h, w), bool)
     out = image_crop.copy()
-    out[occ_img] = 0
+    if y0 < y1 and x0 < x1:
+        yy, xx = common.grid2d(y1 - y0, x1 - x0)
+        win = ((xx + x0 - cx) ** 2 + (yy + y0 - cy) ** 2) <= r * r
+        occ_img[y0:y1, x0:x1] = win
+        out[y0:y1, x0:x1][win] = 0
     occ_kp = (crop_uv[:, 0] - cx) ** 2 + (crop_uv[:, 1] - cy) ** 2 <= r * r
     vis = vis.copy() if vis is not None else np.ones(crop_uv.shape[0], np.float32)
     vis[occ_kp] = 0.0

@@ -16,7 +16,7 @@ import pickle
 
 import numpy as np
 
-from mhentropy_tpu.data import occlusion, transforms as T
+from mhentropy_tpu.data import common, occlusion, transforms as T
 
 BAD_TRAIN = (20500, 28140)  # rhddataloader.py:77
 BAD_EVAL = (1012, 1324)
@@ -68,7 +68,7 @@ def depth_to_cloud(depth, mask, center3d, cam, cloud_size=4000, rng=None):
     """Masked depth -> point cloud, box-filtered around the root, resampled
     to cloud_size (preprocess.py:178-210)."""
     h, w = depth.shape
-    v, u = np.mgrid[0:h, 0:w]
+    v, u = common.grid2d(h, w)
     sel = mask.reshape(-1)
     uvd = np.stack(
         [u.reshape(-1)[sel], v.reshape(-1)[sel], depth.reshape(-1)[sel]], 1
@@ -143,8 +143,6 @@ class RHDDataset:
         return len(self.anno)
 
     def __getitem__(self, idx: int):
-        import imageio.v2 as imageio
-
         ori_idx = idx
         if self.mode == "training" and idx in BAD_TRAIN:
             idx = 0
@@ -152,9 +150,9 @@ class RHDDataset:
             idx = 0
         anno = self.anno[idx]
         base = os.path.join(self.root, self.mode)
-        image = imageio.imread(os.path.join(base, "color", f"{idx:05d}.png"))
-        mask = imageio.imread(os.path.join(base, "mask", f"{idx:05d}.png"))
-        depth_png = imageio.imread(os.path.join(base, "depth", f"{idx:05d}.png"))
+        image = common.imread(os.path.join(base, "color", f"{idx:05d}.png"))
+        mask = common.imread(os.path.join(base, "mask", f"{idx:05d}.png"))
+        depth_png = common.imread(os.path.join(base, "depth", f"{idx:05d}.png"))
         depth = depth_two_uint8_to_float(depth_png[:, :, 0], depth_png[:, :, 1])
 
         kp_uv = anno["uv_vis"][:, :2]

@@ -149,7 +149,9 @@ def depth2mask(depth, threshold, center, crop_size):
     y1 = int(np.round(center[1] - crop_size))
     x2 = int(np.round(center[0] + crop_size))
     y2 = int(np.round(center[1] + crop_size))
-    v, u = np.mgrid[0:h, 0:w]
+    from mhentropy_tpu.data import common
+
+    v, u = common.grid2d(h, w)
     window = (u >= max(x1, 0)) & (u < x2) & (v >= max(y1, 0)) & (v < y2)
     return window & (depth >= lo) & (depth <= hi)
 

@@ -1,0 +1,73 @@
+"""Host-side input-pipeline throughput: can this host feed the chip?
+
+Fabricates an on-disk RHD-format dataset (the test fixtures' generator),
+then measures sustained imgs/s through the REAL path the trainer uses —
+`RHDDataset.__getitem__` (PNG decode, hand-side masking, depth visibility,
+crop via the C++ hostops kernel, augmentation, heatmaps) collated by
+`data.common.batches(num_workers=4)` + `prefetch`.
+
+Context numbers: the TPU train step consumes 1,413 imgs/s/chip (B=32,
+tools/bench_train.py) and a full-host eval scan ~9.8k imgs/s. One v5e
+HOST serves 8 chips with ~100+ cores; this box has ONE core, so the
+per-core number here x cores/chip decides whether real training is
+host-bound — and `parallel/multihost.py` shards the dataset per host
+when it is.
+
+Usage: python -m tools.bench_input_pipeline [n_batches]   (CPU-only OK)
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main():
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    import fixtures_data
+
+    from mhentropy_tpu.data import common, rhd
+
+    with tempfile.TemporaryDirectory() as root:
+        # 64 distinct samples, cycled: big enough to defeat any warm-file
+        # cache advantage of a single sample, small enough to fabricate fast.
+        fixtures_data.build_rhd(root, n=64, seed=0)
+        ds = rhd.load(root, "training")
+
+        bs = 32
+        # Warm one epoch-fragment (imports, BAD_TRAIN path, numpy pools).
+        next(iter(common.batches(ds, bs, to_device=False)))
+
+        t0 = time.perf_counter()
+        n_imgs = 0
+        it = common.prefetch(
+            _cycle_batches(common, ds, bs, n_batches), size=2
+        )
+        for images, target in it:
+            n_imgs += images.shape[0]
+        wall = time.perf_counter() - t0
+        per_core = n_imgs / wall
+        print(json.dumps({
+            "metric": "host input pipeline (RHD preprocess, num_workers=4)",
+            "imgs_per_sec_per_core": round(per_core, 1),
+            "train_step_demand_imgs_s": 1413,
+            "cores_needed_per_chip": round(1413 / per_core, 1),
+        }))
+    return 0
+
+
+def _cycle_batches(common, ds, bs, n_batches):
+    made = 0
+    while made < n_batches:
+        for b in common.batches(ds, bs, shuffle=True, seed=made,
+                                to_device=False):
+            yield b
+            made += 1
+            if made >= n_batches:
+                return
+
+
+if __name__ == "__main__":
+    sys.exit(main())
