@@ -13,7 +13,8 @@ per-core number here x cores/chip decides whether real training is
 host-bound — and `parallel/multihost.py` shards the dataset per host
 when it is.
 
-Usage: python -m tools.bench_input_pipeline [n_batches]   (CPU-only OK)
+Usage: python -m tools.bench_input_pipeline [n_batches] [mode]
+(CPU-only OK; mode = training | evaluation)
 """
 
 import json
@@ -25,6 +26,7 @@ import time
 
 def main():
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    mode = sys.argv[2] if len(sys.argv) > 2 else "training"
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
     import fixtures_data
 
@@ -33,8 +35,8 @@ def main():
     with tempfile.TemporaryDirectory() as root:
         # 64 distinct samples, cycled: big enough to defeat any warm-file
         # cache advantage of a single sample, small enough to fabricate fast.
-        fixtures_data.build_rhd(root, n=64, seed=0)
-        ds = rhd.load(root, "training")
+        fixtures_data.build_rhd(root, n=64, seed=0)  # builds both splits
+        ds = rhd.load(root, mode)
 
         bs = 32
         # Warm one epoch-fragment (imports, BAD_TRAIN path, numpy pools).
