@@ -196,3 +196,38 @@ def test_prefetch_early_abandon_stops_producer():
     # (at most the in-flight puts complete).
     assert len(produced) <= n_after_close + 3
     assert threading.active_count() < 50  # no thread pile-up
+
+
+def test_imread_matches_imageio(tmp_path):
+    """common.imread (direct PIL) must decode byte-identically to the
+    imageio.v2 path it replaced — RGB, grayscale, and RGB-packed-depth
+    PNGs (the three RHD file kinds)."""
+    import imageio.v2 as imageio
+
+    from mhentropy_tpu.data import common
+
+    rng = np.random.RandomState(0)
+    arrays = {
+        "rgb.png": rng.randint(0, 255, (37, 41, 3), np.uint8),
+        "gray.png": rng.randint(0, 255, (37, 41), np.uint8),
+    }
+    for name, arr in arrays.items():
+        path = str(tmp_path / name)
+        imageio.imwrite(path, arr)
+        ours = common.imread(path)
+        ref = imageio.imread(path)
+        np.testing.assert_array_equal(ours, ref)
+        assert ours.dtype == ref.dtype and ours.shape == ref.shape
+
+
+def test_grid2d_cached_and_immutable():
+    from mhentropy_tpu.data import common
+
+    g1 = common.grid2d(5, 7)
+    g2 = common.grid2d(5, 7)
+    assert g1 is g2  # cached
+    y, x = g1
+    np.testing.assert_array_equal(y, np.mgrid[0:5, 0:7][0])
+    np.testing.assert_array_equal(x, np.mgrid[0:5, 0:7][1])
+    with pytest.raises(ValueError):
+        g1[0][0, 0] = 9  # read-only: consumers must not corrupt the cache
