@@ -40,9 +40,11 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     img = 256
     # The relay costs ~25 ms per dispatch round-trip (device-side timeline
-    # is ~100% occupied at 4.5 ms/step — profiled r2); 100 scanned steps
-    # amortize it to noise, matching a sustained eval epoch.
-    steps = 100
+    # is ~100% occupied — profiled r2/r3); scanned steps amortize it. 250
+    # steps matches a sustained eval epoch (the shipped HO3D split is ~340
+    # steps at B=32): at 100 steps the RTT was still 250 us/step = 7% of
+    # the 3.2 ms device-busy step.
+    steps = 250
 
     # A/B toggles for kernel-default studies (docs/PERF.md); the bare
     # invocation the driver uses takes the EncoderConfig defaults.
