@@ -6,7 +6,7 @@ then measures sustained imgs/s through the REAL path the trainer uses —
 crop via the C++ hostops kernel, augmentation, heatmaps) collated by
 `data.common.batches(num_workers=4)` + `prefetch`.
 
-Context numbers: the TPU train step consumes 1,413 imgs/s/chip (B=32,
+Context numbers: the TPU train step consumes 1,611 imgs/s/chip (B=32,
 tools/bench_train.py) and a full-host eval scan ~9.8k imgs/s. One v5e
 HOST serves 8 chips with ~100+ cores; this box has ONE core, so the
 per-core number here x cores/chip decides whether real training is
@@ -54,8 +54,8 @@ def main():
         print(json.dumps({
             "metric": "host input pipeline (RHD preprocess, num_workers=4)",
             "imgs_per_sec_per_core": round(per_core, 1),
-            "train_step_demand_imgs_s": 1413,
-            "cores_needed_per_chip": round(1413 / per_core, 1),
+            "train_step_demand_imgs_s": 1611,
+            "cores_needed_per_chip": round(1611 / per_core, 1),
         }))
     return 0
 

@@ -1,10 +1,13 @@
 """Train-step throughput bench (honest methodology — see CLAUDE.md):
-10 optimisation steps inside one jitted lax.scan, per-step perturbed
+50 optimisation steps inside one jitted lax.scan, per-step perturbed
 images, state threaded through the carry so no step can be elided.
+(At 10 steps the ~25 ms relay dispatch RTT was still 2.5 ms/step = 11%
+of the report; a real epoch is hundreds of steps.)
 
 Prints ONE JSON line. Run on the TPU: `python tools/bench_train.py`.
-r2 measured: 23.4 ms/step at B=32 (resnet50 256px, N=10 hypotheses,
-reverse-KLD + Adam + global-norm clip), 1,370 imgs/s/chip.
+r2 measured: 23.4 ms/step at 10 scanned steps; late-r3: 19.9 ms at 50
+(1,611 imgs/s — same device math as the earlier 22.6 ms/10-step number,
+minus the amortised dispatch RTT).
 """
 import time, json
 from mhentropy_tpu.utils.cache import enable_compilation_cache
@@ -18,7 +21,7 @@ from mhentropy_tpu.models.mhent import MHEntConfig
 from mhentropy_tpu.train import engine
 import optax
 
-batch, img, STEPS = 32, 256, 10
+batch, img, STEPS = 32, 256, 50
 cfg = MHEntConfig(
     encoder=EncoderConfig(backbone="resnet50", n_latent=(512, 512)),
     flow=RealNVPConfig(dim=45, cond_dim=512, h_dim=512, num_steps=6),
