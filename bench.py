@@ -4,7 +4,7 @@ orthographic reprojection, i.e. everything network.py:846-883 does per
 hypothesis).
 
 Two measurements:
-  - pipelined (headline): 100 steps inside one jitted lax.scan — sustained
+  - pipelined (headline): 250 steps inside one jitted lax.scan — sustained
     device throughput, the number an eval loop with pipelined dispatch sees.
   - per_call: one dispatch per step from Python. On this 1-core host the
     per-call number includes ~3 ms of host dispatch overhead per step, which

@@ -429,13 +429,23 @@ def sample_hypotheses(
     n_quant: int | None = None,
     temp: float = 0.8,
     mods=("xyz", "uv", "verts"),
+    quant=None,
 ) -> dict:
     """Multi-hypothesis inference (network.py:846-883).
 
     Returns dict with th_bt / logs_t (N', B, .), xyz (N', B, 63),
     uv (N', B, 42) in pixel space, verts (N', B, 2334), faces.
+
+    quant: optional (QuantSpec, qtree) from models/quant.py — runs the
+    conditioning encoder through the int8 W8A8 path (serving option).
     """
-    feat, _ = extract_feat(params, batch_stats, cfg, image, train=False)
+    if quant is not None:
+        from mhentropy_tpu.models import quant as quant_mod
+
+        feat = quant_mod.encoder_feat(
+            quant[0], quant[1], params["encoder"], image)
+    else:
+        feat, _ = extract_feat(params, batch_stats, cfg, image, train=False)
     b = image.shape[0]
     z, log_q = sample_q_z(params, cfg, feat, key, n, temp=temp)
     z = z.reshape(n, b, Z_TOTAL)

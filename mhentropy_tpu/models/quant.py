@@ -1,0 +1,243 @@
+"""Post-training W8A8 quantization for the eval/serving encoder.
+
+The reference runs its torchvision backbone in f32/amp only
+(/root/reference/hand/network.py:56-61); this module is a TPU-native
+addition: the v5e MXU runs s8xs8->s32 convolutions ~1.44x faster than
+bf16 at this model's stage-2+ shapes (measured, docs/PERF.md "int8
+feasibility probe"), so the inference encoder can trade a bounded
+quantization error for a large step-time cut.
+
+Scheme (standard static PTQ):
+  - Weights: symmetric per-output-channel int8, s_w[c] = max|W[..,c]|/127.
+  - Activations: symmetric per-tensor int8 with a static scale calibrated
+    on representative images (max|x|/127 at each conv input). Conv inputs
+    here are post-ReLU (non-negative), so symmetric costs one sign bit —
+    accepted for simplicity; parity bounds are pinned by tests.
+  - Eval-mode BatchNorm folds EXACTLY into the requantization affine:
+    y = conv_s32 * (s_a * s_w[c] * alpha[c]) + beta[c], with
+    alpha = scale/sqrt(var+eps), beta = bias - mean*alpha.
+  - Residual adds / ReLU / pooling stay in the float compute dtype.
+
+The stem and (resnet50) stage 1 are NEVER quantized: both run as fused
+bf16 Pallas kernels on the eval path (models/{stem,stage1}_pallas.py),
+which beat XLA bf16 — and int8 XLA at stage-1's 37%-MXU shapes would
+still lose to the 48%-MXU kernel (601 us vs ~710 us at 1.44x). `q_from`
+selects the first quantized stage (default 1 = stages 2-4 on resnet50).
+
+Usage:
+    spec  = QuantSpec(backbone="resnet50")
+    act   = calibrate(spec, params["backbone"], batch_stats, calib_images)
+    qtree = prepare(spec, params["backbone"], batch_stats, act)
+    feats = backbone_forward(spec, qtree, images)   # == eval features
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+EPS = 1e-5
+_ARCH = {"resnet18": ((2, 2, 2, 2), "basic"),
+         "resnet50": ((3, 4, 6, 3), "bottleneck")}
+
+
+class QuantSpec(NamedTuple):
+    """Static quantization configuration (not part of the qtree pytree)."""
+
+    backbone: str = "resnet50"
+    q_from: int = 1            # first stage index (0-based) to quantize
+    dtype: str = "bfloat16"    # float compute dtype for unquantized ops
+    pallas_stem: bool = True
+    pallas_stage1: bool = True
+
+
+def _bn_affine(bn_p: dict, bn_s: dict):
+    alpha = bn_p["scale"] / jnp.sqrt(bn_s["var"] + EPS)
+    return alpha, bn_p["bias"] - bn_s["mean"] * alpha
+
+
+def _conv(x, w, stride: int, pad: int, dtype):
+    return lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), (stride, stride),
+        [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _qconv(x, site: dict, stride: int, pad: int):
+    """int8 conv + dequant. The quantize (round/clip) fuses into the
+    producing op; the s32->f32 rescale fuses into the consumer."""
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * site["inv_sa"]),
+                  -127, 127).astype(jnp.int8)
+    yi = lax.conv_general_dilated(
+        xq, site["w8"], (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return yi.astype(jnp.float32) * site["scale"] + site["bias"]
+
+
+def _stage1_blocks(p: dict, s: dict, n_blocks: int):
+    out = []
+    for j in range(n_blocks):
+        bp, bs = p[f"layer1_{j}"], s[f"layer1_{j}"]
+
+        def bn(name):
+            return {**bp[name], "mean": bs[name]["mean"],
+                    "var": bs[name]["var"]}
+
+        d = {f"conv{k}": bp[f"conv{k}"]["kernel"] for k in (1, 2, 3)}
+        d.update({f"bn{k}": bn(f"bn{k}") for k in (1, 2, 3)})
+        if j == 0:
+            d["ds_conv"] = bp["downsample_conv"]["kernel"]
+            d["ds_bn"] = bn("downsample_bn")
+        out.append(d)
+    return out
+
+
+def _forward(spec: QuantSpec, p: dict, s: dict, sites: dict | None, x,
+             collect: dict | None = None):
+    """Structural eval-mode forward shared by calibration (collect) and
+    quantized inference (sites). Float sites replicate resnet.py's eval
+    math exactly (BN folded; bf16 convs; Pallas stem/stage-1 under the
+    production gates)."""
+    from mhentropy_tpu.models import stage1_pallas, stem_pallas
+
+    dtype = jnp.dtype(spec.dtype)
+    sizes, kind = _ARCH[spec.backbone]
+
+    if (spec.pallas_stem and dtype == jnp.bfloat16
+            and stem_pallas.supported(x, 64, False)):
+        x = stem_pallas.stem_forward(
+            x, p["conv1"]["kernel"], p["bn1"]["scale"], p["bn1"]["bias"],
+            s["bn1"]["mean"], s["bn1"]["var"], eps=EPS,
+            compute_dtype=dtype, out_dtype=dtype)
+    else:
+        alpha, beta = _bn_affine(p["bn1"], s["bn1"])
+        x = (_conv(x, p["conv1"]["kernel"], 2, 3, dtype)
+             * alpha.astype(dtype) + beta.astype(dtype))
+        x = jnp.maximum(x, 0)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+    for i, n_blocks in enumerate(sizes):
+        quant_stage = i >= spec.q_from
+        if (i == 0 and not quant_stage and kind == "bottleneck"
+                and spec.pallas_stage1 and dtype == jnp.bfloat16
+                and stage1_pallas.supported(x, 64, n_blocks, False)):
+            x = stage1_pallas.stage1_forward(
+                x, _stage1_blocks(p, s, n_blocks), eps=EPS,
+                compute_dtype=dtype, out_dtype=dtype)
+            continue
+        for j in range(n_blocks):
+            stride = 2 if i > 0 and j == 0 else 1
+            path = f"layer{i + 1}_{j}"
+
+            def cv(conv_name, bn_name, xin, st, pad, path=path,
+                   quant=quant_stage):
+                key = f"{path}/{conv_name}"
+                if quant and sites is not None:
+                    return _qconv(xin, sites[key], st, pad).astype(dtype)
+                if quant and collect is not None:
+                    collect[key] = jnp.max(jnp.abs(xin)).astype(jnp.float32)
+                alpha, beta = _bn_affine(p[path][bn_name], s[path][bn_name])
+                y = _conv(xin, p[path][conv_name]["kernel"], st, pad, dtype)
+                return y * alpha.astype(dtype) + beta.astype(dtype)
+
+            r = x
+            if kind == "bottleneck":
+                y = jnp.maximum(cv("conv1", "bn1", x, 1, 0), 0)
+                y = jnp.maximum(cv("conv2", "bn2", y, stride, 1), 0)
+                y = cv("conv3", "bn3", y, 1, 0)
+            else:
+                y = jnp.maximum(cv("conv1", "bn1", x, stride, 1), 0)
+                y = cv("conv2", "bn2", y, 1, 1)
+            if r.shape != y.shape:
+                r = cv("downsample_conv", "downsample_bn", x, stride, 0)
+            x = jnp.maximum(y + r, 0)
+    return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+
+
+def calibrate(spec: QuantSpec, params_bb: dict, batch_stats: dict,
+              images) -> dict:
+    """Run the float eval forward on representative images, returning
+    {site: max|activation|} for every to-be-quantized conv input."""
+
+    def run(x):
+        collect = {}
+        _forward(spec, params_bb, batch_stats, None, x, collect)
+        return collect
+
+    return jax.device_get(jax.jit(run)(images))
+
+
+def prepare(spec: QuantSpec, params_bb: dict, batch_stats: dict,
+            act_maxabs: dict) -> dict:
+    """Build the quantized-inference pytree: int8 weights + requant
+    affines for quantized sites; a stripped float part (stem + stages
+    below q_from) for everything else."""
+    sizes, kind = _ARCH[spec.backbone]
+    sites = {}
+    float_p = {"conv1": params_bb["conv1"], "bn1": params_bb["bn1"]}
+    float_s = {"bn1": batch_stats["bn1"]}
+    conv_names = (("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3")) \
+        if kind == "bottleneck" else (("conv1", "bn1"), ("conv2", "bn2"))
+    for i, n_blocks in enumerate(sizes):
+        for j in range(n_blocks):
+            path = f"layer{i + 1}_{j}"
+            if i < spec.q_from:
+                float_p[path] = params_bb[path]
+                float_s[path] = batch_stats[path]
+                continue
+            names = list(conv_names)
+            if "downsample_conv" in params_bb[path]:
+                names.append(("downsample_conv", "downsample_bn"))
+            for conv_name, bn_name in names:
+                key = f"{path}/{conv_name}"
+                w = jnp.asarray(params_bb[path][conv_name]["kernel"],
+                                jnp.float32)
+                s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+                s_w_safe = jnp.where(s_w > 0, s_w, 1.0)
+                w8 = jnp.clip(jnp.round(w / s_w_safe), -127, 127
+                              ).astype(jnp.int8)
+                alpha, beta = _bn_affine(params_bb[path][bn_name],
+                                         batch_stats[path][bn_name])
+                s_a = jnp.float32(act_maxabs[key]) / 127.0
+                s_a = jnp.where(s_a > 0, s_a, 1.0)
+                sites[key] = {
+                    "w8": w8,
+                    "inv_sa": 1.0 / s_a,
+                    "scale": (s_a * s_w_safe * alpha).astype(jnp.float32),
+                    "bias": jnp.asarray(beta, jnp.float32),
+                }
+    return {"float": {"params": float_p, "batch_stats": float_s},
+            "sites": sites}
+
+
+def backbone_forward(spec: QuantSpec, qtree: dict, images) -> jax.Array:
+    """Quantized eval-mode feature extraction: (B, H, W, 3) -> (B, feat)."""
+    return _forward(spec, qtree["float"]["params"],
+                    qtree["float"]["batch_stats"], qtree["sites"], images)
+
+
+def quantize_encoder(enc_params: dict, batch_stats: dict, enc_cfg,
+                     calib_images, q_from: int = 1) -> tuple:
+    """One-call encoder quantization: returns (spec, qtree) for
+    `encoder_feat`. `enc_cfg` is an EncoderConfig; heads stay float."""
+    spec = QuantSpec(
+        backbone=enc_cfg.backbone, q_from=q_from, dtype=enc_cfg.dtype,
+        pallas_stem=getattr(enc_cfg, "pallas_stem", True),
+        pallas_stage1=getattr(enc_cfg, "pallas_stage1", True))
+    act = calibrate(spec, enc_params["backbone"], batch_stats, calib_images)
+    return spec, prepare(spec, enc_params["backbone"], batch_stats, act)
+
+
+def encoder_feat(spec: QuantSpec, qtree: dict, enc_params: dict,
+                 images) -> jax.Array:
+    """Quantized equivalent of the eval conditioning feature (the
+    encoder's mu head — network.py:779): backbone int8, l1 head f32."""
+    feats = backbone_forward(spec, qtree, images)
+    l1 = enc_params["l1"]
+    return jnp.dot(feats, l1["w"],
+                   precision=lax.Precision.HIGH) + l1["b"]
