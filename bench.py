@@ -138,6 +138,41 @@ def main():
         per_call.append(n_hypo * batch * steps / (time.perf_counter() - t0))
 
     rate = max(pipelined)
+
+    # int8 W8A8 serving option (models/quant.py; opt-out MHENT_BENCH_INT8=0):
+    # measured with the same scanned methodology, calibrated on the bench
+    # image. Recorded as extra fields — "value" stays the exact bf16 path.
+    int8_rate = None
+    if os.environ.get("MHENT_BENCH_INT8", "1") == "1":
+        try:
+            from mhentropy_tpu.models import quant
+
+            spec, qtree = quant.quantize_encoder(
+                params["encoder"], batch_stats, cfg.encoder, image, q_from=1)
+
+            @jax.jit
+            def scan_q(params, batch_stats, qtree, image, key):
+                def body(carry, k):
+                    img_k = image + jax.random.uniform(k, (1,)) * 1e-6
+                    out = mhent.sample_hypotheses(
+                        model, params, batch_stats, cfg, img_k, k, n=n_hypo,
+                        temp=0.8, mods=("xyz", "uv"), quant=(spec, qtree))
+                    return carry + (out["xyz"].sum() + out["uv"].sum()) * 1e-20, None
+
+                acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, steps))
+                return acc
+
+            jax.block_until_ready(scan_q(params, batch_stats, qtree, image, key))
+            best = []
+            for r in range(3):
+                t0 = time.perf_counter()
+                acc = scan_q(params, batch_stats, qtree, image,
+                             jax.random.fold_in(key, 50 + r))
+                jax.block_until_ready(acc)
+                best.append(n_hypo * batch * steps / (time.perf_counter() - t0))
+            int8_rate = max(best)
+        except Exception:
+            int8_rate = None
     # MFU vs the chip's bf16 matmul peak (v5e: 197 TFLOP/s; other chips
     # would need their own entry — the device kind is recorded alongside).
     peak_flops = 197e12
@@ -162,6 +197,8 @@ def main():
                 ),
                 "model_flops": step_flops,
                 "mfu": mfu,
+                "int8_serving": round(int8_rate, 1) if int8_rate else None,
+                "int8_speedup": round(int8_rate / rate, 4) if int8_rate else None,
                 "device_kind": jax.devices()[0].device_kind,
             }
         )

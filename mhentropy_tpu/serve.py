@@ -50,11 +50,15 @@ class InferenceServer:
         max_batch: largest request batch served in one dispatch.
         n_hypo: hypotheses per image (the config's test_samples if None).
         temp: sampling temperature (reference eval uses 0.8).
+        quantize: run the encoder int8 W8A8 (models/quant.py, +21%
+            measured). Activation scales calibrate on the FIRST real
+            predict() batch (warmup's zero images carry no signal), then
+            stay fixed — params are static after restore.
     """
 
     def __init__(self, cfg, checkpoint: str | None = None,
                  max_batch: int = 8, n_hypo: int | None = None,
-                 temp: float = 0.8):
+                 temp: float = 0.8, quantize: bool = False):
         import jax
 
         from mhentropy_tpu.train import engine
@@ -76,7 +80,10 @@ class InferenceServer:
         if checkpoint:
             self._restore(checkpoint)
 
-        self._fns: dict[int, Any] = {}
+        self._fns: dict[tuple, Any] = {}
+        self.quantize = bool(quantize)
+        self._quant = None  # (spec, qtree)
+        self._quant_ready = False  # calibrated on real data yet?
         self._key = jax.random.key(int(time.time()) & 0x7FFFFFFF)
 
     def _restore(self, path: str) -> None:
@@ -101,25 +108,39 @@ class InferenceServer:
             ckpt = loader.restore(os.path.abspath(path), template)
         self.params, self.batch_stats = ckpt["params"], ckpt["batch_stats"]
 
-    def _fn(self, batch: int):
+    def _fn(self, batch: int, quantized: bool = False):
         import jax
 
         from mhentropy_tpu.models import mhent
 
-        if batch not in self._fns:
+        key = (batch, quantized)
+        if key not in self._fns:
             cfg, model = self.model_cfg, self.model
             n = self.n_hypo
+            spec = self._quant[0] if quantized else None
 
             @jax.jit
-            def run(params, batch_stats, image, key, temp):
+            def run(params, batch_stats, image, k, temp, *qtree):
                 out = mhent.sample_hypotheses(
-                    model, params, batch_stats, cfg, image, key, n=n,
+                    model, params, batch_stats, cfg, image, k, n=n,
                     temp=temp, mods=("xyz", "uv"),
+                    quant=(spec, qtree[0]) if quantized else None,
                 )
                 return out["xyz"], out["uv"]
 
-            self._fns[batch] = run
-        return self._fns[batch]
+            self._fns[key] = run
+        return self._fns[key]
+
+    def _calibrate(self, images, ready: bool) -> None:
+        """Build the int8 qtree. ready=False marks a shape-only
+        calibration (warmup zeros) to be redone on the first real batch;
+        the redo swaps array VALUES only, so nothing recompiles."""
+        from mhentropy_tpu.models import quant
+
+        self._quant = quant.quantize_encoder(
+            self.params["encoder"], self.batch_stats,
+            self.model_cfg.encoder, images)
+        self._quant_ready = ready
 
     def warmup(self) -> None:
         """Compile every bucket up front (serving never hits the compiler)."""
@@ -127,10 +148,18 @@ class InferenceServer:
 
         for b in _buckets(self.max_batch):
             img = np.zeros((b, self.image_size, self.image_size, 3), np.float32)
-            xyz, uv = self._fn(b)(
-                self.params, self.batch_stats, img, self._key,
-                np.float32(self.temp),
-            )
+            if self.quantize:
+                if self._quant is None:
+                    self._calibrate(img, ready=False)
+                xyz, uv = self._fn(b, True)(
+                    self.params, self.batch_stats, img, self._key,
+                    np.float32(self.temp), self._quant[1],
+                )
+            else:
+                xyz, uv = self._fn(b)(
+                    self.params, self.batch_stats, img, self._key,
+                    np.float32(self.temp),
+                )
             jax.block_until_ready(xyz)
 
     def predict(self, images: np.ndarray, temp: float | None = None) -> dict:
@@ -158,10 +187,19 @@ class InferenceServer:
             pad = np.zeros((bucket - b, *images.shape[1:]), np.float32)
             images = np.concatenate([images, pad])
         self._key, sub = jax.random.split(self._key)
-        xyz, uv = self._fn(bucket)(
-            self.params, self.batch_stats, images, sub,
-            np.float32(self.temp if temp is None else temp),
-        )
+        if self.quantize:
+            if not self._quant_ready:
+                self._calibrate(images, ready=True)
+            xyz, uv = self._fn(bucket, True)(
+                self.params, self.batch_stats, images, sub,
+                np.float32(self.temp if temp is None else temp),
+                self._quant[1],
+            )
+        else:
+            xyz, uv = self._fn(bucket)(
+                self.params, self.batch_stats, images, sub,
+                np.float32(self.temp if temp is None else temp),
+            )
         # (N, B', K*d) flat -> (B, N, K, d) request-major, padding dropped.
         n = xyz.shape[0]
         xyz = np.asarray(xyz).reshape(n, bucket, -1, 3).transpose(1, 0, 2, 3)[:b]
@@ -238,12 +276,15 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8711)
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 W8A8 encoder (calibrates on first batch)")
     args = ap.parse_args(argv)
 
     enable_compilation_cache()
     cfg = update_cfg(args.cfg)
     server = InferenceServer(
-        cfg, checkpoint=args.ckpt, max_batch=args.max_batch, n_hypo=args.n
+        cfg, checkpoint=args.ckpt, max_batch=args.max_batch, n_hypo=args.n,
+        quantize=args.quantize,
     )
     print("warming buckets:", _buckets(server.max_batch), flush=True)
     server.warmup()

@@ -284,11 +284,17 @@ def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer,
 
 def make_eval_step(
     model: ManoModel, model_cfg: MHEntConfig, mesh, n: int, temp: float,
-    n_quant: int | None = None,
+    n_quant: int | None = None, quant_spec=None,
 ):
-    """Multi-hypothesis eval: N sharded over 'hypo', batch over 'data'."""
+    """Multi-hypothesis eval: N sharded over 'hypo', batch over 'data'.
 
-    def eval_fn(params, batch_stats, image, target, key):
+    quant_spec: optional models/quant.QuantSpec — the returned step takes
+    a trailing int8 qtree argument and samples hypotheses through the
+    quantized encoder (the reverse-KLD log_p metric stays float). The
+    qtree is an argument, not a closure constant, so per-epoch
+    recalibration never recompiles."""
+
+    def eval_fn(params, batch_stats, image, target, key, *qtree):
         out, _ = mhent.reverse_kld(
             model, params, batch_stats, model_cfg, target, image, key,
             train=False,
@@ -296,6 +302,7 @@ def make_eval_step(
         samples = mhent.sample_hypotheses(
             model, params, batch_stats, model_cfg, image, key,
             n=n, n_quant=n_quant if n_quant is not None else n, temp=temp,
+            quant=(quant_spec, qtree[0]) if quant_spec is not None else None,
         )
         hypo_spec = P(mesh_lib.HYPO_AXIS, mesh_lib.DATA_AXIS)
         for k in ("xyz", "uv", "verts"):
@@ -314,7 +321,10 @@ def make_eval_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
-    return _mesh_jit(eval_fn, mesh, (repl, repl, data, data, repl), repl)
+    in_sh = (repl, repl, data, data, repl)
+    if quant_spec is not None:
+        in_sh = in_sh + (repl,)
+    return _mesh_jit(eval_fn, mesh, in_sh, repl)
 
 
 class Experiment:
@@ -450,19 +460,20 @@ class Experiment:
         with open(os.path.join(self.cfg.model_dir, "models.txt"), "w") as fp:
             fp.write("\n".join(lines) + "\n")
 
-    def _get_eval_step(self, n: int, temp: float):
-        if (n, temp) not in self._eval_step:
+    def _get_eval_step(self, n: int, temp: float, quant_spec=None):
+        key = (n, temp, quant_spec)
+        if key not in self._eval_step:
             if self.integrated:
                 n_quant = self.cfg.training.get("test_quant") or n
-                self._eval_step[(n, temp)] = make_eval_step(
+                self._eval_step[key] = make_eval_step(
                     self.model, self.model_cfg, self.mesh, n, temp,
-                    n_quant=min(n_quant, n),
+                    n_quant=min(n_quant, n), quant_spec=quant_spec,
                 )
             else:
-                self._eval_step[(n, temp)] = make_rle_eval_step(
+                self._eval_step[key] = make_rle_eval_step(
                     self.model_cfg, self.mesh
                 )
-        return self._eval_step[(n, temp)]
+        return self._eval_step[key]
 
     # ------------------------------------------------------------------ loops
     def train_baseline(self):
@@ -510,8 +521,26 @@ class Experiment:
             self._ensure_state(max(1, _num_samples(data) // bs))
         self._apply_pending_restore()
         n = n or self.cfg.training.test_samples
-        step = self._get_eval_step(n, temp=self.cfg.training.get("eval_temp", 0.8))
         bs = self.cfg.training.batch_size
+        temp = self.cfg.training.get("eval_temp", 0.8)
+        # int8 eval sampling (cfg.tpu.quantize_encoder): recalibrated on
+        # the first eval batch EVERY eval_loop call (params move between
+        # epochs); the qtree is a step argument, so this never recompiles.
+        qargs = ()
+        if (self.integrated and "tpu" in self.cfg
+                and bool(self.cfg.tpu.get("quantize_encoder", False))):
+            from mhentropy_tpu.models import quant as quant_mod
+
+            image0, _ = next(iter(
+                data_common.batches(data, bs, pad_remainder=True)))
+            spec, qtree = quant_mod.quantize_encoder(
+                self.state.params["encoder"], self.state.batch_stats,
+                self.model_cfg.encoder, jnp.asarray(image0),
+                q_from=int(self.cfg.tpu.get("quantize_q_from", 1)))
+            step = self._get_eval_step(n, temp, quant_spec=spec)
+            qargs = (qtree,)
+        else:
+            step = self._get_eval_step(n, temp)
         meters = {}
         # pad_remainder keeps tail samples (no drop_last in the reference's
         # eval DataLoader, CrossModalHand.py:176-179); metric means are
@@ -519,7 +548,8 @@ class Experiment:
         for image, target in data_common.prefetch(
                 data_common.batches(data, bs, pad_remainder=True)):
             self.key, k = jax.random.split(self.key)
-            mets = step(self.state.params, self.state.batch_stats, image, target, k)
+            mets = step(self.state.params, self.state.batch_stats, image,
+                        target, k, *qargs)
             n_valid = float(mets.pop("n_valid", bs))
             for name, v in mets.items():
                 meters.setdefault(name, AverageMeter()).update(float(v), n=n_valid)

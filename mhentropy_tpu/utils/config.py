@@ -181,6 +181,12 @@ def get_cfg_defaults() -> CfgNode:
     cfg.tpu.fsdp = False  # ZeRO-3: shard train state over the data axis
     cfg.tpu.compute_dtype = "bfloat16"  # backbone compute dtype
     cfg.tpu.data_dir = None  # dataset root; None -> synthetic fixture
+    # int8 W8A8 encoder on the eval sampling path (models/quant.py):
+    # calibrated on the first eval batch each eval_loop call, +21%
+    # full-pipeline throughput measured (docs/PERF.md). Eval-only; the
+    # reverse-KLD log_p metric stays float.
+    cfg.tpu.quantize_encoder = False
+    cfg.tpu.quantize_q_from = 1  # first backbone stage to quantize
 
     return cfg
 

@@ -146,6 +146,39 @@ def test_eval_step_hypo_sharding_matches_unsharded(small_cfg, model):
         assert abs(a - b) <= 1e-4 + 1e-4 * abs(a), (k, a, b)
 
 
+def test_eval_step_quantized_tracks_float(small_cfg, model):
+    """cfg.tpu.quantize_encoder path: the int8 eval step runs on the
+    sharded mesh and its sample-quality metrics track the float step
+    (the conditioning feature is the only thing quantization touches;
+    feature cos > 0.99 is pinned in test_quant.py — here we pin the
+    END-TO-END effect through flow sampling + decode + metrics)."""
+    from mhentropy_tpu.models import quant
+
+    optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
+    state = engine.init_state(jax.random.key(0), small_cfg, optimizer)
+    data = synthetic.make_dataset(model, n=4, image_size=IMG, seed=5)
+    image, target = next(synthetic.batches(data, 4))
+    mesh = mesh_lib.make_mesh(n_devices=4, hypo=2)
+    im = mesh_lib.shard_batch(mesh, image)
+    tg = mesh_lib.shard_batch(mesh, target)
+
+    fstep = engine.make_eval_step(model, small_cfg, mesh, n=8, temp=0.8)
+    ref = fstep(state.params, state.batch_stats, im, tg, jax.random.key(3))
+
+    spec, qtree = quant.quantize_encoder(
+        state.params["encoder"], state.batch_stats, small_cfg.encoder,
+        jax.numpy.asarray(image), q_from=1)
+    qstep = engine.make_eval_step(model, small_cfg, mesh, n=8, temp=0.8,
+                                  quant_spec=spec)
+    got = qstep(state.params, state.batch_stats, im, tg, jax.random.key(3),
+                qtree)
+    assert set(got) == set(ref)
+    for k in ("eucLoss_3d_rgb_sample", "eucLoss_2d_rgb_sample"):
+        a, b = float(ref[k]), float(got[k])
+        assert np.isfinite(b), k
+        assert abs(a - b) <= 0.25 * abs(a) + 1e-6, (k, a, b)
+
+
 def test_checkpoint_roundtrip(tmp_path, small_cfg, model):
     optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
     state = engine.init_state(jax.random.key(0), small_cfg, optimizer)

@@ -104,6 +104,24 @@ def test_eval_name_restores_after_training(tmp_path):
     assert np.isfinite(summary["eucLoss_3d_rgb_sample"])
 
 
+def test_experiment_quantized_eval_smoke(tmp_path):
+    """cfg.tpu.quantize_encoder drives the int8 W8A8 eval path end to end
+    through the Experiment (calibration on the first eval batch, qtree as
+    a step argument)."""
+    from mhentropy_tpu.train.engine import Experiment
+    from mhentropy_tpu.utils.config import update_cfg
+
+    cfg = update_cfg("configs/smoke.yaml")
+    cfg.model_dir = str(tmp_path / "run")
+    cfg.tpu.quantize_encoder = True
+    exp = Experiment(cfg)
+    _, eval_data = exp.make_datasets()
+    summary = exp.eval_loop(eval_data, epoch=0)
+    assert np.isfinite(summary["eucLoss_3d_rgb_sample"])
+    # The cached eval step is the quantized variant.
+    assert any(k[2] is not None for k in exp._eval_step)
+
+
 def test_experiment_rle_mode_smoke(tmp_path):
     """The non-integrated BasicEnc + p_nf RLE experiment path end to end
     (CrossModalHand.py:86-105, 262-346 dispatch): train an epoch on the

@@ -78,10 +78,30 @@ def test_predict_single_image_3d_input(server):
 def test_no_recompile_after_warmup(server):
     """Every bucket is compiled by warmup; predict must reuse them."""
     compiled = set(server._fns)
-    assert compiled == set(serve._buckets(server.max_batch))
+    assert compiled == {(b, False) for b in serve._buckets(server.max_batch)}
     server.predict(np.zeros((2, 32, 32, 3), np.float32))
     server.predict(np.zeros((4, 32, 32, 3), np.float32))
     assert set(server._fns) == compiled
+
+
+def test_quantized_server_calibrates_once_no_recompile(tiny_cfg):
+    """quantize=True: warmup precompiles int8 buckets with a shape-only
+    zero calibration; the first real batch recalibrates VALUES only (no
+    new programs), and subsequent predicts reuse the qtree."""
+    s = serve.InferenceServer(tiny_cfg, max_batch=2, quantize=True)
+    s.warmup()
+    compiled = set(s._fns)
+    assert compiled == {(b, True) for b in serve._buckets(2)}
+    assert not s._quant_ready
+    rng = np.random.RandomState(2)
+    out = s.predict(rng.randn(2, 32, 32, 3).astype(np.float32))
+    assert s._quant_ready
+    assert np.isfinite(out["xyz"]).all()
+    qtree_id = id(s._quant)
+    out = s.predict(rng.randn(2, 32, 32, 3).astype(np.float32))
+    assert id(s._quant) == qtree_id  # no re-calibration
+    assert set(s._fns) == compiled  # no recompiles
+    assert np.isfinite(out["uv"]).all()
 
 
 def test_checkpoint_restore_roundtrip(tiny_cfg, tmp_path):

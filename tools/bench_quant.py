@@ -5,7 +5,9 @@ per-step perturbed images, full-output carry reductions).
 Both sides run in ONE process so relay conditions are identical.
 Prints one JSON line per side + a summary line.
 
-Usage: python tools/bench_quant.py [n_hypo] [batch] [steps]
+Usage: python tools/bench_quant.py [n_hypo] [batch] [steps] [q_from]
+(q_from=0 also quantizes stage 1 — the Pallas stage-1 kernel only runs
+on unquantized stages, so this A/Bs int8 XLA stage 1 vs the kernel.)
 """
 import json
 import sys
@@ -29,6 +31,7 @@ def main():
     n_hypo = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 250
+    q_from = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     img = 256
     cfg = MHEntConfig(
         encoder=EncoderConfig(backbone="resnet50", n_latent=(512, 512)),
@@ -42,7 +45,7 @@ def main():
         jax.random.key(2), (batch, img, img, 3)) * 2 - 1
 
     spec, qtree = quant.quantize_encoder(
-        params["encoder"], batch_stats, cfg.encoder, image, q_from=1)
+        params["encoder"], batch_stats, cfg.encoder, image, q_from=q_from)
 
     def run_side(tag, qt):
         def one_step(params, batch_stats, image, k):
@@ -80,7 +83,7 @@ def main():
         return rate
 
     base = run_side("bf16", None)
-    q = run_side("int8 W8A8 (stages 2-4)", qtree)
+    q = run_side(f"int8 W8A8 (q_from={q_from})", qtree)
     print(json.dumps({"metric": "int8 speedup", "value": round(q / base, 4)}))
     return 0
 
