@@ -125,15 +125,26 @@ def sample_hypotheses(
     key: jax.Array,
     n: int = 100,
     temp: float = 1.0,
+    quant=None,
 ):
     """N SMPL hypotheses per image: flow sample -> 6D -> rotmats -> LBS ->
     weak-perspective keypoint projection.
 
     Returns dict with pose_6d (N, B, 144), verts (N, B, V, 3),
     joints3d (N, B, 24, 3), uv (N, B, 24, 2), betas (B, 10), cam (B, 3).
+
+    quant: optional (QuantSpec, qtree) — int8 W8A8 context encoder
+    (models/quant.py), same serving option as the MHEnt pipeline.
     """
     b = image.shape[0]
-    feat, _ = context_features(params, batch_stats, cfg, image, train=False)
+    if quant is not None:
+        from mhentropy_tpu.models import quant as quant_mod
+
+        feat = quant_mod.encoder_feat(
+            quant[0], quant[1], params["encoder"], image)
+    else:
+        feat, _ = context_features(params, batch_stats, cfg, image,
+                                   train=False)
     use_fused = cfg.use_pallas_sampler
     if use_fused is None:
         from mhentropy_tpu.flows import pallas_glow_sampler

@@ -96,6 +96,28 @@ def test_prohmr_sample_and_metrics(model, prohmr_setup):
     assert np.asarray(mets["mpjpe_bh"]).max() < 1e-3
 
 
+def test_prohmr_sample_quantized_tracks_float(model, prohmr_setup):
+    """int8 W8A8 context encoder on the ProHMR path (models/quant.py):
+    same hypotheses structure, joints3d close to the float path under the
+    same keys (the flow is smooth in the context feature)."""
+    from mhentropy_tpu.models import quant
+
+    cfg, params, stats = prohmr_setup
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    ref = prohmr.sample_hypotheses(
+        model, params, stats, cfg, image, jax.random.key(1), n=4)
+    qarg = quant.quantize_encoder(params["encoder"], stats, cfg.encoder,
+                                  image, q_from=1)
+    got = prohmr.sample_hypotheses(
+        model, params, stats, cfg, image, jax.random.key(1), n=4, quant=qarg)
+    assert got["joints3d"].shape == ref["joints3d"].shape
+    a, b = np.asarray(ref["joints3d"]), np.asarray(got["joints3d"])
+    assert np.isfinite(b).all()
+    scale = np.abs(a).mean() + 1e-9
+    assert np.abs(a - b).mean() / scale < 0.1, np.abs(a - b).mean() / scale
+
+
 def test_prohmr_nll_grads(model, prohmr_setup):
     cfg, params, stats = prohmr_setup
     b = 2

@@ -5,8 +5,10 @@ projection, N hypotheses per image, scanned steps with per-step-varied
 images and full output reduction into the carry (the methodology rules of
 docs/PERF.md — anything less reads impossibly fast through the relay).
 
-Usage: python -m tools.bench_prohmr [xla|fused|both]
-Prints one JSON line per variant.
+Usage: python -m tools.bench_prohmr [xla|fused|quant|both]
+Prints one JSON line per variant. "quant" = fused sampler + int8 W8A8
+context encoder (models/quant.py, weights baked as jit constants — the
+fixed-checkpoint deployment shape).
 """
 
 import json
@@ -26,7 +28,7 @@ def run(variant: str, n_hypo=100, batch=32, steps=50):
 
     import os
 
-    cfg = prohmr.ProHMRConfig(use_pallas_sampler=(variant == "fused"))
+    cfg = prohmr.ProHMRConfig(use_pallas_sampler=(variant in ("fused", "quant")))
     # Stage-1 kernel A/B toggle (docs/PERF.md); default = EncoderConfig's.
     if os.environ.get("MHENT_PALLAS_STAGE1") in ("0", "1"):
         cfg = cfg._replace(encoder=cfg.encoder._replace(
@@ -35,9 +37,19 @@ def run(variant: str, n_hypo=100, batch=32, steps=50):
     params, batch_stats = prohmr.init(jax.random.key(0), cfg)
     img = cfg.image_size
 
+    quant_arg = None
+    if variant == "quant":
+        from mhentropy_tpu.models import quant
+
+        image0 = jax.random.uniform(
+            jax.random.key(2), (batch, img, img, 3)) * 2 - 1
+        quant_arg = quant.quantize_encoder(
+            params["encoder"], batch_stats, cfg.encoder, image0, q_from=1)
+
     def one_step(params, batch_stats, image, key):
         out = prohmr.sample_hypotheses(
-            model, params, batch_stats, cfg, image, key, n=n_hypo, temp=1.0
+            model, params, batch_stats, cfg, image, key, n=n_hypo, temp=1.0,
+            quant=quant_arg,
         )
         return out["joints3d"], out["uv"], out["log_q"]
 
