@@ -55,6 +55,29 @@ def test_export_roundtrip_matches_live():
     )
 
 
+def test_quantized_export_roundtrip_matches_live():
+    """int8 W8A8 export: the qtree bakes into the artifact as constants;
+    the served outputs match the live quantized pipeline."""
+    from mhentropy_tpu.models import quant
+
+    cfg, model, params, batch_stats = _tiny_setup()
+    image = jax.random.uniform(jax.random.key(1), (BATCH, IMG, IMG, 3)) * 2 - 1
+    qarg = quant.quantize_encoder(params["encoder"], batch_stats,
+                                  cfg.encoder, image)
+    blob = export_lib.export_sampler(
+        model, cfg, params, batch_stats, BATCH, n=N, temp=0.8, quant=qarg
+    )
+    raw_key = jax.random.key_data(jax.random.key(2)).astype(jnp.uint32)
+    live = export_lib.make_sample_fn(model, cfg, N, 0.8, quant=qarg)(
+        params, batch_stats, image, raw_key
+    )
+    served = export_lib.load_sampler(blob).call(
+        params, batch_stats, image, raw_key)
+    np.testing.assert_allclose(
+        np.asarray(served["xyz"]), np.asarray(live["xyz"]), rtol=1e-2,
+        atol=0.05)
+
+
 def test_sharded_export_roundtrip():
     """A data-sharded serving artifact exports and serves on the 8-device
     virtual mesh (the multi-chip serving path of tools/export.py)."""

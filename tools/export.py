@@ -21,11 +21,18 @@ import argparse
 import json
 
 
-def make_sample_fn(model, cfg, n: int, temp: float, mods=("xyz", "uv")):
+def make_sample_fn(model, cfg, n: int, temp: float, mods=("xyz", "uv"),
+                   quant=None):
     """The jittable serving entry: (params, batch_stats, image, raw_key).
 
     raw_key is the uint32 key data (`jax.random.key_data(key)`) — typed PRNG
     keys don't cross the serialization boundary, raw arrays do.
+
+    quant: optional (QuantSpec, qtree) — the int8 W8A8 encoder
+    (models/quant.py). The qtree is closed over, so the int8 weights and
+    scales bake into the artifact as constants — the fixed-checkpoint
+    deployment shape (also the faster one: XLA constant-folds the int8
+    weight relayouts, docs/PERF.md).
     """
     import jax
 
@@ -35,7 +42,7 @@ def make_sample_fn(model, cfg, n: int, temp: float, mods=("xyz", "uv")):
         key = jax.random.wrap_key_data(raw_key)
         out = mhent.sample_hypotheses(
             model, params, batch_stats, cfg, image, key, n=n, temp=temp,
-            mods=mods,
+            mods=mods, quant=quant,
         )
         return {m: out[m] for m in mods}
 
@@ -62,7 +69,7 @@ def _register_param_types():
 
 def export_sampler(
     model, cfg, params, batch_stats, batch: int, n: int = 100,
-    temp: float = 0.8, mods=("xyz", "uv"),
+    temp: float = 0.8, mods=("xyz", "uv"), quant=None,
 ) -> bytes:
     """Serialize the sampler for `batch` images to a StableHLO artifact."""
     import jax
@@ -71,7 +78,7 @@ def export_sampler(
 
     _register_param_types()
 
-    fn = make_sample_fn(model, cfg, n, temp, mods)
+    fn = make_sample_fn(model, cfg, n, temp, mods, quant=quant)
     img = jax.ShapeDtypeStruct((batch, cfg.image_size, cfg.image_size, 3),
                                jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
@@ -95,6 +102,10 @@ def main():
     p.add_argument("--temp", type=float, default=0.8)
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--quantize", action="store_true",
+                   help="bake the int8 W8A8 encoder into the artifact "
+                        "(calibrates on random images here; pass real "
+                        "calibration data via the library API)")
     args = p.parse_args()
 
     import jax
@@ -113,8 +124,17 @@ def main():
     )
     model = mano.synthetic_mano_model(0)
     params, batch_stats = mhent.init(jax.random.key(0), cfg)
+    quant_arg = None
+    if args.quantize:
+        from mhentropy_tpu.models import quant
+
+        calib = jax.random.uniform(
+            jax.random.key(3),
+            (args.batch, args.image_size, args.image_size, 3)) * 2 - 1
+        quant_arg = quant.quantize_encoder(
+            params["encoder"], batch_stats, cfg.encoder, calib)
     blob = export_sampler(model, cfg, params, batch_stats, args.batch,
-                          n=args.n, temp=args.temp)
+                          n=args.n, temp=args.temp, quant=quant_arg)
     with open(args.out, "wb") as f:
         f.write(blob)
     print(json.dumps({

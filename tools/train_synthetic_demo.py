@@ -49,12 +49,14 @@ def main(epochs: int = 30, lr: float = 2e-4):
     step = engine.make_train_step(model, cfg, optimizer, mesh)
     eval_step = engine.make_eval_step(model, cfg, mesh, n=100, temp=0.8)
 
-    def evaluate():
+    def evaluate(step_fn=None, qargs=()):
+        step_fn = step_fn or eval_step
         mets = {}
         for i in range(0, 64, bs):
             im = jax.numpy.asarray(evald.images[i : i + bs])
             tg = {k: jax.numpy.asarray(v[i : i + bs]) for k, v in evald.targets.items()}
-            m = eval_step(state.params, state.batch_stats, im, tg, jax.random.key(9))
+            m = step_fn(state.params, state.batch_stats, im, tg,
+                        jax.random.key(9), *qargs)
             for k, v in m.items():
                 mets.setdefault(k, []).append(float(v))
         return {k: float(np.mean(v)) for k, v in mets.items()}
@@ -92,6 +94,22 @@ def main(epochs: int = 30, lr: float = 2e-4):
 
     after = evaluate()
     report("after", after)
+
+    # int8 W8A8 eval of the TRAINED model — the PTQ accuracy check:
+    # quantized BH-MPJPE vs float on the same split and sampling keys.
+    from mhentropy_tpu.models import quant
+
+    spec, qtree = quant.quantize_encoder(
+        state.params["encoder"], state.batch_stats, cfg.encoder,
+        jax.numpy.asarray(evald.images[:bs]), q_from=1)
+    qstep = engine.make_eval_step(model, cfg, mesh, n=100, temp=0.8,
+                                  quant_spec=spec)
+    after_q = evaluate(qstep, (qtree,))
+    report("after-int8", after_q)
+    delta = (after_q["eucLoss_3d_rgb_sample"]
+             - after["eucLoss_3d_rgb_sample"]) * 1000
+    print(f"int8 BH-MPJPE delta {delta:+.3f} mm", flush=True)
+
     drop = 1.0 - after["eucLoss_3d_rgb_sample"] / before["eucLoss_3d_rgb_sample"]
     improved = drop > 0
     print(f"BH-MPJPE drop {drop * 100:.1f}%  "
