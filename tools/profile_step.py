@@ -7,8 +7,10 @@ impossibly fast through the relay, so all optimisation A/Bs run on the full
 scanned pipeline and are attributed with this tool.
 
 Usage:
-    python -m tools.profile_step [train]          # profile + parse
+    python -m tools.profile_step [train|quant]    # profile + parse
     python -m tools.profile_step parse <logdir>   # re-parse an existing trace
+
+("quant" profiles the int8 W8A8 eval pipeline — models/quant.py.)
 
 Prints: total device-busy time, a top-op table (self time, occurrences,
 category), and the device timeline gap analysis (idle stretches > 50 us).
@@ -146,10 +148,19 @@ def run_and_profile(mode: str, logdir: str):
             jax.block_until_ready(aux["loss"])
         return
 
+    quant_arg = None
+    if mode == "quant":
+        from mhentropy_tpu.models import quant
+
+        calib = jax.random.uniform(
+            jax.random.key(2), (batch, img, img, 3)) * 2 - 1
+        quant_arg = quant.quantize_encoder(
+            params["encoder"], batch_stats, cfg.encoder, calib, q_from=1)
+
     def one_step(params, batch_stats, image, key):
         out = mhent.sample_hypotheses(
             model, params, batch_stats, cfg, image, key, n=n_hypo, temp=0.8,
-            mods=("xyz", "uv"),
+            mods=("xyz", "uv"), quant=quant_arg,
         )
         return out["xyz"], out["uv"]
 
