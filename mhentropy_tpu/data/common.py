@@ -113,7 +113,40 @@ def imread(path):
     the SAME decoder in ~2 ms/file of plugin-resolution + import machinery
     (profiled via tools/bench_input_pipeline.py: the 3-file RHD sample
     spent 7.4 ms in imageio for ~4.3 ms of actual PNG decode). EXIF
-    orientation is honoured like imageio's default."""
+    orientation is honoured like imageio's default.
+
+    When a decode cache is set (`set_decode_cache`), decoded arrays are
+    persisted as .npy next to a (mtime, size) stamp and later reads are
+    an mmap + copy (~30 us vs ~3-4 ms of PNG decode — the host pipeline
+    is decode-bound, docs/PERF.md). The copy keeps the contract that
+    callers get a private writable array."""
+    import os
+
+    if _DECODE_CACHE["dir"] is not None:
+        import hashlib
+
+        st = os.stat(path)
+        key = hashlib.sha1(
+            f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
+        ).hexdigest()
+        cpath = os.path.join(_DECODE_CACHE["dir"], key + ".npy")
+        try:
+            return np.load(cpath, mmap_mode="r").copy()
+        except (FileNotFoundError, ValueError):
+            pass
+        arr = _decode(path)
+        tmp = cpath + f".tmp{os.getpid()}"
+        try:
+            with open(tmp, "wb") as fp:  # np.save(str) would append .npy
+                np.save(fp, arr)
+            os.replace(tmp, cpath)  # atomic vs concurrent workers
+        except OSError:
+            pass
+        return arr
+    return _decode(path)
+
+
+def _decode(path):
     global _PIL
     if _PIL is None:
         from PIL import Image, ImageOps
@@ -123,6 +156,21 @@ def imread(path):
     with image_mod.open(path) as im:
         im = ops_mod.exif_transpose(im)
         return np.asarray(im)
+
+
+_DECODE_CACHE = {"dir": None}
+
+
+def set_decode_cache(path: str | None):
+    """Enable/disable the decoded-image cache (None disables). The cache
+    keys on (abspath, mtime, size), so edited files re-decode. Safe for
+    concurrent workers (atomic rename). Pays off from the second epoch
+    (or second run — it persists on disk)."""
+    import os
+
+    if path is not None:
+        os.makedirs(path, exist_ok=True)
+    _DECODE_CACHE["dir"] = path
 
 
 def grid2d(h, w):

@@ -383,6 +383,11 @@ class Experiment:
         if data_dir:
             from mhentropy_tpu.data import freihand, ho3d, rhd
 
+            cache = self.cfg.tpu.get("decode_cache") if "tpu" in self.cfg \
+                else None
+            if cache:
+                data_common.set_decode_cache(cache)
+
             loader = {"ho3d": ho3d, "rhd": rhd, "freihand": freihand}.get(name)
             if loader is None:
                 raise NotImplementedError(name)

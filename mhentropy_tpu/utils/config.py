@@ -187,6 +187,10 @@ def get_cfg_defaults() -> CfgNode:
     # reverse-KLD log_p metric stays float.
     cfg.tpu.quantize_encoder = False
     cfg.tpu.quantize_q_from = 1  # first backbone stage to quantize
+    # Decoded-image disk cache (data/common.set_decode_cache): the host
+    # pipeline is PNG-decode-bound; caching turns ~3-4 ms decodes into
+    # ~30 us mmap reads from the second epoch on. Set to a directory path.
+    cfg.tpu.decode_cache = None
 
     return cfg
 

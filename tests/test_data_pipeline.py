@@ -220,6 +220,42 @@ def test_imread_matches_imageio(tmp_path):
         assert ours.dtype == ref.dtype and ours.shape == ref.shape
 
 
+def test_imread_decode_cache(tmp_path):
+    """The decoded-image cache must return identical, PRIVATE (writable)
+    arrays, hit the cache on re-read, and invalidate when the source file
+    changes (mtime/size key)."""
+    import imageio.v2 as imageio
+
+    from mhentropy_tpu.data import common
+
+    rng = np.random.RandomState(1)
+    path = str(tmp_path / "img.png")
+    cache = str(tmp_path / "cache")
+    arr = rng.randint(0, 255, (24, 30, 3), np.uint8)
+    imageio.imwrite(path, arr)
+    try:
+        common.set_decode_cache(cache)
+        first = common.imread(path)
+        np.testing.assert_array_equal(first, arr)
+        import os
+
+        cached_files = os.listdir(cache)
+        assert len(cached_files) == 1
+        second = common.imread(path)
+        np.testing.assert_array_equal(second, arr)
+        second[0, 0, 0] = 99  # private + writable (mmap is copied)
+        np.testing.assert_array_equal(common.imread(path), arr)
+        # Source change -> new cache entry, new contents.
+        arr2 = rng.randint(0, 255, (24, 30, 3), np.uint8)
+        imageio.imwrite(path, arr2)
+        os.utime(path, ns=(1, 1))  # force a distinct mtime key
+        np.testing.assert_array_equal(common.imread(path), arr2)
+    finally:
+        common.set_decode_cache(None)
+    # Disabled again: plain decode still works.
+    np.testing.assert_array_equal(common.imread(path), arr2)
+
+
 def test_grid2d_cached_and_immutable():
     from mhentropy_tpu.data import common
 

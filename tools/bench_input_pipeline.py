@@ -13,8 +13,10 @@ per-core number here x cores/chip decides whether real training is
 host-bound — and `parallel/multihost.py` shards the dataset per host
 when it is.
 
-Usage: python -m tools.bench_input_pipeline [n_batches] [mode]
-(CPU-only OK; mode = training | evaluation)
+Usage: python -m tools.bench_input_pipeline [n_batches] [mode] [cached]
+(CPU-only OK; mode = training | evaluation; a third arg enables the
+decoded-image disk cache — the first pass populates it, the measured
+pass reads it, i.e. the steady state from epoch 2 on.)
 """
 
 import json
@@ -32,6 +34,8 @@ def main():
 
     from mhentropy_tpu.data import common, rhd
 
+    cached = len(sys.argv) > 3
+
     with tempfile.TemporaryDirectory() as root:
         # 64 distinct samples, cycled: big enough to defeat any warm-file
         # cache advantage of a single sample, small enough to fabricate fast.
@@ -39,6 +43,11 @@ def main():
         ds = rhd.load(root, mode)
 
         bs = 32
+        if cached:
+            common.set_decode_cache(os.path.join(root, "_decode_cache"))
+            # Populate: one full pass over the 64 samples.
+            for _ in common.batches(ds, bs, to_device=False):
+                pass
         # Warm one epoch-fragment (imports, BAD_TRAIN path, numpy pools).
         next(iter(common.batches(ds, bs, to_device=False)))
 
@@ -52,7 +61,8 @@ def main():
         wall = time.perf_counter() - t0
         per_core = n_imgs / wall
         print(json.dumps({
-            "metric": "host input pipeline (RHD preprocess, num_workers=4)",
+            "metric": "host input pipeline (RHD preprocess, num_workers=4"
+                      + (", decode-cached)" if cached else ")"),
             "imgs_per_sec_per_core": round(per_core, 1),
             "train_step_demand_imgs_s": 1611,
             "cores_needed_per_chip": round(1611 / per_core, 1),
