@@ -51,14 +51,18 @@ class InferenceServer:
         n_hypo: hypotheses per image (the config's test_samples if None).
         temp: sampling temperature (reference eval uses 0.8).
         quantize: run the encoder int8 W8A8 (models/quant.py, +21%
-            measured). Activation scales calibrate on the FIRST real
-            predict() batch (warmup's zero images carry no signal), then
-            stay fixed — params are static after restore.
+            measured at B=32). Activation scales calibrate on the FIRST
+            real predict() batch (warmup's zero images carry no signal),
+            then stay fixed — params are static after restore.
+        quantize_min_batch: smallest bucket served int8. At tiny batches
+            the convs are latency-bound and the requant passes make int8
+            a LOSS (B=1: 0.80x measured) — small buckets stay bf16.
     """
 
     def __init__(self, cfg, checkpoint: str | None = None,
                  max_batch: int = 8, n_hypo: int | None = None,
-                 temp: float = 0.8, quantize: bool = False):
+                 temp: float = 0.8, quantize: bool = False,
+                 quantize_min_batch: int = 8):
         import jax
 
         from mhentropy_tpu.train import engine
@@ -82,6 +86,7 @@ class InferenceServer:
 
         self._fns: dict[tuple, Any] = {}
         self.quantize = bool(quantize)
+        self.quantize_min_batch = int(quantize_min_batch)
         self._quant = None  # (spec, qtree)
         self._quant_ready = False  # calibrated on real data yet?
         self._key = jax.random.key(int(time.time()) & 0x7FFFFFFF)
@@ -148,7 +153,7 @@ class InferenceServer:
 
         for b in _buckets(self.max_batch):
             img = np.zeros((b, self.image_size, self.image_size, 3), np.float32)
-            if self.quantize:
+            if self._quantized_bucket(b):
                 if self._quant is None:
                     self._calibrate(img, ready=False)
                 xyz, uv = self._fn(b, True)(
@@ -161,6 +166,9 @@ class InferenceServer:
                     np.float32(self.temp),
                 )
             jax.block_until_ready(xyz)
+
+    def _quantized_bucket(self, bucket: int) -> bool:
+        return self.quantize and bucket >= self.quantize_min_batch
 
     def predict(self, images: np.ndarray, temp: float | None = None) -> dict:
         """(B, H, W, 3) float images (dataset normalisation) -> hypotheses.
@@ -187,7 +195,7 @@ class InferenceServer:
             pad = np.zeros((bucket - b, *images.shape[1:]), np.float32)
             images = np.concatenate([images, pad])
         self._key, sub = jax.random.split(self._key)
-        if self.quantize:
+        if self._quantized_bucket(bucket):
             if not self._quant_ready:
                 self._calibrate(images, ready=True)
             xyz, uv = self._fn(bucket, True)(

@@ -88,7 +88,8 @@ def test_quantized_server_calibrates_once_no_recompile(tiny_cfg):
     """quantize=True: warmup precompiles int8 buckets with a shape-only
     zero calibration; the first real batch recalibrates VALUES only (no
     new programs), and subsequent predicts reuse the qtree."""
-    s = serve.InferenceServer(tiny_cfg, max_batch=2, quantize=True)
+    s = serve.InferenceServer(tiny_cfg, max_batch=2, quantize=True,
+                              quantize_min_batch=1)
     s.warmup()
     compiled = set(s._fns)
     assert compiled == {(b, True) for b in serve._buckets(2)}
@@ -102,6 +103,20 @@ def test_quantized_server_calibrates_once_no_recompile(tiny_cfg):
     assert id(s._quant) == qtree_id  # no re-calibration
     assert set(s._fns) == compiled  # no recompiles
     assert np.isfinite(out["uv"]).all()
+
+
+def test_quantize_min_batch_gate(tiny_cfg):
+    """int8 loses at tiny batches (B=1: 0.80x measured) — buckets below
+    quantize_min_batch stay bf16, larger ones go int8."""
+    s = serve.InferenceServer(tiny_cfg, max_batch=4, quantize=True,
+                              quantize_min_batch=2)
+    s.warmup()
+    assert set(s._fns) == {(1, False), (2, True), (4, True)}
+    out = s.predict(np.zeros((1, 32, 32, 3), np.float32))  # float bucket
+    assert not s._quant_ready  # no calibration needed for float buckets
+    out = s.predict(np.zeros((3, 32, 32, 3), np.float32))  # pads to 4: int8
+    assert s._quant_ready
+    assert np.isfinite(out["xyz"]).all()
 
 
 def test_checkpoint_restore_roundtrip(tiny_cfg, tmp_path):
