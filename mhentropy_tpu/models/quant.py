@@ -33,6 +33,7 @@ Usage:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import flax.linen as nn
@@ -159,17 +160,26 @@ def _forward(spec: QuantSpec, p: dict, s: dict, sites: dict | None, x,
     return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
 
-def calibrate(spec: QuantSpec, params_bb: dict, batch_stats: dict,
-              images) -> dict:
-    """Run the float eval forward on representative images, returning
-    {site: max|activation|} for every to-be-quantized conv input."""
+@functools.lru_cache(maxsize=None)
+def _calibrate_fn(spec: QuantSpec):
+    """Jitted calibration forward, cached per spec — params/images are
+    arguments (not closure constants), so per-epoch recalibration in the
+    Experiment eval loop reuses one compiled program."""
 
-    def run(x):
+    @jax.jit
+    def run(params_bb, batch_stats, x):
         collect = {}
         _forward(spec, params_bb, batch_stats, None, x, collect)
         return collect
 
-    return jax.device_get(jax.jit(run)(images))
+    return run
+
+
+def calibrate(spec: QuantSpec, params_bb: dict, batch_stats: dict,
+              images) -> dict:
+    """Run the float eval forward on representative images, returning
+    {site: max|activation|} for every to-be-quantized conv input."""
+    return jax.device_get(_calibrate_fn(spec)(params_bb, batch_stats, images))
 
 
 def prepare(spec: QuantSpec, params_bb: dict, batch_stats: dict,
