@@ -68,16 +68,24 @@ def _conv(x, w, stride: int, pad: int, dtype):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def _qconv(x, site: dict, stride: int, pad: int):
-    """int8 conv + dequant. The quantize (round/clip) fuses into the
-    producing op; the s32->f32 rescale fuses into the consumer."""
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * site["inv_sa"]),
-                  -127, 127).astype(jnp.int8)
+def _quantize(x, inv_sa):
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * inv_sa),
+                    -127, 127).astype(jnp.int8)
+
+
+def _qconv_pre(xq, site: dict, stride: int, pad: int):
+    """int8 conv on an already-quantized input + dequant epilogue."""
     yi = lax.conv_general_dilated(
         xq, site["w8"], (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     return yi.astype(jnp.float32) * site["scale"] + site["bias"]
+
+
+def _qconv(x, site: dict, stride: int, pad: int):
+    """int8 conv + dequant. The quantize (round/clip) fuses into the
+    producing op; the s32->f32 rescale fuses into the consumer."""
+    return _qconv_pre(_quantize(x, site["inv_sa"]), site, stride, pad)
 
 
 def _stage1_blocks(p: dict, s: dict, n_blocks: int):
@@ -134,6 +142,7 @@ def _forward(spec: QuantSpec, p: dict, s: dict, sites: dict | None, x,
         for j in range(n_blocks):
             stride = 2 if i > 0 and j == 0 else 1
             path = f"layer{i + 1}_{j}"
+            int8_block = quant_stage and sites is not None
 
             def cv(conv_name, bn_name, xin, st, pad, path=path,
                    quant=quant_stage):
@@ -147,15 +156,38 @@ def _forward(spec: QuantSpec, p: dict, s: dict, sites: dict | None, x,
                 return y * alpha.astype(dtype) + beta.astype(dtype)
 
             r = x
-            if kind == "bottleneck":
+            ds_key = f"{path}/downsample_conv"
+            if int8_block and ds_key in sites:
+                # The block input feeds BOTH conv1 and the downsample; the
+                # two sites' activation scales are identical by
+                # construction (same calibration tensor), so quantize the
+                # big input ONCE — as separate qtree args XLA cannot CSE
+                # the two passes (~100 MB of duplicate HBM traffic at the
+                # stage-2 boundary alone).
+                s1 = sites[f"{path}/conv1"]
+                xq = _quantize(x, s1["inv_sa"])
+                c1_stride = 1 if kind == "bottleneck" else stride
+                c1_pad = 0 if kind == "bottleneck" else 1
+                y = jnp.maximum(
+                    _qconv_pre(xq, s1, c1_stride, c1_pad).astype(dtype), 0)
+                if kind == "bottleneck":
+                    y = jnp.maximum(
+                        cv("conv2", "bn2", y, stride, 1), 0)
+                    y = cv("conv3", "bn3", y, 1, 0)
+                else:
+                    y = cv("conv2", "bn2", y, 1, 1)
+                r = _qconv_pre(xq, sites[ds_key], stride, 0).astype(dtype)
+            elif kind == "bottleneck":
                 y = jnp.maximum(cv("conv1", "bn1", x, 1, 0), 0)
                 y = jnp.maximum(cv("conv2", "bn2", y, stride, 1), 0)
                 y = cv("conv3", "bn3", y, 1, 0)
+                if r.shape != y.shape:
+                    r = cv("downsample_conv", "downsample_bn", x, stride, 0)
             else:
                 y = jnp.maximum(cv("conv1", "bn1", x, stride, 1), 0)
                 y = cv("conv2", "bn2", y, 1, 1)
-            if r.shape != y.shape:
-                r = cv("downsample_conv", "downsample_bn", x, stride, 0)
+                if r.shape != y.shape:
+                    r = cv("downsample_conv", "downsample_bn", x, stride, 0)
             x = jnp.maximum(y + r, 0)
     return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
@@ -213,7 +245,12 @@ def prepare(spec: QuantSpec, params_bb: dict, batch_stats: dict,
                               ).astype(jnp.int8)
                 alpha, beta = _bn_affine(params_bb[path][bn_name],
                                          batch_stats[path][bn_name])
-                s_a = jnp.float32(act_maxabs[key]) / 127.0
+                # The downsample consumes the SAME tensor as conv1; pin
+                # its activation scale to conv1's so _forward can share
+                # one quantize pass between them (exact, not approximate).
+                act_key = f"{path}/conv1" if conv_name == "downsample_conv" \
+                    else key
+                s_a = jnp.float32(act_maxabs[act_key]) / 127.0
                 s_a = jnp.where(s_a > 0, s_a, 1.0)
                 sites[key] = {
                     "w8": w8,
