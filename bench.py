@@ -142,7 +142,7 @@ def main():
     # int8 W8A8 serving option (models/quant.py; opt-out MHENT_BENCH_INT8=0):
     # measured with the same scanned methodology, calibrated on the bench
     # image. Recorded as extra fields — "value" stays the exact bf16 path.
-    int8_rate = None
+    int8_rate, int8_error = None, None
     if os.environ.get("MHENT_BENCH_INT8", "1") == "1":
         try:
             from mhentropy_tpu.models import quant
@@ -171,8 +171,9 @@ def main():
                 jax.block_until_ready(acc)
                 best.append(n_hypo * batch * steps / (time.perf_counter() - t0))
             int8_rate = max(best)
-        except Exception:
-            int8_rate = None
+        except Exception as e:  # record, never mask as an opt-out
+            int8_error = repr(e)[:200]
+            print(f"int8 bench failed: {int8_error}", file=sys.stderr)
     # MFU vs the chip's bf16 matmul peak (v5e: 197 TFLOP/s; other chips
     # would need their own entry — the device kind is recorded alongside).
     peak_flops = 197e12
@@ -199,6 +200,7 @@ def main():
                 "mfu": mfu,
                 "int8_serving": round(int8_rate, 1) if int8_rate else None,
                 "int8_speedup": round(int8_rate / rate, 4) if int8_rate else None,
+                **({"int8_error": int8_error} if int8_error else {}),
                 "device_kind": jax.devices()[0].device_kind,
             }
         )

@@ -118,12 +118,14 @@ def imread(path):
     When a decode cache is set (`set_decode_cache`), decoded arrays are
     persisted as .npy next to a (mtime, size) stamp and later reads are
     an mmap + copy (~30 us vs ~3-4 ms of PNG decode — the host pipeline
-    is decode-bound, docs/PERF.md). The copy keeps the contract that
-    callers get a private writable array."""
+    is decode-bound, docs/PERF.md). In cache mode the result is ALWAYS a
+    private writable array (hit and miss paths alike); without a cache
+    the PIL-backed array is read-only, as it always was."""
     import os
 
     if _DECODE_CACHE["dir"] is not None:
         import hashlib
+        import threading
 
         st = os.stat(path)
         key = hashlib.sha1(
@@ -135,14 +137,18 @@ def imread(path):
         except (FileNotFoundError, ValueError):
             pass
         arr = _decode(path)
-        tmp = cpath + f".tmp{os.getpid()}"
+        # Thread id in the tmp name: batches() decodes on a thread pool
+        # within one pid, and two threads decoding the same path must not
+        # interleave writes into one tmp file (a truncate mid-write can
+        # publish a hole-filled .npy that reads back as corrupt zeros).
+        tmp = cpath + f".tmp{os.getpid()}.{threading.get_ident()}"
         try:
             with open(tmp, "wb") as fp:  # np.save(str) would append .npy
                 np.save(fp, arr)
             os.replace(tmp, cpath)  # atomic vs concurrent workers
         except OSError:
             pass
-        return arr
+        return np.array(arr)  # writable copy — same contract as the hit path
     return _decode(path)
 
 

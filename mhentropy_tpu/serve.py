@@ -138,13 +138,25 @@ class InferenceServer:
 
     def _calibrate(self, images, ready: bool) -> None:
         """Build the int8 qtree. ready=False marks a shape-only
-        calibration (warmup zeros) to be redone on the first real batch;
-        the redo swaps array VALUES only, so nothing recompiles."""
+        calibration (warmup zeros) to be redone on the first real batch.
+        The calibration input is always tiled/truncated to ONE fixed
+        batch shape (the smallest quantized bucket), so the redo reuses
+        both the compiled calibration forward and the sampling programs —
+        serving never hits the compiler after warmup."""
+        import numpy as np
+
         from mhentropy_tpu.models import quant
 
+        cb = next(b for b in _buckets(self.max_batch)
+                  if b >= self.quantize_min_batch)
+        images = np.asarray(images, np.float32)
+        reps = -(-cb // images.shape[0])  # ceil
+        calib = np.tile(images, (reps, 1, 1, 1))[:cb]
+        q_from = int(self.cfg.tpu.get("quantize_q_from", 1)) \
+            if "tpu" in self.cfg else 1
         self._quant = quant.quantize_encoder(
             self.params["encoder"], self.batch_stats,
-            self.model_cfg.encoder, images)
+            self.model_cfg.encoder, calib, q_from=q_from)
         self._quant_ready = ready
 
     def warmup(self) -> None:
@@ -286,13 +298,16 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8711)
     ap.add_argument("--quantize", action="store_true",
                     help="int8 W8A8 encoder (calibrates on first batch)")
+    ap.add_argument("--quantize-min-batch", type=int, default=8,
+                    help="smallest bucket served int8 (smaller stay bf16; "
+                         "int8 loses at B=1 — docs/PERF.md)")
     args = ap.parse_args(argv)
 
     enable_compilation_cache()
     cfg = update_cfg(args.cfg)
     server = InferenceServer(
         cfg, checkpoint=args.ckpt, max_batch=args.max_batch, n_hypo=args.n,
-        quantize=args.quantize,
+        quantize=args.quantize, quantize_min_batch=args.quantize_min_batch,
     )
     print("warming buckets:", _buckets(server.max_batch), flush=True)
     server.warmup()

@@ -531,21 +531,25 @@ class Experiment:
         # int8 eval sampling (cfg.tpu.quantize_encoder): recalibrated on
         # the first eval batch EVERY eval_loop call (params move between
         # epochs); the qtree is a step argument, so this never recompiles.
-        qargs = ()
+        # Calibration happens lazily INSIDE the loop so batch 0 is not
+        # decoded twice (and an empty dataset stays a no-op).
+        quant_spec = None
         if (self.integrated and "tpu" in self.cfg
                 and bool(self.cfg.tpu.get("quantize_encoder", False))):
             from mhentropy_tpu.models import quant as quant_mod
 
-            image0, _ = next(iter(
-                data_common.batches(data, bs, pad_remainder=True)))
-            spec, qtree = quant_mod.quantize_encoder(
-                self.state.params["encoder"], self.state.batch_stats,
-                self.model_cfg.encoder, jnp.asarray(image0),
-                q_from=int(self.cfg.tpu.get("quantize_q_from", 1)))
-            step = self._get_eval_step(n, temp, quant_spec=spec)
-            qargs = (qtree,)
+            quant_spec = quant_mod.QuantSpec(
+                backbone=self.model_cfg.encoder.backbone,
+                q_from=int(self.cfg.tpu.get("quantize_q_from", 1)),
+                dtype=self.model_cfg.encoder.dtype,
+                pallas_stem=getattr(self.model_cfg.encoder, "pallas_stem",
+                                    True),
+                pallas_stage1=getattr(self.model_cfg.encoder,
+                                      "pallas_stage1", True))
+            step = self._get_eval_step(n, temp, quant_spec=quant_spec)
         else:
             step = self._get_eval_step(n, temp)
+        qargs = None
         meters = {}
         # pad_remainder keeps tail samples (no drop_last in the reference's
         # eval DataLoader, CrossModalHand.py:176-179); metric means are
@@ -553,8 +557,17 @@ class Experiment:
         for image, target in data_common.prefetch(
                 data_common.batches(data, bs, pad_remainder=True)):
             self.key, k = jax.random.split(self.key)
+            if quant_spec is not None and qargs is None:
+                from mhentropy_tpu.models import quant as quant_mod
+
+                act = quant_mod.calibrate(
+                    quant_spec, self.state.params["encoder"]["backbone"],
+                    self.state.batch_stats, jnp.asarray(image))
+                qargs = (quant_mod.prepare(
+                    quant_spec, self.state.params["encoder"]["backbone"],
+                    self.state.batch_stats, act),)
             mets = step(self.state.params, self.state.batch_stats, image,
-                        target, k, *qargs)
+                        target, k, *(qargs or ()))
             n_valid = float(mets.pop("n_valid", bs))
             for name, v in mets.items():
                 meters.setdefault(name, AverageMeter()).update(float(v), n=n_valid)

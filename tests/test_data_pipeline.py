@@ -237,6 +237,7 @@ def test_imread_decode_cache(tmp_path):
         common.set_decode_cache(cache)
         first = common.imread(path)
         np.testing.assert_array_equal(first, arr)
+        first[0, 0, 0] = 7  # miss path must also be private + writable
         import os
 
         cached_files = os.listdir(cache)

@@ -26,8 +26,12 @@ def make_kernels():
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    M, K, N = 1024, 640, 128
-    GRID = 8
+    # Big enough that the GEMM dominates per-step scan/dispatch overhead
+    # (at the original 1024x640x128 both sides read ~128 us/step of pure
+    # overhead and the ratio was meaningless in absolute terms).
+    M, K, N = 32768, 640, 512
+    GRID = 32  # (1024, 640) blocks — the 4096-row int8 block crashed the
+    # Mosaic compile helper (HTTP 500 through the relay, reproducible)
 
     def body_bf16(x_ref, w_ref, o_ref):
         o_ref[...] = jax.lax.dot_general(
@@ -95,9 +99,14 @@ def main(argv):
             @jax.jit
             def run(x, w, key):
                 def bodyfn(carry, k):
-                    xk = x + jax.random.randint(
-                        k, (1, 1), 0, 2, x.dtype) if x.dtype == jnp.int8 \
-                        else x + jax.random.uniform(k, (1, 1), x.dtype) * 0
+                    # Non-zero per-step perturbation on BOTH sides — a
+                    # loop-invariant input lets XLA hoist the kernel out
+                    # of the scan (CLAUDE.md measurement rules).
+                    if x.dtype == jnp.int8:
+                        xk = x ^ jax.random.randint(k, (1, 1), 0, 2, x.dtype)
+                    else:
+                        xk = x + jax.random.uniform(k, (1, 1),
+                                                    x.dtype) * 1e-3
                     o = f(xk, w)
                     return carry + o.astype(jnp.float32).sum() * 1e-20, None
 
