@@ -148,7 +148,7 @@ def main():
             from mhentropy_tpu.models import quant
 
             spec, qtree = quant.quantize_encoder(
-                params["encoder"], batch_stats, cfg.encoder, image, q_from=1)
+                params["encoder"], batch_stats, cfg.encoder, image)
 
             @jax.jit
             def scan_q(params, batch_stats, qtree, image, key):

@@ -139,6 +139,17 @@ def _forward(spec: QuantSpec, p: dict, s: dict, sites: dict | None, x,
                 x, _stage1_blocks(p, s, n_blocks), eps=EPS,
                 compute_dtype=dtype, out_dtype=dtype)
             continue
+        if (i == 0 and quant_stage and sites is not None
+                and kind == "bottleneck" and spec.pallas_stage1
+                and n_blocks == 3):
+            # q_from == 0 on TPU: the int8 fused stage-1 kernel
+            # (models/stage1_int8.py) — int8 XLA stage 1 loses to the
+            # bf16 kernel, but the int8 KERNEL beats both (docs/PERF.md).
+            from mhentropy_tpu.models import stage1_int8
+
+            if stage1_int8.supported(x) and stage1_int8.sites_ok(sites):
+                x = stage1_int8.stage1_forward_q(x, sites, out_dtype=dtype)
+                continue
         for j in range(n_blocks):
             stride = 2 if i > 0 and j == 0 else 1
             path = f"layer{i + 1}_{j}"
@@ -268,10 +279,29 @@ def backbone_forward(spec: QuantSpec, qtree: dict, images) -> jax.Array:
                     qtree["float"]["batch_stats"], qtree["sites"], images)
 
 
+def resolve_q_from(q_from, backbone: str, image_shape) -> int:
+    """Resolve the "auto" q_from policy: quantize stage 1 too (q_from=0)
+    exactly when the fused int8 stage-1 kernel will run — int8 XLA
+    stage 1 loses to the bf16 kernel, but the int8 KERNEL beats both
+    (docs/PERF.md: 1.23M vs 1.17M vs 967k at the headline shape)."""
+    if q_from != "auto":
+        return int(q_from)
+    if _ARCH.get(backbone, (None, None))[1] != "bottleneck":
+        return 1
+    from mhentropy_tpu.models import stage1_int8
+
+    b, h, w = image_shape[0], image_shape[1], image_shape[2]
+    post_stem = jax.ShapeDtypeStruct((b, h // 4, w // 4, 64), jnp.bfloat16)
+    return 0 if stage1_int8.supported(post_stem) else 1
+
+
 def quantize_encoder(enc_params: dict, batch_stats: dict, enc_cfg,
-                     calib_images, q_from: int = 1) -> tuple:
+                     calib_images, q_from="auto") -> tuple:
     """One-call encoder quantization: returns (spec, qtree) for
-    `encoder_feat`. `enc_cfg` is an EncoderConfig; heads stay float."""
+    `encoder_feat`. `enc_cfg` is an EncoderConfig; heads stay float.
+    q_from="auto" picks 0 (stage 1 int8 through the fused kernel) when
+    the kernel's geometry gates pass, else 1."""
+    q_from = resolve_q_from(q_from, enc_cfg.backbone, calib_images.shape)
     spec = QuantSpec(
         backbone=enc_cfg.backbone, q_from=q_from, dtype=enc_cfg.dtype,
         pallas_stem=getattr(enc_cfg, "pallas_stem", True),

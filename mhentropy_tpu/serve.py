@@ -152,8 +152,8 @@ class InferenceServer:
         images = np.asarray(images, np.float32)
         reps = -(-cb // images.shape[0])  # ceil
         calib = np.tile(images, (reps, 1, 1, 1))[:cb]
-        q_from = int(self.cfg.tpu.get("quantize_q_from", 1)) \
-            if "tpu" in self.cfg else 1
+        q_from = self.cfg.tpu.get("quantize_q_from", "auto") \
+            if "tpu" in self.cfg else "auto"
         self._quant = quant.quantize_encoder(
             self.params["encoder"], self.batch_stats,
             self.model_cfg.encoder, calib, q_from=q_from)

@@ -538,9 +538,12 @@ class Experiment:
                 and bool(self.cfg.tpu.get("quantize_encoder", False))):
             from mhentropy_tpu.models import quant as quant_mod
 
+            img = self.model_cfg.image_size
             quant_spec = quant_mod.QuantSpec(
                 backbone=self.model_cfg.encoder.backbone,
-                q_from=int(self.cfg.tpu.get("quantize_q_from", 1)),
+                q_from=quant_mod.resolve_q_from(
+                    self.cfg.tpu.get("quantize_q_from", "auto"),
+                    self.model_cfg.encoder.backbone, (bs, img, img, 3)),
                 dtype=self.model_cfg.encoder.dtype,
                 pallas_stem=getattr(self.model_cfg.encoder, "pallas_stem",
                                     True),

@@ -186,7 +186,9 @@ def get_cfg_defaults() -> CfgNode:
     # full-pipeline throughput measured (docs/PERF.md). Eval-only; the
     # reverse-KLD log_p metric stays float.
     cfg.tpu.quantize_encoder = False
-    cfg.tpu.quantize_q_from = 1  # first backbone stage to quantize
+    cfg.tpu.quantize_q_from = "auto"  # first backbone stage to quantize
+    # ("auto" = 0 when the fused int8 stage-1 kernel applies, else 1;
+    # YAML overrides must quote the stage: "0"/"1" — the schema type is str)
     # Decoded-image disk cache (data/common.set_decode_cache): the host
     # pipeline is PNG-decode-bound; caching turns ~3-4 ms decodes into
     # ~30 us mmap reads from the second epoch on. Set to a directory path.

@@ -102,3 +102,22 @@ def test_encoder_feat_matches_float_mu():
     cos = float(jnp.vdot(got, mn)
                 / (jnp.linalg.norm(got) * jnp.linalg.norm(mn) + 1e-9))
     assert cos > 0.99, cos
+
+
+def test_resolve_q_from_auto(monkeypatch):
+    """"auto" picks stage-1 quantization exactly when the fused int8
+    stage-1 kernel's gates pass (TPU backend + kernel geometry)."""
+    import jax as _jax
+
+    # Explicit values pass through, including "0"/"1" strings (the YAML
+    # override path — cfg.tpu.quantize_q_from has schema type str).
+    assert quant.resolve_q_from(1, "resnet50", (32, 256, 256, 3)) == 1
+    assert quant.resolve_q_from("0", "resnet50", (32, 256, 256, 3)) == 0
+    # CPU backend: auto stays at 1 regardless of geometry.
+    assert quant.resolve_q_from("auto", "resnet50", (32, 256, 256, 3)) == 1
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert quant.resolve_q_from("auto", "resnet50", (32, 256, 256, 3)) == 0
+    # Basic blocks (resnet18) have no stage-1 kernel.
+    assert quant.resolve_q_from("auto", "resnet18", (32, 256, 256, 3)) == 1
+    # Geometry the kernel rejects (post-stem hw below the win gate).
+    assert quant.resolve_q_from("auto", "resnet50", (32, 128, 128, 3)) == 1

@@ -3,11 +3,91 @@ XLA bottleneck stage (real conv semantics, real BN folding — unlike the
 shape-only stage1_probe). One JSON line per side.
 
 Usage: python -m tools.stage1_tpu_check [H W]   (default 64 64)
+       python -m tools.stage1_tpu_check int8 [H W]
+
+The int8 mode checks models/stage1_int8.py against the jitted
+quant._qconv XLA walk ON THE CHIP — interpret-mode tests cannot see
+Mosaic lowering behavior (the pre-quantize MXU transpose bug truncated
+activations to bf16 and shifted quantization boundaries: 42% rel error
+on-chip while interpret mode was exact; this check is what caught it).
+Budget: rel mean < 0.02 (requant ties + the bf16 final emit), cos >
+0.999.
 """
 
 import json
 import sys
 import time
+
+
+def main_int8():
+    from mhentropy_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mhentropy_tpu.models import quant, stage1_int8
+
+    B = 4
+    H = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    W = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+
+    def rand_site(key, kshape):
+        ks = jax.random.split(key, 4)
+        cout = kshape[-1]
+        return {
+            "w8": jax.random.randint(ks[0], kshape, -90, 90, jnp.int8),
+            "scale": jax.random.uniform(ks[1], (cout,), jnp.float32,
+                                        2e-4, 2e-3),
+            "bias": jax.random.normal(ks[2], (cout,)) * 0.05,
+            "inv_sa": jax.random.uniform(ks[3], (), jnp.float32,
+                                         30.0, 80.0),
+        }
+
+    sites, key = {}, jax.random.key(0)
+    for j in range(3):
+        ks = jax.random.split(jax.random.fold_in(key, j), 4)
+        cin = 64 if j == 0 else 256
+        sites[f"layer1_{j}/conv1"] = rand_site(ks[0], (1, 1, cin, 64))
+        sites[f"layer1_{j}/conv2"] = rand_site(ks[1], (3, 3, 64, 64))
+        sites[f"layer1_{j}/conv3"] = rand_site(ks[2], (1, 1, 64, 256))
+    sites["layer1_0/downsample_conv"] = rand_site(
+        jax.random.fold_in(key, 9), (1, 1, 64, 256))
+    sites["layer1_0/downsample_conv"]["inv_sa"] = \
+        sites["layer1_0/conv1"]["inv_sa"]
+
+    @jax.jit
+    def walk(x, sites):
+        y = jnp.maximum(quant._qconv(x, sites["layer1_0/conv1"], 1, 0), 0)
+        y = jnp.maximum(quant._qconv(y, sites["layer1_0/conv2"], 1, 1), 0)
+        y = quant._qconv(y, sites["layer1_0/conv3"], 1, 0)
+        rds = quant._qconv(x, sites["layer1_0/downsample_conv"], 1, 0)
+        out = jnp.maximum(y + rds, 0)
+        for j in (1, 2):
+            y = jnp.maximum(
+                quant._qconv(out, sites[f"layer1_{j}/conv1"], 1, 0), 0)
+            y = jnp.maximum(
+                quant._qconv(y, sites[f"layer1_{j}/conv2"], 1, 1), 0)
+            y = quant._qconv(y, sites[f"layer1_{j}/conv3"], 1, 0)
+            out = jnp.maximum(y + out, 0)
+        return out
+
+    x = jax.random.normal(jax.random.key(3), (B, H, W, 64), jnp.float32)
+    try:
+        got = np.asarray(stage1_int8.stage1_forward_q(
+            x, sites, out_dtype=jnp.float32))
+    except Exception as e:
+        print(json.dumps({"error": str(e)[:3000]}))
+        return 1
+    ref = np.asarray(walk(x, sites))
+    rel = float(np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-9))
+    cos = float((got * ref).sum()
+                / (np.linalg.norm(got) * np.linalg.norm(ref) + 1e-9))
+    ok = rel < 0.02 and cos > 0.999
+    print(json.dumps({"check": "int8_numerics", "rel_mean": rel,
+                      "cos": cos, "ok": ok}))
+    return 0 if ok else 1
 
 
 def main():
@@ -127,4 +207,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "int8":
+        sys.exit(main_int8())
     sys.exit(main())
