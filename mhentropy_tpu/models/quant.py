@@ -54,6 +54,13 @@ class QuantSpec(NamedTuple):
     dtype: str = "bfloat16"    # float compute dtype for unquantized ops
     pallas_stem: bool = True
     pallas_stage1: bool = True
+    # Fused int8 stage-2/3 kernels (models/stage2_int8.py). Default OFF:
+    # measured LOSS vs int8 XLA at the headline shape (stage 2: 615 vs
+    # 511 us, stage 3: 687 vs 372 — XLA's mid-stage convs pipeline the
+    # requant epilogues well; the per-image kernel grid does not reach
+    # the same MXU occupancy). Kept opt-in for the channel-major-s8
+    # boundary-fusion path (docs/PERF.md).
+    pallas_mid: bool = False
 
 
 def _bn_affine(bn_p: dict, bn_s: dict):
@@ -149,6 +156,20 @@ def _forward(spec: QuantSpec, p: dict, s: dict, sites: dict | None, x,
 
             if stage1_int8.supported(x) and stage1_int8.sites_ok(sites):
                 x = stage1_int8.stage1_forward_q(x, sites, out_dtype=dtype)
+                continue
+        if (i in (1, 2) and quant_stage and sites is not None
+                and kind == "bottleneck" and spec.pallas_mid):
+            # Fused int8 stage-2/3 kernels (models/stage2_int8.py): the
+            # int8 XLA stages are HBM-bound through per-conv requant
+            # fusions; the kernel keeps the whole stage VMEM-resident.
+            from mhentropy_tpu.models import stage2_int8
+
+            stage = i + 1
+            if (stage2_int8.supported(x, stage)
+                    and stage2_int8.sites_ok(sites, stage)
+                    and stage2_int8.GEOMS[stage].n_blocks == n_blocks):
+                x = stage2_int8.stage_forward_q(x, sites, stage=stage,
+                                                out_dtype=dtype)
                 continue
         for j in range(n_blocks):
             stride = 2 if i > 0 and j == 0 else 1
@@ -305,7 +326,8 @@ def quantize_encoder(enc_params: dict, batch_stats: dict, enc_cfg,
     spec = QuantSpec(
         backbone=enc_cfg.backbone, q_from=q_from, dtype=enc_cfg.dtype,
         pallas_stem=getattr(enc_cfg, "pallas_stem", True),
-        pallas_stage1=getattr(enc_cfg, "pallas_stage1", True))
+        pallas_stage1=getattr(enc_cfg, "pallas_stage1", True),
+        pallas_mid=getattr(enc_cfg, "pallas_mid", True))
     act = calibrate(spec, enc_params["backbone"], batch_stats, calib_images)
     return spec, prepare(spec, enc_params["backbone"], batch_stats, act)
 

@@ -548,7 +548,9 @@ class Experiment:
                 pallas_stem=getattr(self.model_cfg.encoder, "pallas_stem",
                                     True),
                 pallas_stage1=getattr(self.model_cfg.encoder,
-                                      "pallas_stage1", True))
+                                      "pallas_stage1", True),
+                pallas_mid=getattr(self.model_cfg.encoder,
+                                   "pallas_mid", True))
             step = self._get_eval_step(n, temp, quant_spec=quant_spec)
         else:
             step = self._get_eval_step(n, temp)

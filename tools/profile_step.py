@@ -155,7 +155,7 @@ def run_and_profile(mode: str, logdir: str):
         calib = jax.random.uniform(
             jax.random.key(2), (batch, img, img, 3)) * 2 - 1
         quant_arg = quant.quantize_encoder(
-            params["encoder"], batch_stats, cfg.encoder, calib, q_from=1)
+            params["encoder"], batch_stats, cfg.encoder, calib)
 
     def one_step(params, batch_stats, image, key):
         out = mhent.sample_hypotheses(

@@ -206,7 +206,91 @@ def main():
     return 0
 
 
+def main_stage23():
+    """On-chip parity of models/stage2_int8.py vs the jitted XLA quant
+    walk, at the real stage-2 and stage-3 geometries. Tie-flips cascade
+    (see tests/test_stage2_int8.py), so bounds are robust-stat."""
+    from mhentropy_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mhentropy_tpu.models import quant, stage2_int8
+
+    def rand_site(key, kshape):
+        ks = jax.random.split(key, 4)
+        cout = kshape[-1]
+        return {
+            "w8": jax.random.randint(ks[0], kshape, -90, 90, jnp.int8),
+            "scale": jax.random.uniform(ks[1], (cout,), jnp.float32,
+                                        2e-4, 2e-3),
+            "bias": jax.random.normal(ks[2], (cout,)) * 0.05,
+            "inv_sa": jax.random.uniform(ks[3], (), jnp.float32,
+                                         30.0, 80.0),
+        }
+
+    ok_all = True
+    for stage in (2, 3):
+        g = stage2_int8.GEOMS[stage]
+        sites, key = {}, jax.random.key(stage)
+        for j in range(g.n_blocks):
+            ks = jax.random.split(jax.random.fold_in(key, j), 4)
+            cin = g.cin if j == 0 else g.cout
+            sites[f"layer{stage}_{j}/conv1"] = rand_site(
+                ks[0], (1, 1, cin, g.width))
+            sites[f"layer{stage}_{j}/conv2"] = rand_site(
+                ks[1], (3, 3, g.width, g.width))
+            sites[f"layer{stage}_{j}/conv3"] = rand_site(
+                ks[2], (1, 1, g.width, g.cout))
+        sites[f"layer{stage}_0/downsample_conv"] = rand_site(
+            jax.random.fold_in(key, 9), (1, 1, g.cin, g.cout))
+        sites[f"layer{stage}_0/downsample_conv"]["inv_sa"] = \
+            sites[f"layer{stage}_0/conv1"]["inv_sa"]
+
+        @jax.jit
+        def walk(x, sites, stage=stage, g=g):
+            out = x
+            for j in range(g.n_blocks):
+                stride = 2 if j == 0 else 1
+                y = jnp.maximum(quant._qconv(
+                    out, sites[f"layer{stage}_{j}/conv1"], 1, 0), 0)
+                y = jnp.maximum(quant._qconv(
+                    y, sites[f"layer{stage}_{j}/conv2"], stride, 1), 0)
+                y = quant._qconv(y, sites[f"layer{stage}_{j}/conv3"], 1, 0)
+                r = quant._qconv(
+                    out, sites[f"layer{stage}_0/downsample_conv"], 2, 0) \
+                    if j == 0 else out
+                out = jnp.maximum(y + r, 0)
+            return out
+
+        x = jax.random.normal(jax.random.key(7),
+                              (2, g.w_in, g.w_in, g.cin), jnp.float32)
+        try:
+            got = np.asarray(stage2_int8.stage_forward_q(
+                x, sites, stage=stage, out_dtype=jnp.float32))
+        except Exception as e:
+            print(json.dumps({"stage": stage, "error": str(e)[:3000]}))
+            ok_all = False
+            continue
+        ref = np.asarray(walk(x, sites)).reshape(got.shape)
+        rel = np.abs(got - ref) / (np.abs(ref) + 1.0)
+        cos = float((got * ref).sum()
+                    / (np.linalg.norm(got) * np.linalg.norm(ref) + 1e-9))
+        ok = bool(np.median(rel) < 1e-3 and cos > 0.995)
+        ok_all = ok_all and ok
+        print(json.dumps({
+            "check": f"stage{stage}_int8_numerics",
+            "rel_median": float(np.median(rel)),
+            "frac_rel_gt_5pct": float((rel > 0.05).mean()),
+            "cos": cos, "ok": ok}), flush=True)
+    return 0 if ok_all else 1
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "int8":
         sys.exit(main_int8())
+    if len(sys.argv) > 1 and sys.argv[1] == "stage23":
+        sys.exit(main_stage23())
     sys.exit(main())
