@@ -155,13 +155,40 @@ def _forward(spec: QuantSpec, p: dict, s: dict, sites: dict | None, x,
             from mhentropy_tpu.models import stage1_int8
 
             if stage1_int8.supported(x) and stage1_int8.sites_ok(sites):
-                x = stage1_int8.stage1_forward_q(x, sites, out_dtype=dtype)
+                emit = "nhwc"
+                if (spec.pallas_mid == "s8"
+                        and len(sizes) > 1 and "layer2_0/conv1" in sites):
+                    # Pre-quantized boundary emit. Opt-in: measured
+                    # LOSS (1.022M vs 1.221M) — XLA relayouts the
+                    # custom-call's s8 output at more cost than the
+                    # saved quantize pass (docs/PERF.md).
+                    emit = "nhwc_s8"
+                if spec.pallas_mid == "fused":
+                    # Full boundary fusion: hand stage 2's KERNEL the
+                    # channel-major s8 map (no NHWC transposes at all).
+                    from mhentropy_tpu.models import stage2_int8
+
+                    post = jax.ShapeDtypeStruct(
+                        (x.shape[0], x.shape[1], x.shape[2], 256), x.dtype)
+                    if (stage2_int8.supported(post, 2)
+                            and stage2_int8.sites_ok(sites, 2)
+                            and sizes[1] == stage2_int8.GEOMS[2].n_blocks):
+                        emit = "cm_s8"
+                x = stage1_int8.stage1_forward_q(x, sites, out_dtype=dtype,
+                                                 emit=emit)
                 continue
+        if (i == 1 and sites is not None and x.ndim == 3):
+            # Channel-major s8 carry from the fused stage-1 emit.
+            from mhentropy_tpu.models import stage2_int8
+
+            x = stage2_int8.stage_forward_q(x, sites, stage=2,
+                                            out_dtype=dtype, cm_in=True)
+            continue
         if (i in (1, 2) and quant_stage and sites is not None
-                and kind == "bottleneck" and spec.pallas_mid):
-            # Fused int8 stage-2/3 kernels (models/stage2_int8.py): the
-            # int8 XLA stages are HBM-bound through per-conv requant
-            # fusions; the kernel keeps the whole stage VMEM-resident.
+                and kind == "bottleneck" and spec.pallas_mid is True):
+            # Fused int8 stage-2/3 kernels (models/stage2_int8.py) as
+            # standalone NHWC replacements: measured LOSS vs int8 XLA
+            # (docs/PERF.md) — opt-in only.
             from mhentropy_tpu.models import stage2_int8
 
             stage = i + 1
@@ -197,7 +224,9 @@ def _forward(spec: QuantSpec, p: dict, s: dict, sites: dict | None, x,
                 # the two passes (~100 MB of duplicate HBM traffic at the
                 # stage-2 boundary alone).
                 s1 = sites[f"{path}/conv1"]
-                xq = _quantize(x, s1["inv_sa"])
+                # An int8 x is the stage-1 kernel's pre-quantized
+                # boundary emit (already on s1's activation scale).
+                xq = x if x.dtype == jnp.int8 else _quantize(x, s1["inv_sa"])
                 c1_stride = 1 if kind == "bottleneck" else stride
                 c1_pad = 0 if kind == "bottleneck" else 1
                 y = jnp.maximum(
@@ -327,7 +356,7 @@ def quantize_encoder(enc_params: dict, batch_stats: dict, enc_cfg,
         backbone=enc_cfg.backbone, q_from=q_from, dtype=enc_cfg.dtype,
         pallas_stem=getattr(enc_cfg, "pallas_stem", True),
         pallas_stage1=getattr(enc_cfg, "pallas_stage1", True),
-        pallas_mid=getattr(enc_cfg, "pallas_mid", True))
+        pallas_mid=getattr(enc_cfg, "pallas_mid", False))
     act = calibrate(spec, enc_params["backbone"], batch_stats, calib_images)
     return spec, prepare(spec, enc_params["backbone"], batch_stats, act)
 

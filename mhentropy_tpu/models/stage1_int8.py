@@ -45,7 +45,8 @@ TAPS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
 def _kernel(x_ref, w0_ref, wp_ref, w1_ref, w3_ref, sc0_ref, scp_ref,
             sc1_ref, sc3_ref, inv_ref, out_ref,
-            hpad, pairbuf, h3q, resf, prevf, *, hw: int, w: int):
+            hpad, pairbuf, h3q, resf, prevf, *, hw: int, w: int,
+            emit_cm_s8: bool = False):
     f32 = jnp.float32
 
     def eye(n, dtype):
@@ -127,9 +128,24 @@ def _kernel(x_ref, w0_ref, wp_ref, w1_ref, w3_ref, sc0_ref, scp_ref,
         else:
             prevf[...] = jnp.maximum(y3 + prevf[...], 0.0)
 
-    # Emit NHWC bf16 via per-128-pixel-chunk MXU transposes.
-    pnew = prevf[...].astype(out_ref.dtype)
-    e128 = eye(128, out_ref.dtype)
+    if emit_cm_s8:
+        # Boundary-fusion emit: quantize with the NEXT stage's conv1
+        # activation scale (SMEM slot 3) and hand the channel-major s8
+        # map straight to the stage-2 kernel — no NHWC transposes, no
+        # bf16 round trip, half the boundary HBM traffic.
+        out_ref[0] = quant(prevf[...] * inv_ref[3])
+        return
+
+    # Emit NHWC via per-128-pixel-chunk MXU transposes. s8 emit
+    # quantizes FIRST (next stage's conv1 scale, SMEM slot 3) so the
+    # f32 eye-dot moves bf16-exact integers — XLA stage 2 then consumes
+    # the pre-quantized input (quant._qconv_pre), dropping its own
+    # quantize pass and half the boundary read.
+    if out_ref.dtype == jnp.int8:
+        pnew = jnp.clip(jnp.round(prevf[...] * inv_ref[3]), -127, 127)
+    else:
+        pnew = prevf[...].astype(out_ref.dtype)
+    e128 = eye(128, pnew.dtype)
     for ch in range(hw // 128):
         t = jax.lax.dot_general(
             e128, pnew[:, 128 * ch:128 * (ch + 1)],
@@ -138,7 +154,7 @@ def _kernel(x_ref, w0_ref, wp_ref, w1_ref, w3_ref, sc0_ref, scp_ref,
     if hw % 128:
         off = hw - hw % 128
         t = jax.lax.dot_general(
-            eye(64, out_ref.dtype), pnew[:, off:],
+            eye(64, pnew.dtype), pnew[:, off:],
             (((1,), (1,)), ((), ())), preferred_element_type=f32)
         out_ref[0, off:, :] = t.astype(out_ref.dtype)
 
@@ -166,17 +182,25 @@ def _tile(scales, biases):
     return jnp.tile(v[:, None], (1, 128))
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
-def stage1_forward_q(x, sites, out_dtype=jnp.bfloat16):
+@functools.partial(jax.jit, static_argnames=("out_dtype", "emit"))
+def stage1_forward_q(x, sites, out_dtype=jnp.bfloat16, emit="nhwc"):
     """Quantized fused stage-1. x: (B, H, W, 64) float post-stem; sites:
     quant.prepare's qtree["sites"] covering layer1_* (q_from == 0).
-    Returns (B, H, W, 256) in out_dtype."""
+    emit="nhwc": returns (B, H, W, 256) in out_dtype.
+    emit="nhwc_s8": returns (B, H, W, 256) int8 quantized with
+    layer2_0/conv1's activation scale — XLA stage 2 consumes it
+    pre-quantized (skips its own quantize + halves the boundary read).
+    emit="cm_s8": returns (B, 256, H*W) int8 (same scale) — the fully
+    fused handoff for stage2_int8.stage_forward_q(cm_in=True)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, cin = x.shape
     hw = h * w
     assert cin == F1 and hw % 128 in (0, 64), (b, h, w, cin)
+    cm_s8 = emit == "cm_s8"
+    if emit in ("cm_s8", "nhwc_s8"):
+        assert "layer2_0/conv1" in sites, "s8 emit needs stage-2 sites"
     xf = x.reshape(b, hw, F1)
 
     inv2 = [_site(sites, j, "conv2")["inv_sa"] for j in range(3)]
@@ -202,15 +226,27 @@ def stage1_forward_q(x, sites, out_dtype=jnp.bfloat16):
     w3 = jnp.stack([_tp(_site(sites, j, "conv3")["w8"]) for j in range(3)])
     sb3 = [_sb(_site(sites, j, "conv3")) for j in range(3)]
     sc3 = _tile([s for s, _ in sb3], [b for _, b in sb3])  # (1536, 128)
-    # SMEM scalars: input quantize + block-boundary requantizes.
-    inv = jnp.stack([
-        jnp.asarray(_site(sites, 0, "conv1")["inv_sa"], jnp.float32),
-        jnp.asarray(_site(sites, 1, "conv1")["inv_sa"], jnp.float32),
-        jnp.asarray(_site(sites, 2, "conv1")["inv_sa"], jnp.float32),
-    ])
+    # SMEM scalars: input quantize + block-boundary requantizes (+ the
+    # next stage's conv1 scale for the cm_s8 emit).
+    invs = [jnp.asarray(_site(sites, j, "conv1")["inv_sa"], jnp.float32)
+            for j in range(3)]
+    invs.append(jnp.asarray(
+        sites["layer2_0/conv1"]["inv_sa"]
+        if emit in ("cm_s8", "nhwc_s8") else 1.0, jnp.float32))
+    inv = jnp.stack(invs)
+
+    if cm_s8:
+        out_spec = pl.BlockSpec((1, FOUT, hw), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, FOUT, hw), jnp.int8)
+    else:
+        out_spec = pl.BlockSpec((1, hw, FOUT), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (b, hw, FOUT), jnp.int8 if emit == "nhwc_s8" else out_dtype)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, hw=hw, w=w),
+        functools.partial(_kernel, hw=hw, w=w, emit_cm_s8=cm_s8),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, hw, F1), lambda i: (i, 0, 0),
@@ -233,9 +269,8 @@ def stage1_forward_q(x, sites, out_dtype=jnp.bfloat16):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, hw, FOUT), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hw, FOUT), out_dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((F1, hw + 2 * PAD), jnp.int8),   # hpad
             pltpu.VMEM((K2, hw), jnp.int8),             # pairbuf
@@ -248,7 +283,10 @@ def stage1_forward_q(x, sites, out_dtype=jnp.bfloat16):
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(xf, w0, wp, w1, w3, sc0, scp, sc1, sc3, inv)
-    return out.reshape(b, h, w, FOUT).astype(out_dtype)
+    if cm_s8:
+        return out
+    out = out.reshape(b, h, w, FOUT)
+    return out if emit == "nhwc_s8" else out.astype(out_dtype)
 
 
 def sites_ok(sites) -> bool:

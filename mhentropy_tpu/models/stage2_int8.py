@@ -212,19 +212,34 @@ def _tile(scales, biases):
     return jnp.tile(v[:, None], (1, 128))
 
 
-@functools.partial(jax.jit, static_argnames=("stage", "out_dtype"))
-def stage_forward_q(x, sites, stage: int = 2, out_dtype=jnp.bfloat16):
-    """Quantized fused stage forward. x: (B, H, W, Cin) float NHWC;
+@functools.partial(jax.jit, static_argnames=("stage", "out_dtype",
+                                              "cm_in"))
+def stage_forward_q(x, sites, stage: int = 2, out_dtype=jnp.bfloat16,
+                    cm_in: bool = False):
+    """Quantized fused stage forward. x: (B, H, W, Cin) float NHWC, or —
+    with cm_in=True — the (B, Cin, H*W) int8 channel-major map emitted
+    by stage1_forward_q(emit="cm_s8") (already quantized with this
+    stage's conv1 scale; skips the in-kernel quantize + transpose).
     sites: quant.prepare's qtree["sites"] covering layer{stage}_*.
     Returns (B, H/2, W/2, Cout) NHWC in out_dtype."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     g = GEOMS[stage]
-    b, h, w, cin = x.shape
-    hw_in, hw_out = h * w, h * w // 4
-    assert (cin, w) == (g.cin, g.w_in) and h == w, (x.shape, g)
-    xf = x.reshape(b, hw_in, cin)
+    if cm_in:
+        b, cin, hw_in = x.shape
+        assert x.dtype == jnp.int8 and cin == g.cin \
+            and hw_in == g.w_in * g.w_in, (x.shape, x.dtype, g)
+        h = w = g.w_in
+        hw_out = hw_in // 4
+        xf = x
+        in_block = (1, cin, hw_in)
+    else:
+        b, h, w, cin = x.shape
+        hw_in, hw_out = h * w, h * w // 4
+        assert (cin, w) == (g.cin, g.w_in) and h == w, (x.shape, g)
+        xf = x.reshape(b, hw_in, cin)
+        in_block = (1, hw_in, cin)
     W, CIN, COUT, NB = g.width, g.cin, g.cout, g.n_blocks
 
     st = functools.partial(_site, sites, stage)
@@ -260,10 +275,10 @@ def stage_forward_q(x, sites, stage: int = 2, out_dtype=jnp.bfloat16):
                      for j in range(NB)])
 
     out = pl.pallas_call(
-        functools.partial(_kernel, g=g, cm_in=False),
+        functools.partial(_kernel, g=g, cm_in=cm_in),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hw_in, CIN), lambda i: (i, 0, 0),
+            pl.BlockSpec(in_block, lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NB, W, COUT), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -325,6 +340,9 @@ def supported(x, stage: int, train: bool = False) -> bool:
         not train
         and jax.default_backend() == "tpu"
         and x.ndim == 4
+        # A float NHWC map; an int8 input here would be double-scaled
+        # by the in-kernel quantize (the cm_in path handles s8).
+        and x.dtype != jnp.int8
         and x.shape[3] == g.cin
         and x.shape[1] == x.shape[2] == g.w_in
     )

@@ -550,7 +550,7 @@ class Experiment:
                 pallas_stage1=getattr(self.model_cfg.encoder,
                                       "pallas_stage1", True),
                 pallas_mid=getattr(self.model_cfg.encoder,
-                                   "pallas_mid", True))
+                                   "pallas_mid", False))
             step = self._get_eval_step(n, temp, quant_spec=quant_spec)
         else:
             step = self._get_eval_step(n, temp)

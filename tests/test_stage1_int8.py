@@ -174,3 +174,36 @@ def test_sites_ok_and_supported_gates():
     x64 = jnp.zeros((1, 64, 64, 64))
     # CPU backend -> gated off regardless of geometry.
     assert not stage1_int8.supported(x64)
+
+
+def test_cm_s8_emit_matches_quantized_nhwc():
+    """emit="cm_s8" is exactly the NHWC output quantized with
+    layer2_0/conv1's activation scale, in channel-major layout."""
+    sites = _sites(jax.random.key(5))
+    inv2 = jnp.float32(41.7)
+    sites["layer2_0/conv1"] = {"inv_sa": inv2}
+    x = jax.random.normal(jax.random.key(6), (2, H, W, 64), jnp.float32)
+    nhwc = np.asarray(stage1_int8.stage1_forward_q(
+        x, sites, out_dtype=jnp.float32))
+    cm = np.asarray(stage1_int8.stage1_forward_q(
+        x, sites, emit="cm_s8"))
+    assert cm.shape == (2, 256, H * W) and cm.dtype == np.int8
+    want = np.clip(np.round(nhwc.reshape(2, H * W, 256) * float(inv2)),
+                   -127, 127).astype(np.int8).transpose(0, 2, 1)
+    np.testing.assert_array_equal(cm, want)
+
+
+def test_nhwc_s8_emit_matches_quantized_nhwc():
+    """emit="nhwc_s8" is the NHWC output quantized (from f32, before
+    any bf16 truncation) with layer2_0/conv1's scale."""
+    sites = _sites(jax.random.key(7))
+    inv2 = jnp.float32(37.3)
+    sites["layer2_0/conv1"] = {"inv_sa": inv2}
+    x = jax.random.normal(jax.random.key(8), (2, H, W, 64), jnp.float32)
+    nhwc = np.asarray(stage1_int8.stage1_forward_q(
+        x, sites, out_dtype=jnp.float32))
+    s8 = np.asarray(stage1_int8.stage1_forward_q(
+        x, sites, emit="nhwc_s8"))
+    assert s8.shape == (2, H, W, 256) and s8.dtype == np.int8
+    want = np.clip(np.round(nhwc * float(inv2)), -127, 127).astype(np.int8)
+    np.testing.assert_array_equal(s8, want)

@@ -204,3 +204,23 @@ def test_gates():
     x = jnp.zeros((1, 64, 64, 256))
     # CPU backend -> gated off regardless of geometry.
     assert not stage2_int8.supported(x, 2)
+
+
+def test_cm_in_matches_nhwc_path(monkeypatch):
+    """cm_in=True on the pre-quantized channel-major map reproduces the
+    NHWC path exactly (the in-kernel quantize/transpose is the only
+    difference)."""
+    g = TEST_GEOM
+    monkeypatch.setitem(stage2_int8.GEOMS, 9, g)
+    sites = _sites(jax.random.key(7), 9, g)
+    x = jax.random.normal(jax.random.key(8),
+                          (2, g.w_in, g.w_in, g.cin), jnp.float32)
+    ref = np.asarray(stage2_int8.stage_forward_q(
+        x, sites, stage=9, out_dtype=jnp.float32))
+    inv = sites["layer9_0/conv1"]["inv_sa"]
+    xq = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+    x_cm = jnp.transpose(
+        xq.reshape(2, g.w_in * g.w_in, g.cin), (0, 2, 1))
+    got = np.asarray(stage2_int8.stage_forward_q(
+        x_cm, sites, stage=9, out_dtype=jnp.float32, cm_in=True))
+    np.testing.assert_array_equal(got, ref)

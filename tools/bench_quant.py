@@ -46,6 +46,14 @@ def main():
 
     spec, qtree = quant.quantize_encoder(
         params["encoder"], batch_stats, cfg.encoder, image, q_from=q_from)
+    if len(sys.argv) > 5 and sys.argv[5] in ("fused", "mid", "s8"):
+        # "fused": stage-1 kernel emits channel-major s8 straight into
+        # the CM-input stage-2 kernel; "mid": standalone NHWC stage-2/3
+        # kernels; "s8": stage-1 emits pre-quantized NHWC s8 for XLA
+        # stage 2. All three are measured-loss configs kept opt-in for
+        # re-measurement (docs/PERF.md).
+        spec = spec._replace(
+            pallas_mid=True if sys.argv[5] == "mid" else sys.argv[5])
 
     def run_side(tag, qt):
         def one_step(params, batch_stats, image, k):
