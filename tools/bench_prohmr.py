@@ -44,7 +44,7 @@ def run(variant: str, n_hypo=100, batch=32, steps=50):
         image0 = jax.random.uniform(
             jax.random.key(2), (batch, img, img, 3)) * 2 - 1
         quant_arg = quant.quantize_encoder(
-            params["encoder"], batch_stats, cfg.encoder, image0, q_from=1)
+            params["encoder"], batch_stats, cfg.encoder, image0)
 
     def one_step(params, batch_stats, image, key):
         out = prohmr.sample_hypotheses(

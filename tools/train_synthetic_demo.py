@@ -2,7 +2,9 @@
 best-hypothesis MPJPE before/after — evidence the entropy-augmented
 reverse-KL objective optimises end to end on TPU.
 
-Usage: python -m tools.train_synthetic_demo [epochs]
+Usage: python -m tools.train_synthetic_demo [epochs] [lr] [backbone] [img]
+(e.g. `... 30 2e-4 resnet50 256` runs the PTQ accuracy check at the
+shipped serving geometry — the int8-kernel q_from="auto"=0 path.)
 """
 
 import sys
@@ -12,7 +14,8 @@ import jax
 import numpy as np
 
 
-def main(epochs: int = 30, lr: float = 2e-4):
+def main(epochs: int = 30, lr: float = 2e-4, backbone: str = "resnet18",
+         img: int = 64):
     from mhentropy_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -25,12 +28,20 @@ def main(epochs: int = 30, lr: float = 2e-4):
     from mhentropy_tpu.parallel import mesh as mesh_lib
     from mhentropy_tpu.train import engine
 
-    img, bs, n_train = 64, 32, 256
+    bs, n_train = 32, 256
+    # backbone/img args let the PTQ accuracy check run at the SHIPPED
+    # serving geometry (resnet50 @ 256px bf16 — the q_from="auto"=0
+    # int8-kernel path) instead of the CI-sized default.
+    big = backbone == "resnet50"
     cfg = MHEntConfig(
-        encoder=EncoderConfig(backbone="resnet18", n_latent=(128, 128),
-                              dtype="float32"),
-        flow=RealNVPConfig(dim=45, cond_dim=128, h_dim=256, num_steps=4),
-        feat_dim=128,
+        encoder=EncoderConfig(
+            backbone=backbone,
+            n_latent=(512, 512) if big else (128, 128),
+            dtype="bfloat16" if big else "float32"),
+        flow=RealNVPConfig(dim=45, cond_dim=512 if big else 128,
+                           h_dim=512 if big else 256,
+                           num_steps=6 if big else 4),
+        feat_dim=512 if big else 128,
         image_size=img,
         n_train_hypotheses=10,
         b_2d=0.03,
@@ -101,7 +112,7 @@ def main(epochs: int = 30, lr: float = 2e-4):
 
     spec, qtree = quant.quantize_encoder(
         state.params["encoder"], state.batch_stats, cfg.encoder,
-        jax.numpy.asarray(evald.images[:bs]), q_from=1)
+        jax.numpy.asarray(evald.images[:bs]))
     qstep = engine.make_eval_step(model, cfg, mesh, n=100, temp=0.8,
                                   quant_spec=spec)
     after_q = evaluate(qstep, (qtree,))
@@ -121,4 +132,6 @@ if __name__ == "__main__":
     sys.exit(main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 30,
         float(sys.argv[2]) if len(sys.argv) > 2 else 2e-4,
+        sys.argv[3] if len(sys.argv) > 3 else "resnet18",
+        int(sys.argv[4]) if len(sys.argv) > 4 else 64,
     ))
