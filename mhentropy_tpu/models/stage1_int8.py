@@ -46,7 +46,7 @@ TAPS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 def _kernel(x_ref, w0_ref, wp_ref, w1_ref, w3_ref, sc0_ref, scp_ref,
             sc1_ref, sc3_ref, inv_ref, out_ref,
             hpad, pairbuf, h3q, resf, prevf, *, hw: int, w: int,
-            emit_cm_s8: bool = False):
+            emit_cm_s8: bool = False, taps: str = "pair"):
     f32 = jnp.float32
 
     def eye(n, dtype):
@@ -101,17 +101,37 @@ def _kernel(x_ref, w0_ref, wp_ref, w1_ref, w3_ref, sc0_ref, scp_ref,
         # plain round/clip of the relu.
         hpad[:, PAD:PAD + hw] = quant(jnp.maximum(h1, 0.0))
 
-        for p, (dy, dx) in enumerate(TAPS):
-            d = w * dy + dx
-            v = hpad[:, PAD + d:PAD + d + hw]
-            if dx == -1:
-                v = jnp.where(w_of > 0, v, 0)
-            elif dx == 1:
-                v = jnp.where(w_of < w - 1, v, 0)
-            pairbuf[F1 * p:F1 * (p + 1), :] = v
-        acc2 = jax.lax.dot_general(
-            wp_ref[block], pairbuf[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+        if taps == "pair":
+            # Materialize the 9 tap planes into one (576, hw) buffer and
+            # contract in a single K=576 GEMM.
+            for p, (dy, dx) in enumerate(TAPS):
+                d = w * dy + dx
+                v = hpad[:, PAD + d:PAD + d + hw]
+                if dx == -1:
+                    v = jnp.where(w_of > 0, v, 0)
+                elif dx == 1:
+                    v = jnp.where(w_of < w - 1, v, 0)
+                pairbuf[F1 * p:F1 * (p + 1), :] = v
+            acc2 = jax.lax.dot_general(
+                wp_ref[block], pairbuf[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        else:
+            # "direct": 9 K=64 dots straight off the hpad slices — same
+            # MXU MACs, no tap-plane stores (the pairbuf writes are
+            # ~1.2 MB of masked VPU stores per block).
+            acc2 = None
+            for p, (dy, dx) in enumerate(TAPS):
+                d = w * dy + dx
+                v = hpad[:, PAD + d:PAD + d + hw]
+                if dx == -1:
+                    v = jnp.where(w_of > 0, v, 0)
+                elif dx == 1:
+                    v = jnp.where(w_of < w - 1, v, 0)
+                a = jax.lax.dot_general(
+                    wp_ref[block][:, F1 * p:F1 * (p + 1)], v,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc2 = a if acc2 is None else acc2 + a
         o2 = block * F1
         h2 = acc2.astype(f32) * scp_ref[o2:o2 + F1, 0:1] \
             + scp_ref[3 * F1 + o2:3 * F1 + o2 + F1, 0:1]
@@ -182,8 +202,10 @@ def _tile(scales, biases):
     return jnp.tile(v[:, None], (1, 128))
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "emit"))
-def stage1_forward_q(x, sites, out_dtype=jnp.bfloat16, emit="nhwc"):
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "emit", "taps"))
+def stage1_forward_q(x, sites, out_dtype=jnp.bfloat16, emit="nhwc",
+                     taps=None):
     """Quantized fused stage-1. x: (B, H, W, 64) float post-stem; sites:
     quant.prepare's qtree["sites"] covering layer1_* (q_from == 0).
     emit="nhwc": returns (B, H, W, 256) in out_dtype.
@@ -192,9 +214,13 @@ def stage1_forward_q(x, sites, out_dtype=jnp.bfloat16, emit="nhwc"):
     pre-quantized (skips its own quantize + halves the boundary read).
     emit="cm_s8": returns (B, 256, H*W) int8 (same scale) — the fully
     fused handoff for stage2_int8.stage_forward_q(cm_in=True)."""
+    import os
+
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if taps is None:
+        taps = os.environ.get("MHENT_STAGE1_TAPS", "pair")
     b, h, w, cin = x.shape
     hw = h * w
     assert cin == F1 and hw % 128 in (0, 64), (b, h, w, cin)
@@ -246,7 +272,8 @@ def stage1_forward_q(x, sites, out_dtype=jnp.bfloat16, emit="nhwc"):
             (b, hw, FOUT), jnp.int8 if emit == "nhwc_s8" else out_dtype)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, hw=hw, w=w, emit_cm_s8=cm_s8),
+        functools.partial(_kernel, hw=hw, w=w, emit_cm_s8=cm_s8,
+                          taps=taps),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, hw, F1), lambda i: (i, 0, 0),
@@ -273,7 +300,9 @@ def stage1_forward_q(x, sites, out_dtype=jnp.bfloat16, emit="nhwc"):
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((F1, hw + 2 * PAD), jnp.int8),   # hpad
-            pltpu.VMEM((K2, hw), jnp.int8),             # pairbuf
+            # pairbuf is unused in "direct" taps mode (token allocation)
+            pltpu.VMEM((K2, hw) if taps == "pair" else (8, 128),
+                       jnp.int8),
             pltpu.VMEM((F1, hw), jnp.int8),             # h3q
             pltpu.VMEM((FOUT, hw), jnp.float32),        # resf
             pltpu.VMEM((FOUT, hw), jnp.float32),        # prevf

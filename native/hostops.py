@@ -49,6 +49,12 @@ def available() -> bool:
 
 def crop_resize_nearest(img: np.ndarray, centre, half: float, size: int,
                         pad_value: float = 127.0) -> np.ndarray:
+    if half <= 0:
+        # The C++ kernel's prefix/suffix padding assumes a monotone
+        # column map (half > 0); a degenerate crop is all padding.
+        c = 1 if img.ndim == 2 else img.shape[2]
+        out = np.full((size, size, c), pad_value, np.float32)
+        return out[..., 0] if img.ndim == 2 else out
     lib = _load()
     # uint8 sources go straight to the u8 kernel (the convert fuses into
     # the gather — converting the whole source first cost 7x the kernel).

@@ -136,3 +136,20 @@ def test_warp_image_native_fallback(monkeypatch):
     out = T.warp_image(img, m, 64, border=0.0)
     same = np.isclose(out, ref, atol=1e-6).mean()
     assert same > 0.98, same
+
+
+def test_degenerate_half_returns_padding():
+    """half <= 0 short-circuits to an all-padding crop (the C++ kernel's
+    prefix/suffix padding assumes a monotone column map) — ADVICE r2."""
+    img = (np.random.RandomState(0).rand(40, 40, 3) * 255).astype(np.uint8)
+    for half in (0.0, -3.0):
+        out = hostops.crop_resize_nearest(img, (20.0, 20.0), half, 8,
+                                          pad_value=9.0)
+        assert out.shape == (8, 8, 3)
+        np.testing.assert_array_equal(out, np.full((8, 8, 3), 9.0,
+                                                   np.float32))
+    g = img[..., 0]
+    out2 = hostops.crop_resize_nearest(g, (20.0, 20.0), 0.0, 8,
+                                       pad_value=9.0)
+    assert out2.shape == (8, 8)
+    np.testing.assert_array_equal(out2, np.full((8, 8), 9.0, np.float32))

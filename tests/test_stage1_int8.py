@@ -207,3 +207,15 @@ def test_nhwc_s8_emit_matches_quantized_nhwc():
     assert s8.shape == (2, H, W, 256) and s8.dtype == np.int8
     want = np.clip(np.round(nhwc * float(inv2)), -127, 127).astype(np.int8)
     np.testing.assert_array_equal(s8, want)
+
+
+def test_direct_taps_variant_exact():
+    """taps="direct" (9 K=64 dots off hpad, no pairbuf) is bit-identical
+    to the default pair-GEMM lowering in value semantics."""
+    sites = _sites(jax.random.key(9))
+    x = jax.random.normal(jax.random.key(10), (2, H, W, 64), jnp.float32)
+    a = np.asarray(stage1_int8.stage1_forward_q(
+        x, sites, out_dtype=jnp.float32))
+    b = np.asarray(stage1_int8.stage1_forward_q(
+        x, sites, out_dtype=jnp.float32, taps="direct"))
+    np.testing.assert_array_equal(a, b)
