@@ -104,6 +104,7 @@ def patch_occlusion(
     idx: int,
     size: int = 50,
     vis: np.ndarray | None = None,
+    copy: bool = True,
 ):
     """Deterministic circular occluder centred on keypoint
     PATCH_KP_CYCLE[idx % 5]: zeroes the pixels, demotes covered joints to
@@ -124,7 +125,9 @@ def patch_occlusion(
     y0, y1 = max(cy - r, 0), min(cy + r + 1, h)
     x0, x1 = max(cx - r, 0), min(cx + r + 1, w)
     occ_img = np.zeros((h, w), bool)
-    out = image_crop.copy()
+    # copy=False lets a caller that owns a freshly-materialized crop
+    # (e.g. RHDDataset.__getitem__) take the occlusion in place.
+    out = image_crop.copy() if copy else image_crop
     if y0 < y1 and x0 < x1:
         yy, xx = common.grid2d(y1 - y0, x1 - x0)
         win = ((xx + x0 - cx) ** 2 + (yy + y0 - cy) ** 2) <= r * r

@@ -96,12 +96,15 @@ def gaussian_heatmaps(uv, size, vis, sigma=6.0):
         & (coords[:, 1] > 0) & (coords[:, 1] < size - 1)
     )
     cond = (np.asarray(vis, np.float32) > 0.5) & in_bounds
-    row = np.arange(size, dtype=np.float32)[:, None, None]
-    col = np.arange(size, dtype=np.float32)[None, :, None]
     # heatmap[row, col, k] peaks at (v, u) — the reference swaps uv to (v, u)
     # before the grid subtraction (preprocess.py:216-219, 244-251).
-    d2 = (row - coords[None, None, :, 1]) ** 2 + (col - coords[None, None, :, 0]) ** 2
-    return np.exp(-d2 / sigma**2) * cond.astype(np.float32)
+    # The Gaussian is separable: exp(-(dr^2+dc^2)) == exp(-dr^2)*exp(-dc^2)
+    # to ~1 ulp, so exp runs over 2*size*k values instead of size^2*k
+    # (64x64x21 full-frame exp was ~0.6 ms/sample of the host pipeline).
+    grid = np.arange(size, dtype=np.float32)[:, None]
+    er = np.exp(-((grid - coords[None, :, 1]) ** 2) / sigma**2)  # (size, k)
+    ec = np.exp(-((grid - coords[None, :, 0]) ** 2) / sigma**2)
+    return er[:, None, :] * (ec[None, :, :] * cond.astype(np.float32))
 
 
 class RHDDataset:
@@ -211,7 +214,8 @@ class RHDDataset:
         object_mask = np.zeros(image_crop.shape[:2], np.float32)
         if self.patch_occlude:
             image_crop, vis, (patch_cx, patch_cy, patch_r, object_mask) = (
-                occlusion.patch_occlusion(image_crop, crop_uv, idx=idx, size=50, vis=vis)
+                occlusion.patch_occlusion(image_crop, crop_uv, idx=idx,
+                                          size=50, vis=vis, copy=False)
             )
 
         rot_mat = np.eye(2, 3, dtype=np.float32)

@@ -163,15 +163,25 @@ def ref_rhdloader(ref_preprocess):
     import types
 
     if "torchvision" not in sys.modules:
+        # Keep this stub a SUPERSET of what every reference module the
+        # suite imports needs (incl. torchvision.utils for
+        # simple_transform_3d) — stubs leak across test modules via
+        # sys.modules, and a later fixture skips installation when
+        # "torchvision" is already present (order-dependent failures
+        # otherwise: this module before test_pose_pipeline_parity).
         tv = types.ModuleType("torchvision")
         tf = types.ModuleType("torchvision.transforms")
         tff = types.ModuleType("torchvision.transforms.functional")
+        tvu = types.ModuleType("torchvision.utils")
         tff.erase = lambda *a, **k: None
+        tvu.save_image = lambda *a, **k: None
         tf.functional = tff
         tv.transforms = tf
+        tv.utils = tvu
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tf
         sys.modules["torchvision.transforms.functional"] = tff
+        sys.modules["torchvision.utils"] = tvu
     import matplotlib
 
     matplotlib.use("Agg")
