@@ -500,16 +500,28 @@ class Experiment:
     def train_epoch(self, data, epoch: int):
         bs = self.cfg.training.batch_size
         loss_meter = AverageMeter()
+        # Device scalars are only fetched at log points and at epoch end:
+        # a per-step float(aux["loss"]) forces a D2H sync each step, and a
+        # scalar fetch costs ~25 ms through the axon relay — more than the
+        # ~20 ms train step itself. Deferring keeps dispatch async (the
+        # device runs ahead of the host between log lines).
+        pending = []
+
+        def drain():
+            for v in jax.device_get(pending):
+                loss_meter.update(float(v))
+            pending.clear()
+
         for idx, (image, target) in enumerate(data_common.prefetch(
                 data_common.batches(data, bs, shuffle=True, seed=self.seed + epoch,
                                     pad_remainder=True)
         )):
             self.key, k_step = jax.random.split(self.key)
             self.state, aux = self._train_step(self.state, image, target, k_step)
-            loss = float(aux["loss"])
-            loss_meter.update(loss)
+            pending.append(aux["loss"])
             self._step += 1
             if idx % self.cfg.info_interval == 0:
+                drain()
                 msg = f"Epoch:{epoch}| Step:{idx}| Avg_Loss:{loss_meter.avg:.4f}|"
                 for k in ("h_q", "q_log_p", "sigma_i"):
                     if k in aux:
@@ -518,6 +530,7 @@ class Experiment:
                 self.writer.add_scalar(
                     "loss_avg/loss_total", loss_meter.avg, global_step=self._step
                 )
+        drain()
         return loss_meter.avg
 
     def eval_loop(self, data, epoch: int = 0, n: int | None = None):
@@ -556,6 +569,7 @@ class Experiment:
             step = self._get_eval_step(n, temp)
         qargs = None
         meters = {}
+        batch_mets = []
         # pad_remainder keeps tail samples (no drop_last in the reference's
         # eval DataLoader, CrossModalHand.py:176-179); metric means are
         # weighted by the per-batch valid count.
@@ -573,6 +587,12 @@ class Experiment:
                     self.state.batch_stats, act),)
             mets = step(self.state.params, self.state.batch_stats, image,
                         target, k, *(qargs or ()))
+            batch_mets.append(mets)
+        # ONE D2H transfer for the whole eval: fetching each metric
+        # scalar per batch cost ~25 ms of relay round-trip PER FETCH and
+        # serialized the dispatch pipeline (docs/PERF.md "Measurement
+        # gotchas"); deferred, the device streams through all batches.
+        for mets in jax.device_get(batch_mets):
             n_valid = float(mets.pop("n_valid", bs))
             for name, v in mets.items():
                 meters.setdefault(name, AverageMeter()).update(float(v), n=n_valid)
