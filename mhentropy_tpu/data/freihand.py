@@ -26,6 +26,10 @@ N_UNIQUE = 32560  # unique poses; the dataset repeats them with 4 backgrounds
 
 
 class FreiHANDDataset:
+    #: No per-pixel extras here — the param exists for loader-interface
+    #: uniformity with RHD/HO3D (the Experiment passes one field set).
+    HEAVY_FIELDS = frozenset()
+
     def __init__(
         self,
         data_root: str,
@@ -33,7 +37,9 @@ class FreiHANDDataset:
         image_size: int = 224,
         seed: int = 0,
         eval_fraction: float = 0.1,
+        heavy_fields: frozenset | set | None = None,
     ):
+        del heavy_fields  # accepted for uniformity; nothing to gate
         self.root = data_root
         self.size = image_size
         self.mode = mode

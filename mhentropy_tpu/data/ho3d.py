@@ -63,12 +63,19 @@ def read_obj(path: str) -> dict:
 class HO3DDataset:
     """Index-addressable dataset; collate with data.common.batches."""
 
+    #: Per-pixel target fields no shipped train/eval path consumes
+    #: (hand_mask only when cfg.network.use_mask_loss — the Experiment
+    #: requests it then). Gating them skips their crops/warps and ~0.8 MB
+    #: of per-sample H2D.
+    HEAVY_FIELDS = frozenset({"depth", "hand_mask", "object_mask"})
+
     def __init__(
         self,
         data_root: str,
         mode: str = "training",
         image_size: int = 256,
         seed: int = 0,
+        heavy_fields: frozenset | set | None = None,
     ):
         import cv2  # noqa: F401 — required for image IO / warps
 
@@ -76,6 +83,7 @@ class HO3DDataset:
         self.mode = mode
         self.aug = mode == "training"
         self.image_size = image_size
+        self.heavy = None if heavy_fields is None else frozenset(heavy_fields)
         self.rng = np.random.RandomState(seed)
 
         self.base = os.path.join(data_root, "HO3D_v3", "HO3D_v3")
@@ -154,12 +162,20 @@ class HO3DDataset:
         half = scale / 2.0
 
         s = self.image_size
+        need = self.heavy.__contains__ if self.heavy is not None else \
+            (lambda _k: True)
         image_crop = T.crop_resize(image, centre, half, s)
-        depth_crop = T.crop_resize(depth, centre, half, s, pad=0.0)
-        seg_crop = T.crop_resize(seg, centre, half, s)
-        obj_mask = seg_crop[:, :, 1] > 200
-        hand_mask_crop = seg_crop[:, :, 2] > 200
-        hand_mask_full = seg[:, :, 2] > 200
+        depth_crop = (
+            T.crop_resize(depth, centre, half, s, pad=0.0)
+            if need("depth") else None
+        )
+        if need("hand_mask") or need("object_mask"):
+            seg_crop = T.crop_resize(seg, centre, half, s)
+            obj_mask = seg_crop[:, :, 1] > 200
+            hand_mask_crop = seg_crop[:, :, 2] > 200
+        else:
+            obj_mask = hand_mask_crop = None
+        hand_mask_full = seg[:, :, 2] > 200  # full-frame: visibility test
 
         # Crop-space uv (ho3d_dataloader.py:356-358).
         uv_crop = (uvd[:, :2] - centre[None] + half) * (s / (2.0 * half))
@@ -182,11 +198,15 @@ class HO3DDataset:
             pose3d_normed = T.rotate_xy(pose3d_normed, params["angle"])
             uv_crop = T.apply_affine_uv(uv_crop, rot_mat)
             image_crop = T.warp_image(image_crop, rot_mat, s)
-            depth_crop = T.warp_image(depth_crop, rot_mat, s)
-            hand_mask_crop = T.warp_image(
-                hand_mask_crop.astype(np.float32), rot_mat, s
-            ).astype(bool)
-            obj_mask = T.warp_image(obj_mask.astype(np.float32), rot_mat, s).astype(bool)
+            if need("depth"):
+                depth_crop = T.warp_image(depth_crop, rot_mat, s)
+            if hand_mask_crop is not None:
+                hand_mask_crop = T.warp_image(
+                    hand_mask_crop.astype(np.float32), rot_mat, s
+                ).astype(bool)
+                obj_mask = T.warp_image(
+                    obj_mask.astype(np.float32), rot_mat, s
+                ).astype(bool)
 
         vis = occlusion.demote_out_of_bounds(vis, uv_crop, (s, s), quant=5)
 
@@ -214,10 +234,7 @@ class HO3DDataset:
 
         target = {
             "crop_uv": uv_norm.reshape(-1).astype(np.float32),
-            "hand_mask": hand_mask_crop,
-            "object_mask": obj_mask,
             "vis": vis.astype(np.float32),
-            "depth": depth_crop.astype(np.float32),
             "original_pose3d": joints_cv_r.astype(np.float32),
             "verts": mesh_cv.reshape(-1).astype(np.float32),
             "pose3d": pose3d_normed.reshape(-1).astype(np.float32),
@@ -235,6 +252,12 @@ class HO3DDataset:
             "dataset": "ho3d",
             "idx": idx,
         }
+        if need("depth"):
+            target["depth"] = depth_crop.astype(np.float32)
+        if need("hand_mask"):
+            target["hand_mask"] = hand_mask_crop
+        if need("object_mask"):
+            target["object_mask"] = obj_mask
         return image_out, target
 
 

@@ -107,7 +107,26 @@ def gaussian_heatmaps(uv, size, vis, sigma=6.0):
     return er[:, None, :] * (ec[None, :, :] * cond.astype(np.float32))
 
 
+def _resize_nearest64(mask):
+    """cv2.resize(mask, (64, 64), INTER_NEAREST) with a pure-numpy
+    fallback (exact 4x decimation at the 256 default) for cv2-less hosts."""
+    try:
+        import cv2
+
+        return cv2.resize(mask, (64, 64), interpolation=cv2.INTER_NEAREST)
+    except ImportError:
+        h, w = mask.shape[:2]
+        r = (np.arange(64) * (h / 64.0)).astype(np.int64)
+        c = (np.arange(64) * (w / 64.0)).astype(np.int64)
+        return mask[r][:, c]
+
+
 class RHDDataset:
+    #: Target keys that cost real host time / H2D bytes but are consumed by
+    #: no shipped train or eval path (models/, train/, core/ never read
+    #: them — they exist for reference parity, rhddataloader.py:220-228).
+    HEAVY_FIELDS = frozenset({"cloud", "heatmap", "object_mask", "mask"})
+
     def __init__(
         self,
         data_root: str,
@@ -117,7 +136,14 @@ class RHDDataset:
         patch_occlude: bool = True,
         image_size: int = 256,
         seed: int = 0,
+        heavy_fields: frozenset | set | None = None,
     ):
+        """heavy_fields: which of HEAVY_FIELDS to compute and emit. None
+        (default) keeps the full reference-parity target; the Experiment
+        passes the empty set (cfg.tpu.target_fields='auto') since nothing
+        downstream consumes them (see docs/PERF.md for the measured host
+        win). Note the train-mode augmentation RNG stream differs between field
+        configurations (skipped fields skip their rng draws)."""
         assert mode in ("training", "evaluation")
         self.mode = mode
         self.aug = mode == "training"
@@ -125,6 +151,7 @@ class RHDDataset:
         self.uv_norm = uv_norm
         self.patch_occlude = patch_occlude
         self.size = image_size
+        self.heavy = None if heavy_fields is None else frozenset(heavy_fields)
         self.rng = np.random.RandomState(seed)
         self.root = self._find_root(data_root)
         with open(
@@ -184,15 +211,22 @@ class RHDDataset:
         crop_center = uv_all[12].astype(np.float64)
         crop_size = float(np.max(np.abs(uv_all[uv_vis] - crop_center))) * 1.3
         s = self.size
+        need = self.heavy.__contains__ if self.heavy is not None else \
+            (lambda _k: True)
         image_crop = T.crop_resize(image, crop_center, crop_size, s)
-        depth_n = (5.0 - depth) / 5.0 * hand_mask_full
-        depth_crop = T.crop_resize(depth_n, crop_center, crop_size, s, pad=0.0)
-        hand_mask_crop = T.crop_resize(
-            hand_mask_full.astype(np.float32), crop_center, crop_size, s, pad=0.0
+        hand_mask_crop = (
+            T.crop_resize(hand_mask_full.astype(np.float32), crop_center,
+                          crop_size, s, pad=0.0)
+            if need("mask") else None
         )
 
-        cloud = depth_to_cloud(depth, hand_mask_full, pose3d_root, cam, 4000, self.rng)
-        cloud_normed = (cloud - pose3d[12]) / bone
+        if need("cloud"):
+            cloud = depth_to_cloud(
+                depth, hand_mask_full, pose3d_root, cam, 4000, self.rng
+            )
+            cloud_normed = (cloud - pose3d[12]) / bone
+        else:
+            cloud = cloud_normed = np.zeros((1, 3), np.float32)
 
         crop_scale = s / (crop_size * 2.0)
         crop_uv = (uv_all - crop_center) * crop_scale + s // 2
@@ -205,8 +239,11 @@ class RHDDataset:
             pose3d_normed = (pose_vc - pose_vc[12]) / bone
             cloud_normed = (cloud_vc - pose_vc[12]) / bone
 
-        heatmap = gaussian_heatmaps(
-            (uv_all - crop_center) * (64.0 / (crop_size * 2)) + 32, 64, uv_vis
+        heatmap = (
+            gaussian_heatmaps(
+                (uv_all - crop_center) * (64.0 / (crop_size * 2)) + 32, 64, uv_vis
+            )
+            if need("heatmap") else None
         )
 
         # Patch occlusion before augmentation (rhddataloader.py:131-137).
@@ -220,14 +257,19 @@ class RHDDataset:
 
         rot_mat = np.eye(2, 3, dtype=np.float32)
         hand_side = np.float32(left)
+        # Only the requested masks ride the flip/warp chain; image/uv/pose
+        # always do. (depth/hand-mask crops that no output ever carried were
+        # dead work — rhddataloader.py's target has no depth either.)
+        masks = {}
+        if need("mask"):
+            masks["mask"] = hand_mask_crop
+        if need("object_mask"):
+            masks["object_mask"] = object_mask
         if left:
-            image_crop, crop_uv, pose3d_normed, (hand_mask_crop, object_mask) = (
-                T.flip_left_to_right(
-                    image_crop, crop_uv, pose3d_normed,
-                    (hand_mask_crop, object_mask), s,
-                )
+            image_crop, crop_uv, pose3d_normed, flipped = T.flip_left_to_right(
+                image_crop, crop_uv, pose3d_normed, tuple(masks.values()), s
             )
-            depth_crop = depth_crop[:, ::-1].copy()
+            masks = dict(zip(masks.keys(), flipped))
             cloud_normed[:, 0] = -cloud_normed[:, 0]
         if self.aug:
             params = T.make_aug_params(self.rng, trans_std=22.0)
@@ -236,10 +278,11 @@ class RHDDataset:
             cloud_normed = T.rotate_xy(cloud_normed, params["angle"])
             crop_uv = T.apply_affine_uv(crop_uv, rot_mat)
             image_crop = T.warp_image(image_crop, rot_mat, s)
-            depth_crop = T.warp_image(depth_crop, rot_mat, s, border=10.0)
-            hand_mask_crop = T.warp_image(hand_mask_crop, rot_mat, s)
-            object_mask = T.warp_image(object_mask, rot_mat, s)
-        cloud_out = cloud_normed[self.rng.permutation(len(cloud_normed))[:256]]
+            masks = {k: T.warp_image(m, rot_mat, s) for k, m in masks.items()}
+        cloud_out = (
+            cloud_normed[self.rng.permutation(len(cloud_normed))[:256]]
+            if need("cloud") else cloud_normed
+        )
 
         vis = occlusion.demote_out_of_bounds(vis, crop_uv, (s, s), quant=2)
 
@@ -264,7 +307,6 @@ class RHDDataset:
         image_out = image_crop.astype(np.float32) / 255.0  # ToTensor parity
 
         target = {
-            "cloud": cloud_out.astype(np.float32),
             "pose3d": pose3d_normed.reshape(-1).astype(np.float32),
             "scale": np.float32(bone),
             "viewRotation": vc_rot.astype(np.float32),
@@ -280,15 +322,32 @@ class RHDDataset:
             "original_pose3d": (kp_xyz[:21] if left else kp_xyz[-21:]).astype(
                 np.float32
             ),
+            # rhddataloader.py:216-218 extras: the unit-normalised aug
+            # rotation and the fused uv+depth regression target.
+            "_rot_mat": (
+                rot_mat[:, :2] / np.linalg.norm(rot_mat[0, :2])
+            ).astype(np.float32),
+            "uvd": np.concatenate(
+                [uv_out.reshape(21, 2), pose3d_normed.reshape(21, 3)[:, -1:]], 1
+            ).ravel().astype(np.float32),
             "st": st,
             "_idx": ori_idx,
             "_split": int(self.mode == "evaluation"),
             "vis": vis.astype(np.float32),
             "patch": patch,
-            "object_mask": object_mask.astype(np.float32),
-            "heatmap": heatmap.astype(np.float32),
             "dataset": "rhd",
         }
+        if need("cloud"):
+            target["cloud"] = cloud_out.astype(np.float32)
+        if need("heatmap"):
+            target["heatmap"] = heatmap.astype(np.float32)
+        if need("object_mask"):
+            target["object_mask"] = masks["object_mask"].astype(np.float32)
+        if need("mask"):
+            # 64x64 nearest hand mask (rhddataloader.py:196, 223).
+            target["mask"] = _resize_nearest64(
+                masks["mask"].astype(np.float32)
+            )
         return image_out, target
 
 

@@ -391,8 +391,17 @@ class Experiment:
             loader = {"ho3d": ho3d, "rhd": rhd, "freihand": freihand}.get(name)
             if loader is None:
                 raise NotImplementedError(name)
-            train = loader.load(data_dir, mode="training")
-            evald = loader.load(data_dir, mode="evaluation")
+            # "auto": have the loaders skip heavy target fields (clouds,
+            # heatmaps, per-pixel masks) that this model config never
+            # consumes — less host work per item, less H2D per batch.
+            # "full" restores the complete reference-parity target.
+            heavy = None
+            if self.cfg.tpu.get("target_fields", "auto") != "full":
+                heavy = set()
+                if getattr(self.model_cfg, "use_mask_loss", False):
+                    heavy.add("hand_mask")
+            train = loader.load(data_dir, mode="training", heavy_fields=heavy)
+            evald = loader.load(data_dir, mode="evaluation", heavy_fields=heavy)
             return train, evald
         img = self.model_cfg.image_size
         bs = self.cfg.training.batch_size

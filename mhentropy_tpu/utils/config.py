@@ -193,6 +193,12 @@ def get_cfg_defaults() -> CfgNode:
     # pipeline is PNG-decode-bound; caching turns ~3-4 ms decodes into
     # ~30 us mmap reads from the second epoch on. Set to a directory path.
     cfg.tpu.decode_cache = None
+    # Which heavy (per-pixel / large) target fields the loaders compute:
+    # "auto" -> only what the configured model consumes (e.g. hand_mask when
+    # network.use_mask_loss); "full" -> the complete reference-parity target
+    # (cloud/heatmap/object_mask/... included). "auto" measurably raises
+    # host input-pipeline throughput and cuts per-sample H2D (docs/PERF.md).
+    cfg.tpu.target_fields = "auto"
 
     return cfg
 

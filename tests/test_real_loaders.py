@@ -194,3 +194,94 @@ def test_ho3d_loader_end_to_end(ho3d_root):
     image_t, target_t = train[0]
     assert np.isfinite(image_t).all()
     assert np.isfinite(target_t["pose3d"]).all()
+
+
+# ----------------------------------------------------- heavy-field gating
+
+
+def test_rhd_heavy_field_gating(rhd_root):
+    """heavy_fields=set() must drop exactly the unconsumed per-pixel fields
+    and leave every kept key bit-identical in eval mode (no rng there)."""
+    from mhentropy_tpu.data import rhd
+
+    full = rhd.load(rhd_root, mode="evaluation")
+    mini = rhd.load(rhd_root, mode="evaluation", heavy_fields=set())
+    img_f, t_f = full[0]
+    img_m, t_m = mini[0]
+    np.testing.assert_array_equal(img_f, img_m)
+    dropped = set(t_f) - set(t_m)
+    assert dropped == rhd.RHDDataset.HEAVY_FIELDS
+    for k in t_m:
+        if k == "dataset":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(t_f[k]), np.asarray(t_m[k]), err_msg=k
+        )
+    # Full mode carries the reference extras (rhddataloader.py:196,216-223).
+    assert t_f["mask"].shape == (64, 64)
+    assert t_f["uvd"].shape == (63,)
+    assert t_f["_rot_mat"].shape == (2, 2)
+    # And a training-mode item works under both configs (rng streams differ
+    # by design: skipped fields skip their draws).
+    rhd.load(rhd_root, mode="training", heavy_fields=set())[1]
+    rhd.load(rhd_root, mode="training")[1]
+
+
+def test_ho3d_heavy_field_gating(ho3d_root):
+    from mhentropy_tpu.data import ho3d
+
+    full = ho3d.load(ho3d_root, mode="evaluation")
+    mini = ho3d.load(ho3d_root, mode="evaluation", heavy_fields=set())
+    img_f, t_f = full[0]
+    img_m, t_m = mini[0]
+    np.testing.assert_array_equal(img_f, img_m)
+    assert set(t_f) - set(t_m) == ho3d.HO3DDataset.HEAVY_FIELDS
+    for k in t_m:
+        if k == "dataset":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(t_f[k]), np.asarray(t_m[k]), err_msg=k
+        )
+    # A single requested heavy field comes back alone.
+    _, t_hm = ho3d.load(
+        ho3d_root, mode="evaluation", heavy_fields={"hand_mask"}
+    )[0]
+    assert "hand_mask" in t_hm and "object_mask" not in t_hm
+    ho3d.load(ho3d_root, mode="training", heavy_fields=set())[0]
+
+
+def test_experiment_passes_minimal_fields(rhd_root, tmp_path, monkeypatch):
+    """cfg.tpu.target_fields='auto' (default) must reach the loaders as the
+    minimal set; 'full' must restore the complete parity target; a
+    mask-loss config must request hand_mask."""
+    from types import SimpleNamespace
+
+    from mhentropy_tpu.train.engine import Experiment
+    from mhentropy_tpu.utils.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_other_cfg({
+        "model_dir": str(tmp_path / "run") + "/",
+        "dataset": {"dataset_name": "rhd", "image_size": [256, 256]},
+        "network": {"enc_type": "MHEnt", "input": "image", "num_latent": 32,
+                    "backbone": "resnet18", "decoder_type": "id",
+                    "tsfm_on": 32, "h_dims": [32, 32], "num_steps": 1,
+                    "regressor": "realnvp"},
+        "training": {"batch_size": 2},
+        "tpu": {"mesh_hypo": 1, "data_dir": rhd_root},
+    })
+    exp = Experiment(cfg)
+    train, evald = exp.make_datasets()
+    assert train.heavy == frozenset() and evald.heavy == frozenset()
+
+    cfg.tpu.target_fields = "full"
+    train2, _ = exp.make_datasets()
+    assert train2.heavy is None
+
+    cfg.tpu.target_fields = "auto"
+    monkeypatch.setattr(
+        exp, "model_cfg",
+        SimpleNamespace(image_size=256, use_mask_loss=True),
+    )
+    train3, _ = exp.make_datasets()
+    assert train3.heavy == frozenset({"hand_mask"})

@@ -40,33 +40,38 @@ def main():
         # 64 distinct samples, cycled: big enough to defeat any warm-file
         # cache advantage of a single sample, small enough to fabricate fast.
         fixtures_data.build_rhd(root, n=64, seed=0)  # builds both splits
-        ds = rhd.load(root, mode)
 
         bs = 32
         if cached:
             common.set_decode_cache(os.path.join(root, "_decode_cache"))
             # Populate: one full pass over the 64 samples.
-            for _ in common.batches(ds, bs, to_device=False):
+            for _ in common.batches(rhd.load(root, mode), bs, to_device=False):
                 pass
-        # Warm one epoch-fragment (imports, BAD_TRAIN path, numpy pools).
-        next(iter(common.batches(ds, bs, to_device=False)))
+        # Measure both target configurations: "full" = the complete
+        # reference-parity target, "auto" = the Experiment default
+        # (heavy unconsumed fields skipped — engine.make_datasets).
+        for label, heavy in (("full", None), ("auto", set())):
+            ds = rhd.load(root, mode, heavy_fields=heavy)
+            # Warm one epoch-fragment (imports, BAD_TRAIN path, numpy pools).
+            next(iter(common.batches(ds, bs, to_device=False)))
 
-        t0 = time.perf_counter()
-        n_imgs = 0
-        it = common.prefetch(
-            _cycle_batches(common, ds, bs, n_batches), size=2
-        )
-        for images, target in it:
-            n_imgs += images.shape[0]
-        wall = time.perf_counter() - t0
-        per_core = n_imgs / wall
-        print(json.dumps({
-            "metric": "host input pipeline (RHD preprocess, num_workers=4"
-                      + (", decode-cached)" if cached else ")"),
-            "imgs_per_sec_per_core": round(per_core, 1),
-            "train_step_demand_imgs_s": 1611,
-            "cores_needed_per_chip": round(1611 / per_core, 1),
-        }))
+            t0 = time.perf_counter()
+            n_imgs = 0
+            it = common.prefetch(
+                _cycle_batches(common, ds, bs, n_batches), size=2
+            )
+            for images, target in it:
+                n_imgs += images.shape[0]
+            wall = time.perf_counter() - t0
+            per_core = n_imgs / wall
+            print(json.dumps({
+                "metric": "host input pipeline (RHD preprocess, num_workers=4"
+                          + (", decode-cached)" if cached else ")"),
+                "target_fields": label,
+                "imgs_per_sec_per_core": round(per_core, 1),
+                "train_step_demand_imgs_s": 1611,
+                "cores_needed_per_chip": round(1611 / per_core, 1),
+            }))
     return 0
 
 
