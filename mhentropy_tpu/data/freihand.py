@@ -38,8 +38,12 @@ class FreiHANDDataset:
         seed: int = 0,
         eval_fraction: float = 0.1,
         heavy_fields: frozenset | set | None = None,
+        image_u8: bool = False,
     ):
         del heavy_fields  # accepted for uniformity; nothing to gate
+        # uint8 image transport, eval mode only (training adds f32 pixel
+        # noise); device applies x/255 via _img_scale/_img_bias.
+        self.image_u8 = image_u8
         self.root = data_root
         self.size = image_size
         self.mode = mode
@@ -118,6 +122,11 @@ class FreiHANDDataset:
         }
         if self.verts is not None:
             target["verts"] = (self.verts[idx % N_UNIQUE] * 1000.0).reshape(-1)
+        if self.image_u8 and not self.aug:
+            # Eval crop = NEAREST gather of u8 pixels -> exact integers.
+            target["_img_scale"] = np.float32(1.0 / 255.0)
+            target["_img_bias"] = np.float32(0.0)
+            return image_crop.astype(np.uint8), target
         return image_crop.astype(np.float32) / 255.0, target
 
 

@@ -76,6 +76,7 @@ class HO3DDataset:
         image_size: int = 256,
         seed: int = 0,
         heavy_fields: frozenset | set | None = None,
+        image_u8: bool = False,
     ):
         import cv2  # noqa: F401 — required for image IO / warps
 
@@ -84,6 +85,10 @@ class HO3DDataset:
         self.aug = mode == "training"
         self.image_size = image_size
         self.heavy = None if heavy_fields is None else frozenset(heavy_fields)
+        # uint8 image transport (eval mode only: training adds f32 pixel
+        # noise, ho3d_dataloader.py aug). The device applies x*2/255-1
+        # via the target's _img_scale/_img_bias (engine._prep_image).
+        self.image_u8 = image_u8
         self.rng = np.random.RandomState(seed)
 
         self.base = os.path.join(data_root, "HO3D_v3", "HO3D_v3")
@@ -224,7 +229,14 @@ class HO3DDataset:
         st = T.compute_st_np(pose3d_normed, uv_norm)
 
         # [-1, 1] image normalisation (ho3d_dataloader.py:404-405).
-        image_out = image_crop.astype(np.float32) / 255.0 * 2.0 - 1.0
+        # Eval mode: the crop is a NEAREST gather of u8 pixels (exact u8
+        # integers in f32), so u8 transport is exact; training adds f32
+        # pixel noise and keeps f32.
+        u8 = self.image_u8 and not self.aug
+        if u8:
+            image_out = image_crop.astype(np.uint8)  # device: x*2/255-1
+        else:
+            image_out = image_crop.astype(np.float32) / 255.0 * 2.0 - 1.0
 
         if obj_cv.shape[0] >= 1000:
             sel = np.sort(self.rng.choice(obj_cv.shape[0], 1000, replace=False))
@@ -252,6 +264,9 @@ class HO3DDataset:
             "dataset": "ho3d",
             "idx": idx,
         }
+        if u8:
+            target["_img_scale"] = np.float32(2.0 / 255.0)
+            target["_img_bias"] = np.float32(-1.0)
         if need("depth"):
             target["depth"] = depth_crop.astype(np.float32)
         if need("hand_mask"):

@@ -137,6 +137,7 @@ class RHDDataset:
         image_size: int = 256,
         seed: int = 0,
         heavy_fields: frozenset | set | None = None,
+        image_u8: bool = False,
     ):
         """heavy_fields: which of HEAVY_FIELDS to compute and emit. None
         (default) keeps the full reference-parity target; the Experiment
@@ -152,6 +153,13 @@ class RHDDataset:
         self.patch_occlude = patch_occlude
         self.size = image_size
         self.heavy = None if heavy_fields is None else frozenset(heavy_fields)
+        # uint8 image transport: every pixel op in this chain copies u8
+        # integer values (nearest crop/warp, blackout, flip), so shipping
+        # u8 and normalising on device (engine._prep_image) preserves
+        # values exactly (the device affine is within 1 ulp of the host
+        # division) and cuts the image H2D 4x. The per-sample
+        # _img_scale/_img_bias affine rides the target.
+        self.image_u8 = image_u8
         self.rng = np.random.RandomState(seed)
         self.root = self._find_root(data_root)
         with open(
@@ -304,7 +312,14 @@ class RHDDataset:
         rot_mat_inv = np.linalg.inv(rot3.T)[:, :2]
 
         st = T.compute_st_np(pose3d_normed, uv_out)
-        image_out = image_crop.astype(np.float32) / 255.0  # ToTensor parity
+        if self.image_u8:
+            # Exact: the crop kernel gathers u8 values into f32 and every
+            # later op (patch blackout, flip, NEAREST warp) copies pixels,
+            # so each value is still an exact u8 integer. The device
+            # applies x/255 (engine._prep_image).
+            image_out = image_crop.astype(np.uint8)
+        else:
+            image_out = image_crop.astype(np.float32) / 255.0  # ToTensor parity
 
         target = {
             "pose3d": pose3d_normed.reshape(-1).astype(np.float32),
@@ -337,6 +352,9 @@ class RHDDataset:
             "patch": patch,
             "dataset": "rhd",
         }
+        if self.image_u8:
+            target["_img_scale"] = np.float32(1.0 / 255.0)
+            target["_img_bias"] = np.float32(0.0)
         if need("cloud"):
             target["cloud"] = cloud_out.astype(np.float32)
         if need("heatmap"):

@@ -146,8 +146,29 @@ def _mesh_jit(fn, mesh, in_shardings, out_shardings, donate=()):
     )
 
 
+def _prep_image(image, target):
+    """Device-side image normalisation for uint8-transport batches.
+
+    Loaders with image_u8=True ship the crop as uint8 (4x less H2D — a
+    B=64 f32 image batch costs ~50 ms through the relay vs ~8 ms of eval
+    compute, docs/PERF.md) plus per-sample `_img_scale`/`_img_bias`
+    affines, and the normalisation fuses into the first conv here. f32
+    batches (synthetic, full-parity loaders) pass through untouched; the
+    dtype test is a trace-time constant, so one jitted step serves either
+    transport for its own dtype."""
+    if image.dtype != jnp.uint8:
+        return image
+    img = image.astype(jnp.float32)
+    scale = target.get("_img_scale")
+    if scale is None:
+        return img / 255.0
+    bias = target["_img_bias"]
+    return img * scale[:, None, None, None] + bias[:, None, None, None]
+
+
 def make_rle_train_step(model_cfg: RLEConfig, optimizer, mesh):
     def step_fn(state: TrainState, image, target, key):
+        image = _prep_image(image, target)
         def loss_fn(params):
             out, new_stats = rle.loss_and_predict(
                 params, state.batch_stats, model_cfg, image, target, key,
@@ -178,6 +199,7 @@ def make_rle_train_step(model_cfg: RLEConfig, optimizer, mesh):
 
 def make_rle_eval_step(model_cfg: RLEConfig, mesh):
     def eval_fn(params, batch_stats, image, target, key):
+        image = _prep_image(image, target)
         out, _ = rle.loss_and_predict(
             params, batch_stats, model_cfg, image, target, key, train=False
         )
@@ -242,6 +264,8 @@ def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer,
     drops ~linearly with the data-axis size."""
 
     def step_fn(state: TrainState, image, target, key):
+        image = _prep_image(image, target)
+
         def loss_fn(params):
             out, new_stats = mhent.reverse_kld(
                 model, params, state.batch_stats, model_cfg, target, image,
@@ -295,6 +319,7 @@ def make_eval_step(
     recalibration never recompiles."""
 
     def eval_fn(params, batch_stats, image, target, key, *qtree):
+        image = _prep_image(image, target)
         out, _ = mhent.reverse_kld(
             model, params, batch_stats, model_cfg, target, image, key,
             train=False,
@@ -400,8 +425,11 @@ class Experiment:
                 heavy = set()
                 if getattr(self.model_cfg, "use_mask_loss", False):
                     heavy.add("hand_mask")
-            train = loader.load(data_dir, mode="training", heavy_fields=heavy)
-            evald = loader.load(data_dir, mode="evaluation", heavy_fields=heavy)
+            u8 = bool(self.cfg.tpu.get("image_u8", True))
+            train = loader.load(data_dir, mode="training",
+                                heavy_fields=heavy, image_u8=u8)
+            evald = loader.load(data_dir, mode="evaluation",
+                                heavy_fields=heavy, image_u8=u8)
             return train, evald
         img = self.model_cfg.image_size
         bs = self.cfg.training.batch_size
@@ -590,7 +618,8 @@ class Experiment:
 
                 act = quant_mod.calibrate(
                     quant_spec, self.state.params["encoder"]["backbone"],
-                    self.state.batch_stats, jnp.asarray(image))
+                    self.state.batch_stats,
+                    _prep_image(jnp.asarray(image), target))
                 qargs = (quant_mod.prepare(
                     quant_spec, self.state.params["encoder"]["backbone"],
                     self.state.batch_stats, act),)

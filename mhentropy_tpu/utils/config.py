@@ -199,6 +199,11 @@ def get_cfg_defaults() -> CfgNode:
     # (cloud/heatmap/object_mask/... included). "auto" measurably raises
     # host input-pipeline throughput and cuts per-sample H2D (docs/PERF.md).
     cfg.tpu.target_fields = "auto"
+    # uint8 image transport: loaders ship the crop as uint8 where that is
+    # exact (RHD always — the host chain is uint8 end to end; HO3D/FreiHAND
+    # eval mode) and the jitted step normalises on device. 4x less image
+    # H2D; a B=64 f32 batch costs ~50 ms through the relay (docs/PERF.md).
+    cfg.tpu.image_u8 = True
 
     return cfg
 

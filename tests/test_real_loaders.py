@@ -285,3 +285,69 @@ def test_experiment_passes_minimal_fields(rhd_root, tmp_path, monkeypatch):
     )
     train3, _ = exp.make_datasets()
     assert train3.heavy == frozenset({"hand_mask"})
+
+
+# ------------------------------------------------------- uint8 transport
+
+
+def test_rhd_u8_transport_exact(rhd_root):
+    """Every pixel op in the RHD chain copies u8 integer values (nearest
+    crop/warp, blackout, flip), so the u8 image times /255 must equal the
+    f32 path up to the one-ulp reciprocal-vs-division rounding of the
+    device affine (same seed: the u8 flag changes no rng draws)."""
+    from mhentropy_tpu.data import rhd
+
+    for mode in ("evaluation", "training"):
+        f32 = rhd.load(rhd_root, mode=mode, seed=3)
+        u8 = rhd.load(rhd_root, mode=mode, seed=3, image_u8=True)
+        img_f, t_f = f32[1]
+        img_u, t_u = u8[1]
+        assert img_u.dtype == np.uint8
+        # u8 values themselves are bit-exact vs the f32 path's integers.
+        np.testing.assert_array_equal(img_u, (img_f * 255.0).round())
+        np.testing.assert_allclose(
+            img_u.astype(np.float32) * t_u["_img_scale"] + t_u["_img_bias"],
+            img_f, atol=2e-7,
+        )
+        assert "_img_scale" not in t_f
+
+
+def test_ho3d_u8_transport(ho3d_root):
+    from mhentropy_tpu.data import ho3d
+
+    f32 = ho3d.load(ho3d_root, mode="evaluation")
+    u8 = ho3d.load(ho3d_root, mode="evaluation", image_u8=True)
+    img_f, _ = f32[0]
+    img_u, t_u = u8[0]
+    assert img_u.dtype == np.uint8
+    np.testing.assert_allclose(
+        img_u.astype(np.float32) * t_u["_img_scale"] + t_u["_img_bias"],
+        img_f, atol=1e-6,
+    )
+    # Training mode keeps f32 (pixel noise is sub-integer).
+    img_t, t_t = ho3d.load(ho3d_root, mode="training", image_u8=True)[0]
+    assert img_t.dtype == np.float32 and "_img_scale" not in t_t
+
+
+def test_prep_image_device_normalisation():
+    import jax.numpy as jnp
+
+    from mhentropy_tpu.train.engine import _prep_image
+
+    img = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    tgt = {
+        "_img_scale": jnp.full((2,), 2.0 / 255.0, jnp.float32),
+        "_img_bias": jnp.full((2,), -1.0, jnp.float32),
+    }
+    out = _prep_image(jnp.asarray(img), tgt)
+    np.testing.assert_allclose(
+        np.asarray(out), img.astype(np.float32) * 2.0 / 255.0 - 1.0,
+        atol=1e-6,
+    )
+    # No affine in target -> plain /255; f32 input passes through.
+    out2 = _prep_image(jnp.asarray(img), {})
+    np.testing.assert_allclose(
+        np.asarray(out2), img.astype(np.float32) / 255.0, atol=1e-7
+    )
+    f = jnp.ones((1, 2, 2, 3), jnp.float32) * 0.25
+    assert _prep_image(f, {}) is f
