@@ -57,12 +57,19 @@ class InferenceServer:
         quantize_min_batch: smallest bucket served int8. At tiny batches
             the convs are latency-bound and the requant passes make int8
             a LOSS (B=1: 0.80x measured) — small buckets stay bf16.
+        transports: which input dtypes warmup() pre-compiles. uint8
+            requests carry RAW pixels (4x smaller wire payload + H2D —
+            one f32 256px frame is ~786 KB, ~several ms through the
+            relay vs a 0.43 ms device step) and are normalised on
+            device with the dataset affine; float32 requests are
+            already dataset-normalised, as before.
     """
 
     def __init__(self, cfg, checkpoint: str | None = None,
                  max_batch: int = 8, n_hypo: int | None = None,
                  temp: float = 0.8, quantize: bool = False,
-                 quantize_min_batch: int = 8):
+                 quantize_min_batch: int = 8,
+                 transports: tuple = ("f32", "u8")):
         import jax
 
         from mhentropy_tpu.train import engine
@@ -85,6 +92,14 @@ class InferenceServer:
             self._restore(checkpoint)
 
         self._fns: dict[tuple, Any] = {}
+        self.transports = tuple(transports)
+        # Raw-u8 inputs get the dataset's normalisation on device
+        # (HO3D: x*2/255-1, ho3d_dataloader.py:404-405; RHD/FreiHAND:
+        # x/255). f32 inputs are pre-normalised by contract.
+        name = cfg.dataset.dataset_name if "dataset" in cfg else "rhd"
+        self.image_norm = (
+            (2.0 / 255.0, -1.0) if name == "ho3d" else (1.0 / 255.0, 0.0)
+        )
         self.quantize = bool(quantize)
         self.quantize_min_batch = int(quantize_min_batch)
         self._quant = None  # (spec, qtree)
@@ -123,9 +138,14 @@ class InferenceServer:
             cfg, model = self.model_cfg, self.model
             n = self.n_hypo
             spec = self._quant[0] if quantized else None
+            scale, bias = self.image_norm
 
             @jax.jit
             def run(params, batch_stats, image, k, temp, *qtree):
+                if image.dtype == np.uint8:
+                    # Raw-u8 transport: dataset normalisation on device
+                    # (trace-time branch; XLA fuses it into the stem).
+                    image = image.astype("float32") * scale + bias
                 out = mhent.sample_hypotheses(
                     model, params, batch_stats, cfg, image, k, n=n,
                     temp=temp, mods=("xyz", "uv"),
@@ -149,7 +169,11 @@ class InferenceServer:
 
         cb = next(b for b in _buckets(self.max_batch)
                   if b >= self.quantize_min_batch)
-        images = np.asarray(images, np.float32)
+        images = np.asarray(images)
+        if images.dtype == np.uint8:  # calibration runs on normalised f32
+            scale, bias = self.image_norm
+            images = images.astype(np.float32) * scale + bias
+        images = images.astype(np.float32)
         reps = -(-cb // images.shape[0])  # ceil
         calib = np.tile(images, (reps, 1, 1, 1))[:cb]
         q_from = self.cfg.tpu.get("quantize_q_from", "auto") \
@@ -160,37 +184,48 @@ class InferenceServer:
         self._quant_ready = ready
 
     def warmup(self) -> None:
-        """Compile every bucket up front (serving never hits the compiler)."""
+        """Compile every (bucket, transport) up front (serving never hits
+        the compiler)."""
         import jax
 
+        dtypes = [
+            {"f32": np.float32, "u8": np.uint8}[t] for t in self.transports
+        ]
         for b in _buckets(self.max_batch):
-            img = np.zeros((b, self.image_size, self.image_size, 3), np.float32)
-            if self._quantized_bucket(b):
-                if self._quant is None:
-                    self._calibrate(img, ready=False)
-                xyz, uv = self._fn(b, True)(
-                    self.params, self.batch_stats, img, self._key,
-                    np.float32(self.temp), self._quant[1],
+            for dt in dtypes:
+                img = np.zeros(
+                    (b, self.image_size, self.image_size, 3), dt
                 )
-            else:
-                xyz, uv = self._fn(b)(
-                    self.params, self.batch_stats, img, self._key,
-                    np.float32(self.temp),
-                )
-            jax.block_until_ready(xyz)
+                if self._quantized_bucket(b):
+                    if self._quant is None:
+                        self._calibrate(img, ready=False)
+                    xyz, uv = self._fn(b, True)(
+                        self.params, self.batch_stats, img, self._key,
+                        np.float32(self.temp), self._quant[1],
+                    )
+                else:
+                    xyz, uv = self._fn(b)(
+                        self.params, self.batch_stats, img, self._key,
+                        np.float32(self.temp),
+                    )
+                jax.block_until_ready(xyz)
 
     def _quantized_bucket(self, bucket: int) -> bool:
         return self.quantize and bucket >= self.quantize_min_batch
 
     def predict(self, images: np.ndarray, temp: float | None = None) -> dict:
-        """(B, H, W, 3) float images (dataset normalisation) -> hypotheses.
+        """(B, H, W, 3) images -> hypotheses. float32 inputs are
+        dataset-normalised by the caller (as before); uint8 inputs are RAW
+        pixels, normalised on device (4x less wire + H2D per frame).
 
         Returns {"xyz": (B, N, K, 3), "uv": (B, N, K, 2)} numpy arrays.
         B may be anything <= max_batch; it pads to the nearest bucket.
         """
         import jax
 
-        images = np.asarray(images, np.float32)
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32)
         if images.ndim == 3:
             images = images[None]
         b = images.shape[0]
@@ -204,7 +239,7 @@ class InferenceServer:
             }
         bucket = next(x for x in _buckets(self.max_batch) if x >= b)
         if bucket != b:
-            pad = np.zeros((bucket - b, *images.shape[1:]), np.float32)
+            pad = np.zeros((bucket - b, *images.shape[1:]), images.dtype)
             images = np.concatenate([images, pad])
         self._key, sub = jax.random.split(self._key)
         if self._quantized_bucket(bucket):
@@ -228,8 +263,10 @@ class InferenceServer:
 
 
 def _http_serve(server: InferenceServer, host: str, port: int):
-    """Stdlib HTTP front end: POST /predict with a raw float32 body of
-    shape (B, S, S, 3) (header X-Batch: B), JSON hypotheses back.
+    """Stdlib HTTP front end: POST /predict with a raw image body of
+    shape (B, S, S, 3) (header X-Batch: B; X-Dtype: float32 for
+    pre-normalised frames (default) or uint8 for raw pixels — 4x
+    smaller payload, normalised on device), JSON hypotheses back.
     GET /healthz for liveness."""
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
@@ -259,8 +296,9 @@ def _http_serve(server: InferenceServer, host: str, port: int):
                 return
             n = int(self.headers.get("Content-Length", 0))
             b = int(self.headers.get("X-Batch", 1))
+            dt = np.dtype(self.headers.get("X-Dtype", "float32"))
             raw = self.rfile.read(n)
-            images = np.frombuffer(raw, np.float32).reshape(b, size, size, 3)
+            images = np.frombuffer(raw, dt).reshape(b, size, size, 3)
             t0 = time.perf_counter()
             out = server.predict(images)
             ms = (time.perf_counter() - t0) * 1e3
@@ -301,6 +339,10 @@ def main(argv=None):
     ap.add_argument("--quantize-min-batch", type=int, default=8,
                     help="smallest bucket served int8 (smaller stay bf16; "
                          "int8 loses at B=1 — docs/PERF.md)")
+    ap.add_argument("--transport", choices=("both", "f32", "u8"),
+                    default="both",
+                    help="input dtypes warmed up for serving (u8 = raw "
+                         "pixels normalised on device, 4x smaller payload)")
     args = ap.parse_args(argv)
 
     enable_compilation_cache()
@@ -308,6 +350,8 @@ def main(argv=None):
     server = InferenceServer(
         cfg, checkpoint=args.ckpt, max_batch=args.max_batch, n_hypo=args.n,
         quantize=args.quantize, quantize_min_batch=args.quantize_min_batch,
+        transports=("f32", "u8") if args.transport == "both"
+        else (args.transport,),
     )
     print("warming buckets:", _buckets(server.max_batch), flush=True)
     server.warmup()

@@ -206,3 +206,78 @@ def test_http_roundtrip(server):
     assert np.asarray(body["xyz"]).shape == (1, 4, 21, 3)
     assert body["ms"] >= 0
     httpd.shutdown()
+
+
+def test_u8_transport_matches_f32(server):
+    """uint8 raw-pixel requests must produce the same hypotheses as the
+    pre-normalised f32 contract (same PRNG key), within the 1-ulp
+    device-affine rounding."""
+    import jax
+
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0  # rhd dataset normalisation
+    key = jax.random.key(42)
+    server._key = key
+    out_u8 = server.predict(u8)
+    server._key = key
+    out_f32 = server.predict(f32)
+    np.testing.assert_allclose(out_u8["xyz"], out_f32["xyz"], atol=1e-4)
+    np.testing.assert_allclose(out_u8["uv"], out_f32["uv"], atol=1e-4)
+
+
+def test_warmup_precompiles_u8_traces(tiny_cfg):
+    """With the default transports, predict(u8) after warmup must not
+    add jit cache entries (the u8 trace was warmed)."""
+    s = serve.InferenceServer(tiny_cfg, max_batch=2)
+    s.warmup()
+    sizes = {k: f._cache_size() for k, f in s._fns.items()}
+    assert all(v == 2 for v in sizes.values())  # f32 + u8 per bucket
+    s.predict(np.zeros((2, 32, 32, 3), np.uint8))
+    s.predict(np.zeros((2, 32, 32, 3), np.float32))
+    assert {k: f._cache_size() for k, f in s._fns.items()} == sizes
+
+
+def test_http_u8_roundtrip(server):
+    """POST raw uint8 pixels with X-Dtype: uint8."""
+    import time
+    from http.server import HTTPServer
+
+    import mhentropy_tpu.serve as serve_mod
+
+    holder = {}
+
+    def run():
+        orig = HTTPServer.serve_forever
+
+        def capture(self, *a, **k):
+            holder["httpd"] = self
+            orig(self)
+
+        HTTPServer.serve_forever = capture
+        try:
+            serve_mod._http_serve(server, "127.0.0.1", 0)
+        except Exception:
+            pass
+        finally:
+            HTTPServer.serve_forever = orig
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(100):
+        if "httpd" in holder:
+            break
+        time.sleep(0.05)
+    httpd = holder["httpd"]
+    port = httpd.server_address[1]
+    frame = np.full((1, 32, 32, 3), 127, np.uint8)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict",
+        data=frame.tobytes(),
+        headers={"X-Batch": "1", "X-Dtype": "uint8"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        body = json.loads(resp.read())
+    assert np.asarray(body["xyz"]).shape == (1, 4, 21, 3)
+    httpd.shutdown()
