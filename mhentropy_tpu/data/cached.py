@@ -1,0 +1,108 @@
+"""Preprocessed-sample disk cache for deterministic eval epochs.
+
+The decode cache (`common.set_decode_cache`) removes PNG decode from the
+per-item budget, but an eval item still pays the whole preprocessing
+chain (crop, visibility, projection fits, ...). Eval-mode items are
+DETERMINISTIC for the shipped configurations — no augmentation, and the
+patch occluder is idx-seeded exactly like the reference's
+(rhddataloader.py:131-137) — so from the second epoch on the entire
+`__getitem__` can be served from disk: one pickle read per sample
+(~0.1 ms for a ~0.2 MB minimal-field item vs several ms of
+preprocessing).
+
+Not a training feature: train items draw from the dataset RNG
+(augmentation), and caching them would freeze one epoch's augmentations
+forever. `SampleCache` refuses datasets that do not declare themselves
+deterministic.
+
+Wiring: `cfg.tpu.sample_cache = <dir>` makes `Experiment.make_datasets`
+wrap its EVAL dataset; the fingerprint (dataset class, preprocessing
+options, annotation count) isolates incompatible configurations in
+separate subdirectories, so flipping e.g. image_u8 or target_fields
+never serves stale items.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import threading
+
+
+def eval_deterministic(ds) -> bool:
+    """True when every __getitem__ of `ds` is a pure function of its
+    index (no RNG draws): eval mode, and no RNG-consuming optional field.
+    The RHD cloud resample is the one eval-mode RNG consumer across the
+    loaders (depth_to_cloud + the 256-point output permutation)."""
+    if getattr(ds, "aug", True):
+        return False
+    heavy = getattr(ds, "heavy", None)
+    cls = type(ds).__name__
+    if cls == "RHDDataset":
+        return heavy is not None and "cloud" not in heavy
+    if cls == "HO3DDataset":
+        # Eval-mode object-vertex subsampling is idx-seeded (ho3d.py).
+        return True
+    if cls == "FreiHANDDataset":
+        return True
+    return False
+
+
+def fingerprint(ds) -> str:
+    """Stable identity of the preprocessing configuration. Everything
+    that changes item VALUES must land here."""
+    cls = type(ds).__name__
+    fields = {
+        "cls": cls,
+        "mode": getattr(ds, "mode", None),
+        "n": len(ds),
+        "size": getattr(ds, "size", getattr(ds, "image_size", None)),
+        "heavy": sorted(getattr(ds, "heavy", None) or ())
+        if getattr(ds, "heavy", None) is not None else "full",
+        "image_u8": getattr(ds, "image_u8", False),
+        "uv_norm": getattr(ds, "uv_norm", None),
+        "vc": getattr(ds, "vc", None),
+        "patch_occlude": getattr(ds, "patch_occlude", None),
+    }
+    return hashlib.sha1(repr(sorted(fields.items())).encode()).hexdigest()[:16]
+
+
+class SampleCache:
+    """Index-addressable wrapper: first access computes and persists the
+    item; later accesses (same process or not) are one pickle read.
+    Atomic writes keep it safe under concurrent collation workers."""
+
+    def __init__(self, ds, cache_dir: str):
+        if not eval_deterministic(ds):
+            raise ValueError(
+                f"{type(ds).__name__} items are not deterministic "
+                "(training mode, or an RNG-consuming field like the RHD "
+                "cloud is enabled) — caching would freeze RNG draws"
+            )
+        self.ds = ds
+        self.dir = os.path.join(cache_dir, fingerprint(ds))
+        os.makedirs(self.dir, exist_ok=True)
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getattr__(self, name):  # delegate heavy/mode/... to the wrapped ds
+        return getattr(self.ds, name)
+
+    def __getitem__(self, idx: int):
+        path = os.path.join(self.dir, f"{idx}.pkl")
+        try:
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        except (FileNotFoundError, EOFError, pickle.UnpicklingError):
+            pass
+        item = self.ds[idx]
+        tmp = f"{path}.tmp{os.getpid()}.{threading.get_ident()}"
+        try:
+            with open(tmp, "wb") as f:
+                pickle.dump(item, f, protocol=5)
+            os.replace(tmp, path)
+        except OSError:
+            pass
+        return item

@@ -239,7 +239,13 @@ class HO3DDataset:
             image_out = image_crop.astype(np.float32) / 255.0 * 2.0 - 1.0
 
         if obj_cv.shape[0] >= 1000:
-            sel = np.sort(self.rng.choice(obj_cv.shape[0], 1000, replace=False))
+            # Eval subsampling is idx-seeded: deterministic metrics across
+            # epochs/runs, and the one RNG draw that would otherwise block
+            # the eval sample cache (data/cached.py). Training keeps the
+            # stream RNG.
+            rng = self.rng if self.aug else \
+                np.random.RandomState((idx * 2654435761) & 0x7FFFFFFF)
+            sel = np.sort(rng.choice(obj_cv.shape[0], 1000, replace=False))
             obj_sel = obj_cv[sel]
         else:
             obj_sel = np.resize(obj_cv, (1000, 3))

@@ -430,6 +430,17 @@ class Experiment:
                                 heavy_fields=heavy, image_u8=u8)
             evald = loader.load(data_dir, mode="evaluation",
                                 heavy_fields=heavy, image_u8=u8)
+            scache = self.cfg.tpu.get("sample_cache")
+            if scache:
+                from mhentropy_tpu.data import cached
+
+                if cached.eval_deterministic(evald):
+                    evald = cached.SampleCache(evald, scache)
+                else:
+                    self.log.info(
+                        "sample_cache skipped: eval items draw RNG "
+                        "(full target_fields with the RHD cloud?)"
+                    )
             return train, evald
         img = self.model_cfg.image_size
         bs = self.cfg.training.batch_size

@@ -204,6 +204,10 @@ def get_cfg_defaults() -> CfgNode:
     # eval mode) and the jitted step normalises on device. 4x less image
     # H2D; a B=64 f32 batch costs ~50 ms through the relay (docs/PERF.md).
     cfg.tpu.image_u8 = True
+    # Preprocessed-sample disk cache for DETERMINISTIC eval datasets
+    # (data/cached.py): from the 2nd epoch/run on, an eval item is one
+    # pickle read instead of the whole preprocessing chain. None = off.
+    cfg.tpu.sample_cache = None
 
     return cfg
 

@@ -351,3 +351,67 @@ def test_prep_image_device_normalisation():
     )
     f = jnp.ones((1, 2, 2, 3), jnp.float32) * 0.25
     assert _prep_image(f, {}) is f
+
+
+# ------------------------------------------------------ eval sample cache
+
+
+def test_sample_cache_roundtrip_and_determinism(rhd_root, tmp_path):
+    from mhentropy_tpu.data import cached, rhd
+
+    ds = rhd.load(rhd_root, mode="evaluation", heavy_fields=set(),
+                  image_u8=True)
+    wrapped = cached.SampleCache(ds, str(tmp_path / "sc"))
+    img1, t1 = wrapped[0]          # computes + persists
+    img2, t2 = wrapped[0]          # pure disk read
+    np.testing.assert_array_equal(img1, img2)
+    for k in t1:
+        if k == "dataset":
+            continue
+        np.testing.assert_array_equal(np.asarray(t1[k]), np.asarray(t2[k]), err_msg=k)
+    # The cached item equals a fresh dataset's item (determinism).
+    img3, t3 = rhd.load(rhd_root, mode="evaluation", heavy_fields=set(),
+                        image_u8=True)[0]
+    np.testing.assert_array_equal(img2, img3)
+    np.testing.assert_array_equal(
+        np.asarray(t2["pose3d"]), np.asarray(t3["pose3d"])
+    )
+    assert len(wrapped) == len(ds)
+
+
+def test_sample_cache_refuses_rng_consumers(rhd_root, tmp_path):
+    from mhentropy_tpu.data import cached, rhd
+
+    train = rhd.load(rhd_root, mode="training", heavy_fields=set())
+    with pytest.raises(ValueError):
+        cached.SampleCache(train, str(tmp_path / "sc"))
+    # Full-target eval draws RNG for the cloud resample.
+    full_eval = rhd.load(rhd_root, mode="evaluation")
+    with pytest.raises(ValueError):
+        cached.SampleCache(full_eval, str(tmp_path / "sc"))
+
+
+def test_sample_cache_fingerprint_isolates_configs(rhd_root, tmp_path):
+    from mhentropy_tpu.data import cached, rhd
+
+    a = rhd.load(rhd_root, mode="evaluation", heavy_fields=set(),
+                 image_u8=True)
+    b = rhd.load(rhd_root, mode="evaluation", heavy_fields=set(),
+                 image_u8=False)
+    ca = cached.SampleCache(a, str(tmp_path / "sc"))
+    cb = cached.SampleCache(b, str(tmp_path / "sc"))
+    assert ca.dir != cb.dir
+    img_a, _ = ca[0]
+    img_b, _ = cb[0]
+    assert img_a.dtype == np.uint8 and img_b.dtype == np.float32
+
+
+def test_ho3d_eval_object_subsample_is_idx_seeded(ho3d_root):
+    from mhentropy_tpu.data import ho3d
+
+    e1 = ho3d.load(ho3d_root, mode="evaluation")
+    _, t1 = e1[0]
+    _, t1b = e1[0]  # same instance, second epoch
+    np.testing.assert_array_equal(t1["object_verts"], t1b["object_verts"])
+    _, t2 = ho3d.load(ho3d_root, mode="evaluation")[0]
+    np.testing.assert_array_equal(t1["object_verts"], t2["object_verts"])

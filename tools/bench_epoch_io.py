@@ -9,6 +9,9 @@ and A/Bs the round-3 input-transport work:
   old: cfg.tpu.target_fields="full", image_u8=False  (f32 images + every
        reference target field crosses the relay)
   new: the defaults — "auto" fields + uint8 images
+  new+scache: additionally cfg.tpu.sample_cache — eval items served from
+       the preprocessed-sample disk cache (data/cached.py; steady state
+       from the 2nd epoch, which the warm+measured pair reproduces)
 
 Context: a B=32 f32 image batch alone is ~25 MB of H2D (~30 ms through
 the relay, docs/PERF.md "uint8 image transport") against a 19.9 ms train
@@ -28,7 +31,8 @@ import tempfile
 import time
 
 
-def _make_cfg(data_dir, model_dir, u8: bool, fields: str, bs: int):
+def _make_cfg(data_dir, model_dir, u8: bool, fields: str, bs: int,
+              sample_cache: bool = False):
     from mhentropy_tpu.utils.config import get_cfg_defaults
 
     cfg = get_cfg_defaults()
@@ -52,6 +56,8 @@ def _make_cfg(data_dir, model_dir, u8: bool, fields: str, bs: int):
             "decode_cache": os.path.join(data_dir, "_decode_cache"),
             "image_u8": u8,
             "target_fields": fields,
+            "sample_cache": os.path.join(data_dir, "_sample_cache")
+            if sample_cache else None,
         },
     })
     return cfg
@@ -68,12 +74,13 @@ def main():
     with tempfile.TemporaryDirectory() as root:
         fixtures_data.build_rhd(root, n=n, seed=0)
         results = {}
-        for label, (fields, u8) in (
-            ("old_full_f32", ("full", False)),
-            ("new_auto_u8", ("auto", True)),
+        for label, (fields, u8, scache) in (
+            ("old_full_f32", ("full", False, False)),
+            ("new_auto_u8", ("auto", True, False)),
+            ("new_auto_u8_scache", ("auto", True, True)),
         ):
             cfg = _make_cfg(root, os.path.join(root, f"run_{label}"), u8,
-                            fields, bs=32)
+                            fields, bs=32, sample_cache=scache)
             exp = Experiment(cfg)
             _, eval_data = exp.make_datasets()
             if mode in ("eval", "both"):
@@ -83,7 +90,7 @@ def main():
                 wall = time.perf_counter() - t0
                 results[f"eval_wall_s_{label}"] = round(wall, 2)
                 results[f"eval_imgs_per_s_{label}"] = round(n / wall, 1)
-            if mode in ("train", "both"):
+            if mode in ("train", "both") and not scache:
                 train_data, _ = exp.make_datasets()
                 exp._ensure_state(max(1, n // 32))
                 exp.train_epoch(train_data, 0)  # compile + cache warm
