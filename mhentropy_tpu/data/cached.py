@@ -61,6 +61,7 @@ def fingerprint(ds) -> str:
         "heavy": sorted(getattr(ds, "heavy", None) or ())
         if getattr(ds, "heavy", None) is not None else "full",
         "image_u8": getattr(ds, "image_u8", False),
+        "device_st": getattr(ds, "device_st", False),
         "uv_norm": getattr(ds, "uv_norm", None),
         "vc": getattr(ds, "vc", None),
         "patch_occlude": getattr(ds, "patch_occlude", None),

@@ -39,11 +39,14 @@ class FreiHANDDataset:
         eval_fraction: float = 0.1,
         heavy_fields: frozenset | set | None = None,
         image_u8: bool = False,
+        device_st: bool = False,
     ):
         del heavy_fields  # accepted for uniformity; nothing to gate
         # uint8 image transport, eval mode only (training adds f32 pixel
         # noise); device applies x/255 via _img_scale/_img_bias.
         self.image_u8 = image_u8
+        # Omit the host (s, t) fit; engine._prep_batch reconstructs it.
+        self.device_st = device_st
         self.root = data_root
         self.size = image_size
         self.mode = mode
@@ -97,7 +100,8 @@ class FreiHANDDataset:
         vis = np.ones(21, np.float32)
         vis = occlusion.demote_out_of_bounds(vis, crop_uv, (s, s), quant=2)
         uv_norm = crop_uv / s * 2.0 - 1.0
-        st = T.compute_st_np(pose3d_normed, uv_norm)
+        st = None if self.device_st else \
+            T.compute_st_np(pose3d_normed, uv_norm)
 
         rot3 = np.eye(3)
         rot3[:2, :] = rot_mat
@@ -120,6 +124,8 @@ class FreiHANDDataset:
             "patch": np.zeros(3, np.float32),
             "dataset": "freihand",
         }
+        if self.device_st:
+            del target["st"]  # engine._prep_batch reconstructs it on device
         if self.verts is not None:
             target["verts"] = (self.verts[idx % N_UNIQUE] * 1000.0).reshape(-1)
         if self.image_u8 and not self.aug:

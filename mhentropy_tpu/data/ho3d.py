@@ -77,6 +77,7 @@ class HO3DDataset:
         seed: int = 0,
         heavy_fields: frozenset | set | None = None,
         image_u8: bool = False,
+        device_st: bool = False,
     ):
         import cv2  # noqa: F401 — required for image IO / warps
 
@@ -89,6 +90,9 @@ class HO3DDataset:
         # noise, ho3d_dataloader.py aug). The device applies x*2/255-1
         # via the target's _img_scale/_img_bias (engine._prep_image).
         self.image_u8 = image_u8
+        # Omit the host (s, t) fit; engine._prep_batch reconstructs it on
+        # device from pose3d/crop_uv (core.camera.compute_st).
+        self.device_st = device_st
         self.rng = np.random.RandomState(seed)
 
         self.base = os.path.join(data_root, "HO3D_v3", "HO3D_v3")
@@ -226,7 +230,8 @@ class HO3DDataset:
         rot3[:2, :] = rot_mat
         rot_mat_inv = np.linalg.inv(rot3.T)[:, :2]
 
-        st = T.compute_st_np(pose3d_normed, uv_norm)
+        st = None if self.device_st else \
+            T.compute_st_np(pose3d_normed, uv_norm)
 
         # [-1, 1] image normalisation (ho3d_dataloader.py:404-405).
         # Eval mode: the crop is a NEAREST gather of u8 pixels (exact u8
@@ -270,6 +275,8 @@ class HO3DDataset:
             "dataset": "ho3d",
             "idx": idx,
         }
+        if self.device_st:
+            del target["st"]  # engine._prep_batch reconstructs it on device
         if u8:
             target["_img_scale"] = np.float32(2.0 / 255.0)
             target["_img_bias"] = np.float32(-1.0)

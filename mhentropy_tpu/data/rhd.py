@@ -138,6 +138,7 @@ class RHDDataset:
         seed: int = 0,
         heavy_fields: frozenset | set | None = None,
         image_u8: bool = False,
+        device_st: bool = False,
     ):
         """heavy_fields: which of HEAVY_FIELDS to compute and emit. None
         (default) keeps the full reference-parity target; the Experiment
@@ -160,6 +161,11 @@ class RHDDataset:
         # division) and cuts the image H2D 4x. The per-sample
         # _img_scale/_img_bias affine rides the target.
         self.image_u8 = image_u8
+        # device_st: omit the per-item scipy Procrustes (s, t) fit — the
+        # jitted steps reconstruct st from pose3d/crop_uv with the batched
+        # core.camera.compute_st (engine._prep_batch). ~0.8 ms/item of the
+        # host budget.
+        self.device_st = device_st
         self.rng = np.random.RandomState(seed)
         self.root = self._find_root(data_root)
         with open(
@@ -311,7 +317,7 @@ class RHDDataset:
         rot3[:2, :] = rot_mat
         rot_mat_inv = np.linalg.inv(rot3.T)[:, :2]
 
-        st = T.compute_st_np(pose3d_normed, uv_out)
+        st = None if self.device_st else T.compute_st_np(pose3d_normed, uv_out)
         if self.image_u8:
             # Exact: the crop kernel gathers u8 values into f32 and every
             # later op (patch blackout, flip, NEAREST warp) copies pixels,
@@ -352,6 +358,8 @@ class RHDDataset:
             "patch": patch,
             "dataset": "rhd",
         }
+        if self.device_st:
+            del target["st"]  # engine._prep_batch reconstructs it on device
         if self.image_u8:
             target["_img_scale"] = np.float32(1.0 / 255.0)
             target["_img_bias"] = np.float32(0.0)

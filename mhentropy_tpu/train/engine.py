@@ -166,9 +166,33 @@ def _prep_image(image, target):
     return img * scale[:, None, None, None] + bias[:, None, None, None]
 
 
+def _prep_batch(image, target):
+    """Trace-time batch preparation at every step entry: uint8 image
+    normalisation (`_prep_image`) plus device-side targets the loaders
+    chose not to compute on the host.
+
+    st: loaders built with device_st=True omit the per-item scipy
+    Procrustes fit (~0.8 ms/item of the host budget) and the batched
+    `core.camera.compute_st` — the same restricted fit, parity-tested
+    against the reference's compute_st (rhddataloader.py:237-269) —
+    reconstructs it here from the final pose3d/crop_uv for ~free on
+    device."""
+    image = _prep_image(image, target)
+    if "st" not in target and "pose3d" in target and "crop_uv" in target:
+        from mhentropy_tpu.core import camera
+
+        target = dict(target)
+        uv = target["crop_uv"]
+        k = uv.shape[-1] // 2
+        target["st"] = camera.compute_st(
+            target["pose3d"].reshape(-1, k, 3), uv.reshape(-1, k, 2)
+        )
+    return image, target
+
+
 def make_rle_train_step(model_cfg: RLEConfig, optimizer, mesh):
     def step_fn(state: TrainState, image, target, key):
-        image = _prep_image(image, target)
+        image, target = _prep_batch(image, target)
         def loss_fn(params):
             out, new_stats = rle.loss_and_predict(
                 params, state.batch_stats, model_cfg, image, target, key,
@@ -199,7 +223,7 @@ def make_rle_train_step(model_cfg: RLEConfig, optimizer, mesh):
 
 def make_rle_eval_step(model_cfg: RLEConfig, mesh):
     def eval_fn(params, batch_stats, image, target, key):
-        image = _prep_image(image, target)
+        image, target = _prep_batch(image, target)
         out, _ = rle.loss_and_predict(
             params, batch_stats, model_cfg, image, target, key, train=False
         )
@@ -264,7 +288,7 @@ def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer,
     drops ~linearly with the data-axis size."""
 
     def step_fn(state: TrainState, image, target, key):
-        image = _prep_image(image, target)
+        image, target = _prep_batch(image, target)
 
         def loss_fn(params):
             out, new_stats = mhent.reverse_kld(
@@ -319,7 +343,7 @@ def make_eval_step(
     recalibration never recompiles."""
 
     def eval_fn(params, batch_stats, image, target, key, *qtree):
-        image = _prep_image(image, target)
+        image, target = _prep_batch(image, target)
         out, _ = mhent.reverse_kld(
             model, params, batch_stats, model_cfg, target, image, key,
             train=False,
@@ -426,10 +450,13 @@ class Experiment:
                 if getattr(self.model_cfg, "use_mask_loss", False):
                     heavy.add("hand_mask")
             u8 = bool(self.cfg.tpu.get("image_u8", True))
+            dst = bool(self.cfg.tpu.get("device_st", True))
             train = loader.load(data_dir, mode="training",
-                                heavy_fields=heavy, image_u8=u8)
+                                heavy_fields=heavy, image_u8=u8,
+                                device_st=dst)
             evald = loader.load(data_dir, mode="evaluation",
-                                heavy_fields=heavy, image_u8=u8)
+                                heavy_fields=heavy, image_u8=u8,
+                                device_st=dst)
             scache = self.cfg.tpu.get("sample_cache")
             if scache:
                 from mhentropy_tpu.data import cached

@@ -208,6 +208,10 @@ def get_cfg_defaults() -> CfgNode:
     # (data/cached.py): from the 2nd epoch/run on, an eval item is one
     # pickle read instead of the whole preprocessing chain. None = off.
     cfg.tpu.sample_cache = None
+    # Move the per-item (s, t) orthographic Procrustes fit off the host:
+    # loaders omit "st" and the jitted steps reconstruct it with the
+    # batched core.camera.compute_st (engine._prep_batch).
+    cfg.tpu.device_st = True
 
     return cfg
 

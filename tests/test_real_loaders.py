@@ -415,3 +415,40 @@ def test_ho3d_eval_object_subsample_is_idx_seeded(ho3d_root):
     np.testing.assert_array_equal(t1["object_verts"], t1b["object_verts"])
     _, t2 = ho3d.load(ho3d_root, mode="evaluation")[0]
     np.testing.assert_array_equal(t1["object_verts"], t2["object_verts"])
+
+
+# ------------------------------------------------------------ device st
+
+
+def test_device_st_matches_host_fit(rhd_root):
+    """device_st loaders omit st; engine._prep_batch must reconstruct the
+    same (s, t) fit the host scipy path produces."""
+    import jax.numpy as jnp
+
+    from mhentropy_tpu.data import common, rhd
+    from mhentropy_tpu.train.engine import _prep_batch
+
+    host = rhd.load(rhd_root, mode="evaluation", heavy_fields=set())
+    dev = rhd.load(rhd_root, mode="evaluation", heavy_fields=set(),
+                   device_st=True)
+    _, t_h = host[0]
+    _, t_d = dev[0]
+    assert "st" not in t_d and "st" in t_h
+
+    image, target = next(common.batches(dev, 2, to_device=False))
+    image2, target2 = _prep_batch(
+        jnp.asarray(image), {k: jnp.asarray(v) for k, v in target.items()
+                             if not isinstance(v, (str, list))}
+    )
+    st_dev = np.asarray(target2["st"])
+    st_host = np.stack([host[i][1]["st"] for i in range(2)])
+    np.testing.assert_allclose(st_dev, st_host, atol=1e-5)
+    # A batch that already has st passes through untouched.
+    imageh, targeth = next(common.batches(host, 2, to_device=False))
+    _, t_same = _prep_batch(
+        jnp.asarray(imageh), {k: jnp.asarray(v) for k, v in targeth.items()
+                              if not isinstance(v, (str, list))}
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_same["st"]), st_host, atol=1e-6
+    )

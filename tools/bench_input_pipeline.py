@@ -48,10 +48,15 @@ def main():
             for _ in common.batches(rhd.load(root, mode), bs, to_device=False):
                 pass
         # Measure both target configurations: "full" = the complete
-        # reference-parity target, "auto" = the Experiment default
-        # (heavy unconsumed fields skipped — engine.make_datasets).
-        for label, heavy in (("full", None), ("auto", set())):
-            ds = rhd.load(root, mode, heavy_fields=heavy)
+        # reference-parity target, "auto" = the Experiment defaults
+        # (heavy unconsumed fields skipped, uint8 image transport,
+        # device-side st — engine.make_datasets).
+        for label, kw in (
+            ("full", dict()),
+            ("auto", dict(heavy_fields=set(), image_u8=True,
+                          device_st=True)),
+        ):
+            ds = rhd.load(root, mode, **kw)
             # Warm one epoch-fragment (imports, BAD_TRAIN path, numpy pools).
             next(iter(common.batches(ds, bs, to_device=False)))
 
