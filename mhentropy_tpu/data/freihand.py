@@ -40,7 +40,9 @@ class FreiHANDDataset:
         heavy_fields: frozenset | set | None = None,
         image_u8: bool = False,
         device_st: bool = False,
+        prefix_cache: str | None = None,
     ):
+        del prefix_cache  # interface uniformity; no prefix cache here yet
         del heavy_fields  # accepted for uniformity; nothing to gate
         # uint8 image transport, eval mode only (training adds f32 pixel
         # noise); device applies x/255 via _img_scale/_img_bias.

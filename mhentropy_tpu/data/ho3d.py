@@ -78,6 +78,7 @@ class HO3DDataset:
         heavy_fields: frozenset | set | None = None,
         image_u8: bool = False,
         device_st: bool = False,
+        prefix_cache: str | None = None,
     ):
         import cv2  # noqa: F401 — required for image IO / warps
 
@@ -93,6 +94,12 @@ class HO3DDataset:
         # Omit the host (s, t) fit; engine._prep_batch reconstructs it on
         # device from pose3d/crop_uv (core.camera.compute_st).
         self.device_st = device_st
+        # Deterministic-prefix disk cache (same design as the RHD
+        # loader's): the reads (jpg/depth/seg), crops, visibility test,
+        # and normalisation draw no RNG; only the augmentation suffix
+        # (pixel noise, warps) and the train-mode object subsample do.
+        # Cached/uncached items are bit-identical.
+        self.prefix_cache = prefix_cache
         self.rng = np.random.RandomState(seed)
 
         self.base = os.path.join(data_root, "HO3D_v3", "HO3D_v3")
@@ -135,7 +142,43 @@ class HO3DDataset:
     def __len__(self):
         return len(self.files)
 
-    def __getitem__(self, idx: int):
+    def _prefix_dir(self):
+        import hashlib
+
+        fields = {
+            "cls": "HO3DDataset.prefix", "mode": self.mode, "n": len(self),
+            "size": self.image_size, "heavy": sorted(self.heavy or ()),
+        }
+        fp = hashlib.sha1(
+            repr(sorted(fields.items())).encode()
+        ).hexdigest()[:16]
+        d = os.path.join(self.prefix_cache, fp)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _prefix(self, idx: int) -> dict:
+        if self.prefix_cache is not None:
+            import pickle
+            import threading
+
+            path = os.path.join(self._prefix_dir(), f"{idx}.pkl")
+            try:
+                with open(path, "rb") as f:
+                    return pickle.load(f)
+            except (FileNotFoundError, EOFError, pickle.UnpicklingError):
+                pass
+            pre = self._compute_prefix(idx)
+            tmp = f"{path}.tmp{os.getpid()}.{threading.get_ident()}"
+            try:
+                with open(tmp, "wb") as f:
+                    pickle.dump(pre, f, protocol=5)
+                os.replace(tmp, path)
+            except OSError:
+                pass
+            return pre
+        return self._compute_prefix(idx)
+
+    def _compute_prefix(self, idx: int) -> dict:
         import cv2
         seq, frame = self.files[idx].split("/")
         image = common.imread(
@@ -197,6 +240,40 @@ class HO3DDataset:
 
         pose3d_normed, pose3d_root, bone_mm = T.normalize_pose3d_np(
             joints_cv, ROOT_IDX_HO3D, NORM_IDX_HO3D
+        )
+        return {
+            # u8 storage is exact: the crop is a NEAREST gather of u8
+            # pixels (integers in f32).
+            "image": image_crop.astype(np.uint8),
+            "depth_crop": depth_crop,
+            "obj_mask": obj_mask,
+            "hand_mask_crop": hand_mask_crop,
+            "uv_crop": uv_crop,
+            "vis": vis,
+            "pose3d_normed": pose3d_normed,
+            "pose3d_root": pose3d_root,
+            "bone_mm": bone_mm,
+            "centre": centre,
+            "half": half,
+            "cam": cam,
+            "joints_cv": joints_cv,
+            "mesh_cv": mesh_cv,
+            "obj_cv": obj_cv.astype(np.float32),
+        }
+
+    def __getitem__(self, idx: int):
+        pre = self._prefix(idx)
+        s = self.image_size
+        need = self.heavy.__contains__ if self.heavy is not None else \
+            (lambda _k: True)
+        image_crop = pre["image"]
+        depth_crop, obj_mask = pre["depth_crop"], pre["obj_mask"]
+        hand_mask_crop, uv_crop = pre["hand_mask_crop"], pre["uv_crop"]
+        vis, pose3d_normed = pre["vis"], pre["pose3d_normed"]
+        pose3d_root, bone_mm = pre["pose3d_root"], pre["bone_mm"]
+        centre, half, cam = pre["centre"], pre["half"], pre["cam"]
+        joints_cv, mesh_cv, obj_cv = (
+            pre["joints_cv"], pre["mesh_cv"], pre["obj_cv"]
         )
 
         rot_mat = np.eye(2, 3, dtype=np.float32)

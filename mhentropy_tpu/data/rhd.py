@@ -139,6 +139,7 @@ class RHDDataset:
         heavy_fields: frozenset | set | None = None,
         image_u8: bool = False,
         device_st: bool = False,
+        prefix_cache: str | None = None,
     ):
         """heavy_fields: which of HEAVY_FIELDS to compute and emit. None
         (default) keeps the full reference-parity target; the Experiment
@@ -166,6 +167,16 @@ class RHDDataset:
         # core.camera.compute_st (engine._prep_batch). ~0.8 ms/item of the
         # host budget.
         self.device_st = device_st
+        # Deterministic-prefix disk cache (training counterpart of
+        # data/cached.SampleCache): everything up to and including the
+        # flip — decode, hand side, depth visibility, crop, idx-seeded
+        # patch occlusion — is a pure function of the index; only the
+        # augmentation suffix draws RNG. With the prefix served from
+        # disk, a train item costs one pickle read + the warp/rotate
+        # suffix. Auto-disabled when the RNG-consuming cloud field is
+        # requested. Cached/uncached items are bit-identical (the
+        # prefix draws no RNG, so the stream is unchanged).
+        self.prefix_cache = prefix_cache
         self.rng = np.random.RandomState(seed)
         self.root = self._find_root(data_root)
         with open(
@@ -186,12 +197,55 @@ class RHDDataset:
     def __len__(self):
         return len(self.anno)
 
-    def __getitem__(self, idx: int):
-        ori_idx = idx
-        if self.mode == "training" and idx in BAD_TRAIN:
-            idx = 0
-        if self.mode == "evaluation" and idx in BAD_EVAL:
-            idx = 0
+    @property
+    def _prefix_cacheable(self) -> bool:
+        # The cloud resample draws from the stream RNG inside the prefix
+        # region; caching it would freeze the draw AND desync the stream.
+        return self.prefix_cache is not None and (
+            self.heavy is not None and "cloud" not in self.heavy
+        )
+
+    def _prefix_dir(self):
+        import hashlib
+
+        fields = {
+            "cls": "RHDDataset.prefix", "mode": self.mode, "n": len(self),
+            "size": self.size, "vc": self.vc,
+            "patch_occlude": self.patch_occlude,
+            "heavy": sorted(self.heavy or ()),
+        }
+        fp = hashlib.sha1(
+            repr(sorted(fields.items())).encode()
+        ).hexdigest()[:16]
+        d = os.path.join(self.prefix_cache, fp)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _prefix(self, idx: int) -> dict:
+        """Everything deterministic in the item pipeline (decode through
+        flip). The returned dict is private mutable state for the suffix;
+        cache hits deserialize fresh arrays."""
+        if self._prefix_cacheable:
+            import threading
+
+            path = os.path.join(self._prefix_dir(), f"{idx}.pkl")
+            try:
+                with open(path, "rb") as f:
+                    return pickle.load(f)
+            except (FileNotFoundError, EOFError, pickle.UnpicklingError):
+                pass
+            pre = self._compute_prefix(idx)
+            tmp = f"{path}.tmp{os.getpid()}.{threading.get_ident()}"
+            try:
+                with open(tmp, "wb") as f:
+                    pickle.dump(pre, f, protocol=5)
+                os.replace(tmp, path)
+            except OSError:
+                pass
+            return pre
+        return self._compute_prefix(idx)
+
+    def _compute_prefix(self, idx: int) -> dict:
         anno = self.anno[idx]
         base = os.path.join(self.root, self.mode)
         image = common.imread(os.path.join(base, "color", f"{idx:05d}.png"))
@@ -269,8 +323,6 @@ class RHDDataset:
                                           size=50, vis=vis, copy=False)
             )
 
-        rot_mat = np.eye(2, 3, dtype=np.float32)
-        hand_side = np.float32(left)
         # Only the requested masks ride the flip/warp chain; image/uv/pose
         # always do. (depth/hand-mask crops that no output ever carried were
         # dead work — rhddataloader.py's target has no depth either.)
@@ -285,6 +337,49 @@ class RHDDataset:
             )
             masks = dict(zip(masks.keys(), flipped))
             cloud_normed[:, 0] = -cloud_normed[:, 0]
+        return {
+            # u8 storage is exact: every prefix pixel op copies u8
+            # integer values (see the image_u8 note in __init__).
+            "image": image_crop.astype(np.uint8),
+            "crop_uv": crop_uv,
+            "pose3d_normed": pose3d_normed,
+            "vis": vis,
+            "masks": masks,
+            "cloud_normed": cloud_normed,
+            "patch_raw": (patch_cx, patch_cy, patch_r),
+            "left": left,
+            "bone": bone,
+            "pose3d_root": pose3d_root,
+            "crop_center": crop_center,
+            "crop_size": crop_size,
+            "cam": cam,
+            "vc_rot": vc_rot,
+            "uv_vis": uv_vis,
+            "heatmap": heatmap,
+            "original_pose3d": kp_xyz[:21] if left else kp_xyz[-21:],
+        }
+
+    def __getitem__(self, idx: int):
+        ori_idx = idx
+        if self.mode == "training" and idx in BAD_TRAIN:
+            idx = 0
+        if self.mode == "evaluation" and idx in BAD_EVAL:
+            idx = 0
+        pre = self._prefix(idx)
+        s = self.size
+        need = self.heavy.__contains__ if self.heavy is not None else \
+            (lambda _k: True)
+        image_crop = pre["image"]
+        crop_uv, pose3d_normed = pre["crop_uv"], pre["pose3d_normed"]
+        vis, masks, cloud_normed = pre["vis"], pre["masks"], pre["cloud_normed"]
+        patch_cx, patch_cy, patch_r = pre["patch_raw"]
+        left, bone = pre["left"], pre["bone"]
+        pose3d_root, crop_center = pre["pose3d_root"], pre["crop_center"]
+        crop_size, cam, vc_rot = pre["crop_size"], pre["cam"], pre["vc_rot"]
+        uv_vis, heatmap = pre["uv_vis"], pre["heatmap"]
+
+        rot_mat = np.eye(2, 3, dtype=np.float32)
+        hand_side = np.float32(left)
         if self.aug:
             params = T.make_aug_params(self.rng, trans_std=22.0)
             rot_mat = T.aug_rot_mat(params, s)
@@ -340,9 +435,7 @@ class RHDDataset:
             "pose3d_root": pose3d_root.astype(np.float32),
             "camera": cam.astype(np.float32),
             "rot_mat_inv": rot_mat_inv.astype(np.float32),
-            "original_pose3d": (kp_xyz[:21] if left else kp_xyz[-21:]).astype(
-                np.float32
-            ),
+            "original_pose3d": pre["original_pose3d"].astype(np.float32),
             # rhddataloader.py:216-218 extras: the unit-normalised aug
             # rotation and the fused uv+depth regression target.
             "_rot_mat": (

@@ -204,9 +204,11 @@ def get_cfg_defaults() -> CfgNode:
     # eval mode) and the jitted step normalises on device. 4x less image
     # H2D; a B=64 f32 batch costs ~50 ms through the relay (docs/PERF.md).
     cfg.tpu.image_u8 = True
-    # Preprocessed-sample disk cache for DETERMINISTIC eval datasets
-    # (data/cached.py): from the 2nd epoch/run on, an eval item is one
-    # pickle read instead of the whole preprocessing chain. None = off.
+    # Preprocessing disk caches (None = off). Eval: whole deterministic
+    # items (data/cached.SampleCache — one pickle read per item from the
+    # 2nd epoch/run on). Train: the RHD/HO3D loaders' deterministic
+    # PREFIX (decode through flip/crop; only the augmentation suffix
+    # runs per epoch, bit-identical items, 3.6x the per-item rate).
     cfg.tpu.sample_cache = None
     # Move the per-item (s, t) orthographic Procrustes fit off the host:
     # loaders omit "st" and the jitted steps reconstruct it with the

@@ -452,3 +452,66 @@ def test_device_st_matches_host_fit(rhd_root):
     np.testing.assert_allclose(
         np.asarray(t_same["st"]), st_host, atol=1e-6
     )
+
+
+# ------------------------------------------------------ train prefix cache
+
+
+def test_rhd_prefix_cache_bit_identical(rhd_root, tmp_path):
+    """The deterministic prefix (decode through flip) draws no RNG, so a
+    prefix-cached dataset must produce bit-identical items to an
+    uncached one at the same seed — training mode included — and the
+    second epoch (cache hits) must stay identical too."""
+    from mhentropy_tpu.data import rhd
+
+    kw = dict(heavy_fields=set(), image_u8=True, device_st=True)
+    a = rhd.load(rhd_root, "training", seed=5, **kw)
+    b = rhd.load(rhd_root, "training", seed=5,
+                 prefix_cache=str(tmp_path / "pc"), **kw)
+    for epoch in range(2):  # epoch 0 populates, epoch 1 reads
+        for i in range(len(a)):
+            ia, ta = a[i]
+            ib, tb = b[i]
+            np.testing.assert_array_equal(ia, ib)
+            assert set(ta) == set(tb)
+            for k in ta:
+                if k == "dataset":
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(ta[k]), np.asarray(tb[k]), err_msg=k
+                )
+    assert any((tmp_path / "pc").iterdir())
+
+
+def test_rhd_prefix_cache_skipped_when_cloud_requested(rhd_root, tmp_path):
+    """Full-parity mode computes the cloud inside the prefix region with
+    the stream RNG — caching must silently disable itself."""
+    from mhentropy_tpu.data import rhd
+
+    ds = rhd.load(rhd_root, "training", prefix_cache=str(tmp_path / "pc"))
+    assert not ds._prefix_cacheable
+    ds[0]
+    assert not (tmp_path / "pc").exists() or not any(
+        (tmp_path / "pc").iterdir()
+    )
+
+
+def test_ho3d_prefix_cache_bit_identical(ho3d_root, tmp_path):
+    from mhentropy_tpu.data import ho3d
+
+    kw = dict(heavy_fields=set(), image_u8=True, device_st=True)
+    a = ho3d.load(ho3d_root, "training", **kw)
+    b = ho3d.load(ho3d_root, "training",
+                  prefix_cache=str(tmp_path / "pc"), **kw)
+    for epoch in range(2):  # epoch 0 populates, epoch 1 reads
+        ia, ta = a[0]
+        ib, tb = b[0]
+        np.testing.assert_array_equal(ia, ib)
+        assert set(ta) == set(tb)
+        for k in ta:
+            if k == "dataset":
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(ta[k]), np.asarray(tb[k]), err_msg=k
+            )
+    assert any((tmp_path / "pc").iterdir())

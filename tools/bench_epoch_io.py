@@ -10,8 +10,9 @@ and A/Bs the round-3 input-transport work:
        reference target field crosses the relay)
   new: the defaults — "auto" fields + uint8 images
   new+scache: additionally cfg.tpu.sample_cache — eval items served from
-       the preprocessed-sample disk cache (data/cached.py; steady state
-       from the 2nd epoch, which the warm+measured pair reproduces)
+       the preprocessed-sample disk cache (data/cached.py) and train
+       items from the RHD deterministic-prefix cache (steady state from
+       the 2nd epoch, which the warm+measured pair reproduces)
 
 Context: a B=32 f32 image batch alone is ~25 MB of H2D (~30 ms through
 the relay, docs/PERF.md "uint8 image transport") against a 19.9 ms train
@@ -55,6 +56,9 @@ def _make_cfg(data_dir, model_dir, u8: bool, fields: str, bs: int,
             "data_dir": data_dir,
             "decode_cache": os.path.join(data_dir, "_decode_cache"),
             "image_u8": u8,
+            # The "old" row must pin the pre-optimisation behavior; u8
+            # tracks the same flag so one knob drives the whole variant.
+            "device_st": u8,
             "target_fields": fields,
             "sample_cache": os.path.join(data_dir, "_sample_cache")
             if sample_cache else None,
@@ -90,7 +94,7 @@ def main():
                 wall = time.perf_counter() - t0
                 results[f"eval_wall_s_{label}"] = round(wall, 2)
                 results[f"eval_imgs_per_s_{label}"] = round(n / wall, 1)
-            if mode in ("train", "both") and not scache:
+            if mode in ("train", "both"):
                 train_data, _ = exp.make_datasets()
                 exp._ensure_state(max(1, n // 32))
                 exp.train_epoch(train_data, 0)  # compile + cache warm
