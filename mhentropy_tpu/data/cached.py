@@ -53,8 +53,10 @@ def fingerprint(ds) -> str:
     """Stable identity of the preprocessing configuration. Everything
     that changes item VALUES must land here."""
     cls = type(ds).__name__
+    root = getattr(ds, "root", None) or getattr(ds, "base", None)
     fields = {
         "cls": cls,
+        "root": os.path.abspath(root) if root else None,  # no cross-root hits
         "mode": getattr(ds, "mode", None),
         "n": len(ds),
         "size": getattr(ds, "size", getattr(ds, "image_size", None)),

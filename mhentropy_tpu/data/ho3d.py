@@ -143,10 +143,14 @@ class HO3DDataset:
         return len(self.files)
 
     def _prefix_dir(self):
+        d = getattr(self, "_prefix_dir_memo", None)
+        if d is not None:
+            return d
         import hashlib
 
         fields = {
             "cls": "HO3DDataset.prefix", "mode": self.mode, "n": len(self),
+            "root": os.path.abspath(self.base),  # two roots never collide
             "size": self.image_size, "heavy": sorted(self.heavy or ()),
         }
         fp = hashlib.sha1(
@@ -154,6 +158,7 @@ class HO3DDataset:
         ).hexdigest()[:16]
         d = os.path.join(self.prefix_cache, fp)
         os.makedirs(d, exist_ok=True)
+        self._prefix_dir_memo = d
         return d
 
     def _prefix(self, idx: int) -> dict:

@@ -206,10 +206,14 @@ class RHDDataset:
         )
 
     def _prefix_dir(self):
+        d = getattr(self, "_prefix_dir_memo", None)
+        if d is not None:
+            return d
         import hashlib
 
         fields = {
             "cls": "RHDDataset.prefix", "mode": self.mode, "n": len(self),
+            "root": os.path.abspath(self.root),  # two roots never collide
             "size": self.size, "vc": self.vc,
             "patch_occlude": self.patch_occlude,
             "heavy": sorted(self.heavy or ()),
@@ -219,6 +223,7 @@ class RHDDataset:
         ).hexdigest()[:16]
         d = os.path.join(self.prefix_cache, fp)
         os.makedirs(d, exist_ok=True)
+        self._prefix_dir_memo = d
         return d
 
     def _prefix(self, idx: int) -> dict:

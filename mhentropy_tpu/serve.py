@@ -296,9 +296,15 @@ def _http_serve(server: InferenceServer, host: str, port: int):
                 return
             n = int(self.headers.get("Content-Length", 0))
             b = int(self.headers.get("X-Batch", 1))
-            dt = np.dtype(self.headers.get("X-Dtype", "float32"))
+            dt_name = self.headers.get("X-Dtype", "float32")
+            if dt_name not in ("float32", "uint8"):
+                self.send_response(400)
+                self.end_headers()
+                return
             raw = self.rfile.read(n)
-            images = np.frombuffer(raw, dt).reshape(b, size, size, 3)
+            images = np.frombuffer(raw, np.dtype(dt_name)).reshape(
+                b, size, size, 3
+            )
             t0 = time.perf_counter()
             out = server.predict(images)
             ms = (time.perf_counter() - t0) * 1e3
