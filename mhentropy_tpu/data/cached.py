@@ -30,6 +30,42 @@ import pickle
 import threading
 
 
+def config_fingerprint(fields: dict) -> str:
+    """sha1 of a sorted field dict — one implementation for every
+    preprocessing cache (eval SampleCache + the loaders' prefix caches),
+    so distinctions like heavy=None ('full') vs heavy=set() can never
+    silently diverge between copies."""
+    return hashlib.sha1(
+        repr(sorted(fields.items())).encode()
+    ).hexdigest()[:16]
+
+
+def heavy_field_tag(heavy):
+    """Cache-identity of a loader's heavy_fields setting. None (the full
+    reference-parity target) must NOT collide with the empty set."""
+    return "full" if heavy is None else sorted(heavy)
+
+
+def read_or_compute_pickle(path: str, compute):
+    """Atomic read-through pickle cache: one open+load on a hit; on a
+    miss, compute() then tmp-write + os.replace (safe under concurrent
+    collation workers)."""
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except (FileNotFoundError, EOFError, pickle.UnpicklingError):
+        pass
+    item = compute()
+    tmp = f"{path}.tmp{os.getpid()}.{threading.get_ident()}"
+    try:
+        with open(tmp, "wb") as f:
+            pickle.dump(item, f, protocol=5)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return item
+
+
 def eval_deterministic(ds) -> bool:
     """True when every __getitem__ of `ds` is a pure function of its
     index (no RNG draws): eval mode, and no RNG-consuming optional field.
@@ -60,15 +96,14 @@ def fingerprint(ds) -> str:
         "mode": getattr(ds, "mode", None),
         "n": len(ds),
         "size": getattr(ds, "size", getattr(ds, "image_size", None)),
-        "heavy": sorted(getattr(ds, "heavy", None) or ())
-        if getattr(ds, "heavy", None) is not None else "full",
+        "heavy": heavy_field_tag(getattr(ds, "heavy", None)),
         "image_u8": getattr(ds, "image_u8", False),
         "device_st": getattr(ds, "device_st", False),
         "uv_norm": getattr(ds, "uv_norm", None),
         "vc": getattr(ds, "vc", None),
         "patch_occlude": getattr(ds, "patch_occlude", None),
     }
-    return hashlib.sha1(repr(sorted(fields.items())).encode()).hexdigest()[:16]
+    return config_fingerprint(fields)
 
 
 class SampleCache:
@@ -91,21 +126,13 @@ class SampleCache:
         return len(self.ds)
 
     def __getattr__(self, name):  # delegate heavy/mode/... to the wrapped ds
+        if name == "ds" or name.startswith("__"):
+            # Unpickling/copying probes dunders (e.g. __setstate__) before
+            # __init__ sets self.ds — delegating then would recurse
+            # through this __getattr__ forever.
+            raise AttributeError(name)
         return getattr(self.ds, name)
 
     def __getitem__(self, idx: int):
         path = os.path.join(self.dir, f"{idx}.pkl")
-        try:
-            with open(path, "rb") as f:
-                return pickle.load(f)
-        except (FileNotFoundError, EOFError, pickle.UnpicklingError):
-            pass
-        item = self.ds[idx]
-        tmp = f"{path}.tmp{os.getpid()}.{threading.get_ident()}"
-        try:
-            with open(tmp, "wb") as f:
-                pickle.dump(item, f, protocol=5)
-            os.replace(tmp, path)
-        except OSError:
-            pass
-        return item
+        return read_or_compute_pickle(path, lambda: self.ds[idx])

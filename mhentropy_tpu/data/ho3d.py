@@ -146,16 +146,18 @@ class HO3DDataset:
         d = getattr(self, "_prefix_dir_memo", None)
         if d is not None:
             return d
-        import hashlib
+        from mhentropy_tpu.data import cached
 
-        fields = {
+        # heavy_field_tag keeps heavy=None ("full") distinct from
+        # heavy=set(): the full target's prefix carries depth/mask crops
+        # the minimal one stores as None, so a collision would serve
+        # None crops into a full-target run.
+        fp = cached.config_fingerprint({
             "cls": "HO3DDataset.prefix", "mode": self.mode, "n": len(self),
             "root": os.path.abspath(self.base),  # two roots never collide
-            "size": self.image_size, "heavy": sorted(self.heavy or ()),
-        }
-        fp = hashlib.sha1(
-            repr(sorted(fields.items())).encode()
-        ).hexdigest()[:16]
+            "size": self.image_size,
+            "heavy": cached.heavy_field_tag(self.heavy),
+        })
         d = os.path.join(self.prefix_cache, fp)
         os.makedirs(d, exist_ok=True)
         self._prefix_dir_memo = d
@@ -163,24 +165,12 @@ class HO3DDataset:
 
     def _prefix(self, idx: int) -> dict:
         if self.prefix_cache is not None:
-            import pickle
-            import threading
+            from mhentropy_tpu.data import cached
 
-            path = os.path.join(self._prefix_dir(), f"{idx}.pkl")
-            try:
-                with open(path, "rb") as f:
-                    return pickle.load(f)
-            except (FileNotFoundError, EOFError, pickle.UnpicklingError):
-                pass
-            pre = self._compute_prefix(idx)
-            tmp = f"{path}.tmp{os.getpid()}.{threading.get_ident()}"
-            try:
-                with open(tmp, "wb") as f:
-                    pickle.dump(pre, f, protocol=5)
-                os.replace(tmp, path)
-            except OSError:
-                pass
-            return pre
+            return cached.read_or_compute_pickle(
+                os.path.join(self._prefix_dir(), f"{idx}.pkl"),
+                lambda: self._compute_prefix(idx),
+            )
         return self._compute_prefix(idx)
 
     def _compute_prefix(self, idx: int) -> dict:

@@ -209,18 +209,15 @@ class RHDDataset:
         d = getattr(self, "_prefix_dir_memo", None)
         if d is not None:
             return d
-        import hashlib
+        from mhentropy_tpu.data import cached
 
-        fields = {
+        fp = cached.config_fingerprint({
             "cls": "RHDDataset.prefix", "mode": self.mode, "n": len(self),
             "root": os.path.abspath(self.root),  # two roots never collide
             "size": self.size, "vc": self.vc,
             "patch_occlude": self.patch_occlude,
-            "heavy": sorted(self.heavy or ()),
-        }
-        fp = hashlib.sha1(
-            repr(sorted(fields.items())).encode()
-        ).hexdigest()[:16]
+            "heavy": cached.heavy_field_tag(self.heavy),
+        })
         d = os.path.join(self.prefix_cache, fp)
         os.makedirs(d, exist_ok=True)
         self._prefix_dir_memo = d
@@ -231,23 +228,12 @@ class RHDDataset:
         flip). The returned dict is private mutable state for the suffix;
         cache hits deserialize fresh arrays."""
         if self._prefix_cacheable:
-            import threading
+            from mhentropy_tpu.data import cached
 
-            path = os.path.join(self._prefix_dir(), f"{idx}.pkl")
-            try:
-                with open(path, "rb") as f:
-                    return pickle.load(f)
-            except (FileNotFoundError, EOFError, pickle.UnpicklingError):
-                pass
-            pre = self._compute_prefix(idx)
-            tmp = f"{path}.tmp{os.getpid()}.{threading.get_ident()}"
-            try:
-                with open(tmp, "wb") as f:
-                    pickle.dump(pre, f, protocol=5)
-                os.replace(tmp, path)
-            except OSError:
-                pass
-            return pre
+            return cached.read_or_compute_pickle(
+                os.path.join(self._prefix_dir(), f"{idx}.pkl"),
+                lambda: self._compute_prefix(idx),
+            )
         return self._compute_prefix(idx)
 
     def _compute_prefix(self, idx: int) -> dict:

@@ -173,7 +173,8 @@ class InferenceServer:
         if images.dtype == np.uint8:  # calibration runs on normalised f32
             scale, bias = self.image_norm
             images = images.astype(np.float32) * scale + bias
-        images = images.astype(np.float32)
+        else:
+            images = images.astype(np.float32, copy=False)
         reps = -(-cb // images.shape[0])  # ceil
         calib = np.tile(images, (reps, 1, 1, 1))[:cb]
         q_from = self.cfg.tpu.get("quantize_q_from", "auto") \

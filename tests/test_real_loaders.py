@@ -515,3 +515,35 @@ def test_ho3d_prefix_cache_bit_identical(ho3d_root, tmp_path):
                 np.asarray(ta[k]), np.asarray(tb[k]), err_msg=k
             )
     assert any((tmp_path / "pc").iterdir())
+
+
+def test_prefix_fingerprint_distinguishes_full_from_auto(ho3d_root, tmp_path):
+    """heavy=None ('full') and heavy=set() carry different prefix payloads
+    (the full one has depth/mask crops) — their cache dirs must differ."""
+    from mhentropy_tpu.data import ho3d, rhd
+
+    pc = str(tmp_path / "pc")
+    full = ho3d.load(ho3d_root, "training", prefix_cache=pc)
+    mini = ho3d.load(ho3d_root, "training", prefix_cache=pc,
+                     heavy_fields=set())
+    assert full._prefix_dir() != mini._prefix_dir()
+    # And the full-target HO3D prefix round-trips through its own dir.
+    i1, t1 = full[0]
+    i1b, t1b = ho3d.load(ho3d_root, "training", prefix_cache=pc)[0]
+    assert "depth" in t1 and "depth" in t1b
+
+
+def test_sample_cache_survives_pickling(rhd_root, tmp_path):
+    """Unpickling probes dunders before __init__ runs — the attribute
+    delegation must not recurse (thread pools today, process pools
+    tomorrow)."""
+    import pickle as pkl
+
+    from mhentropy_tpu.data import cached, rhd
+
+    ds = rhd.load(rhd_root, mode="evaluation", heavy_fields=set())
+    wrapped = cached.SampleCache(ds, str(tmp_path / "sc"))
+    clone = pkl.loads(pkl.dumps(wrapped))
+    img_a, _ = wrapped[0]
+    img_b, _ = clone[0]
+    np.testing.assert_array_equal(img_a, img_b)

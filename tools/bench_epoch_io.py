@@ -86,7 +86,7 @@ def main():
             cfg = _make_cfg(root, os.path.join(root, f"run_{label}"), u8,
                             fields, bs=32, sample_cache=scache)
             exp = Experiment(cfg)
-            _, eval_data = exp.make_datasets()
+            train_data, eval_data = exp.make_datasets()
             if mode in ("eval", "both"):
                 exp.eval_loop(eval_data)  # compile + cache warm
                 t0 = time.perf_counter()
@@ -95,7 +95,6 @@ def main():
                 results[f"eval_wall_s_{label}"] = round(wall, 2)
                 results[f"eval_imgs_per_s_{label}"] = round(n / wall, 1)
             if mode in ("train", "both"):
-                train_data, _ = exp.make_datasets()
                 exp._ensure_state(max(1, n // 32))
                 exp.train_epoch(train_data, 0)  # compile + cache warm
                 t0 = time.perf_counter()
