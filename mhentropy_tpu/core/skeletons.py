@@ -51,8 +51,10 @@ MANO_TIPS_LEFT = np.array([745, 317, 445, 556, 673])
 
 # Dataset-specific root / bone-normalisation joint indices
 # (network.py:476-478).
-ROOT_IDX = {"rhd": 12, "freihand": 9, "ho3d": 12}
-NORM_IDX = {"rhd": 11, "freihand": 10, "ho3d": 11}
+ROOT_IDX = {"rhd": 12, "freihand": 9, "ho3d": 12, "mixed_ho3d_rhd": 12}
+NORM_IDX = {"rhd": 11, "freihand": 10, "ho3d": 11, "mixed_ho3d_rhd": 11}
+# mixed: both members share RHD joint order (the HO3D loader reorders,
+# data/ho3d.py HO3D2RHD), so root/norm indices coincide.
 
 
 def freihand_gather_indices():

@@ -430,14 +430,15 @@ class Experiment:
         name = self.cfg.dataset.dataset_name
         data_dir = self.cfg.tpu.data_dir if "tpu" in self.cfg else None
         if data_dir:
-            from mhentropy_tpu.data import freihand, ho3d, rhd
+            from mhentropy_tpu.data import freihand, ho3d, mixed, rhd
 
             cache = self.cfg.tpu.get("decode_cache") if "tpu" in self.cfg \
                 else None
             if cache:
                 data_common.set_decode_cache(cache)
 
-            loader = {"ho3d": ho3d, "rhd": rhd, "freihand": freihand}.get(name)
+            loader = {"ho3d": ho3d, "rhd": rhd, "freihand": freihand,
+                      "mixed_ho3d_rhd": mixed}.get(name)
             if loader is None:
                 raise NotImplementedError(name)
             # "auto": have the loaders skip heavy target fields (clouds,

@@ -547,3 +547,29 @@ def test_sample_cache_survives_pickling(rhd_root, tmp_path):
     img_a, _ = wrapped[0]
     img_b, _ = clone[0]
     np.testing.assert_array_equal(img_a, img_b)
+
+
+# -------------------------------------------------------------- mixed
+
+
+def test_mixed_ho3d_rhd_collates(rhd_root, ho3d_root, tmp_path):
+    """The reference names mixed_ho3d_rhd in its batch adapter without a
+    loader (dataset_transforms.py:12); ours concatenates HO3D + RHD with
+    targets projected onto the common key schema so one batch collates."""
+    import shutil
+
+    from mhentropy_tpu.data import common, mixed
+
+    root = tmp_path / "mixedroot"
+    shutil.copytree(ho3d_root, root)
+    shutil.copytree(os.path.join(rhd_root), root, dirs_exist_ok=True)
+    ds = mixed.load(str(root), mode="training", heavy_fields=set(),
+                    device_st=True)
+    assert len(ds) == len(ds.datasets[0]) + len(ds.datasets[1])
+    # One batch spanning both members (HO3D train has 1 sample).
+    image, target = next(common.batches(ds, 2, to_device=False))
+    assert image.shape == (2, 256, 256, 3) and image.dtype == np.float32
+    assert "st" not in target and "pose3d" in target and "vis" in target
+    keys0 = set(ds.datasets[0][0][1].keys())
+    keys1 = set(ds.datasets[1][0][1].keys())
+    assert set(target.keys()) | {"dataset"} <= (keys0 & keys1) | {"valid"}
