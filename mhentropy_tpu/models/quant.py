@@ -61,6 +61,11 @@ class QuantSpec(NamedTuple):
     # the same MXU occupancy). Kept opt-in for the channel-major-s8
     # boundary-fusion path (docs/PERF.md).
     pallas_mid: bool = False
+    # int8 fused stem kernel (models/stem_int8.py). Default OFF:
+    # measured LOSS vs the bf16 stem kernel (401 vs 337 us — s8
+    # sub-tile im2col stores are masked RMW on (32, 128) tiles and
+    # cost more than the halved bytes save; see the module docstring).
+    int8_stem: bool = False
 
 
 def _bn_affine(bn_p: dict, bn_s: dict):
@@ -124,7 +129,24 @@ def _forward(spec: QuantSpec, p: dict, s: dict, sites: dict | None, x,
     dtype = jnp.dtype(spec.dtype)
     sizes, kind = _ARCH[spec.backbone]
 
-    if (spec.pallas_stem and dtype == jnp.bfloat16
+    if spec.int8_stem and collect is not None:
+        # Per-input-channel amax of the normalised image — the stem
+        # site quantizes per channel (stem_int8 module docstring).
+        collect["stem/conv1"] = jnp.max(
+            jnp.abs(x), axis=tuple(range(x.ndim - 1))
+        ).astype(jnp.float32)
+    stem_done = False
+    if spec.int8_stem and sites is not None and "stem/conv1" in sites:
+        from mhentropy_tpu.models import stem_int8
+
+        if stem_int8.supported(x, 64, False):
+            x = stem_int8.stem_forward_q(
+                x, sites["stem/conv1"], compute_dtype=dtype,
+                out_dtype=dtype)
+            stem_done = True
+    if stem_done:
+        pass
+    elif (spec.pallas_stem and dtype == jnp.bfloat16
             and stem_pallas.supported(x, 64, False)):
         x = stem_pallas.stem_forward(
             x, p["conv1"]["kernel"], p["bn1"]["scale"], p["bn1"]["bias"],
@@ -282,6 +304,12 @@ def prepare(spec: QuantSpec, params_bb: dict, batch_stats: dict,
     below q_from) for everything else."""
     sizes, kind = _ARCH[spec.backbone]
     sites = {}
+    if spec.int8_stem and "stem/conv1" in act_maxabs:
+        from mhentropy_tpu.models import stem_int8
+
+        sites["stem/conv1"] = stem_int8.prepare_stem_site(
+            params_bb["conv1"]["kernel"], params_bb["bn1"],
+            batch_stats["bn1"], act_maxabs["stem/conv1"])
     float_p = {"conv1": params_bb["conv1"], "bn1": params_bb["bn1"]}
     float_s = {"bn1": batch_stats["bn1"]}
     conv_names = (("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3")) \
@@ -356,7 +384,8 @@ def quantize_encoder(enc_params: dict, batch_stats: dict, enc_cfg,
         backbone=enc_cfg.backbone, q_from=q_from, dtype=enc_cfg.dtype,
         pallas_stem=getattr(enc_cfg, "pallas_stem", True),
         pallas_stage1=getattr(enc_cfg, "pallas_stage1", True),
-        pallas_mid=getattr(enc_cfg, "pallas_mid", False))
+        pallas_mid=getattr(enc_cfg, "pallas_mid", False),
+        int8_stem=getattr(enc_cfg, "int8_stem", False))
     act = calibrate(spec, enc_params["backbone"], batch_stats, calib_images)
     return spec, prepare(spec, enc_params["backbone"], batch_stats, act)
 

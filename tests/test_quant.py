@@ -104,6 +104,54 @@ def test_encoder_feat_matches_float_mu():
     assert cos > 0.99, cos
 
 
+def test_int8_stem_wiring(monkeypatch):
+    """QuantSpec(int8_stem=True): calibration collects the per-channel
+    stem amax, prepare() builds the stem site, and _forward dispatches
+    through it. The kernel is substituted with its XLA-equivalent math
+    (kernel ≡ XLA is tests/test_stem_int8.py's job); this pins the
+    plumbing — site schema, fold inputs, dtype flow."""
+    import flax.linen as nn
+
+    from mhentropy_tpu.models import stem_int8
+
+    monkeypatch.setattr(stem_int8, "supported", lambda x, f, train: True)
+    used = {}
+
+    def xla_equiv(image, site, compute_dtype=jnp.bfloat16,
+                  out_dtype=jnp.bfloat16):
+        used["site"] = site
+        xq = jnp.clip(jnp.round(image.astype(jnp.float32) * site["inv_a"]),
+                      -127, 127).astype(jnp.int8)
+        yi = jax.lax.conv_general_dilated(
+            xq, site["w8"], (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = yi.astype(jnp.float32) * site["scale"] + site["bias"]
+        y = nn.max_pool(jnp.maximum(y, 0.0), (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)])
+        return y.astype(out_dtype)
+
+    monkeypatch.setattr(stem_int8, "stem_forward_q", xla_equiv)
+
+    _, params, stats, x = _setup("resnet50")
+    bb = resnet.make_backbone("resnet50", dtype=jnp.float32)
+    ref = bb.apply({"params": params["backbone"], "batch_stats": stats},
+                   x, train=False)
+    spec = quant.QuantSpec(backbone="resnet50", q_from=1, dtype="float32",
+                           int8_stem=True)
+    act = quant.calibrate(spec, params["backbone"], stats, x)
+    assert act["stem/conv1"].shape == (3,)
+    qt = quant.prepare(spec, params["backbone"], stats, act)
+    site = qt["sites"]["stem/conv1"]
+    assert site["w8"].shape == (7, 7, 3, 64) and site["w8"].dtype == jnp.int8
+    assert site["inv_a"].shape == (3,) and site["scale"].shape == (64,)
+    got = quant.backbone_forward(spec, qt, x)
+    assert "site" in used  # the stem actually dispatched through int8
+    cos = float(jnp.vdot(got, ref)
+                / (jnp.linalg.norm(got) * jnp.linalg.norm(ref)))
+    assert cos > 0.99, cos
+
+
 def test_resolve_q_from_auto(monkeypatch):
     """"auto" picks stage-1 quantization exactly when the fused int8
     stage-1 kernel's gates pass (TPU backend + kernel geometry)."""

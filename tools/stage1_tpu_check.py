@@ -90,6 +90,97 @@ def main_int8():
     return 0 if ok else 1
 
 
+def main_stem8():
+    """On-chip parity + timing of models/stem_int8.py vs (a) the jitted
+    XLA quant walk (same integer arithmetic — near-exact up to the bf16
+    selection-matmul emit) and (b) the bf16 stem kernel (timing only).
+    The interpret-mode test cannot see Mosaic lowering (docstring above).
+    """
+    from mhentropy_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mhentropy_tpu.models import stem_int8, stem_pallas
+
+    B = 8
+    ks = jax.random.split(jax.random.key(0), 6)
+    kernel = jax.random.normal(ks[0], (7, 7, 3, 64)) * 0.1
+    bn_p = {"scale": 1.0 + jax.random.normal(ks[1], (64,)) * 0.2,
+            "bias": jax.random.normal(ks[2], (64,)) * 0.1}
+    bn_s = {"mean": jax.random.normal(ks[3], (64,)) * 0.1,
+            "var": 1.0 + jax.random.uniform(ks[4], (64,)) * 0.5}
+    x = jax.random.normal(ks[5], (B, 256, 256, 3), jnp.float32) * 1.3
+    site = jax.tree.map(jnp.asarray, stem_int8.prepare_stem_site(
+        kernel, bn_p, bn_s, jnp.max(jnp.abs(x), axis=(0, 1, 2))))
+
+    @jax.jit
+    def walk(x, site):
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * site["inv_a"]),
+                      -127, 127).astype(jnp.int8)
+        yi = jax.lax.conv_general_dilated(
+            xq, site["w8"], (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = yi.astype(jnp.float32) * site["scale"] + site["bias"]
+        return nn.max_pool(jnp.maximum(y, 0.0), (3, 3), strides=(2, 2),
+                           padding=[(1, 1), (1, 1)])
+
+    try:
+        got = np.asarray(stem_int8.stem_forward_q(
+            x, site, compute_dtype=jnp.float32, out_dtype=jnp.float32))
+    except Exception as e:
+        print(json.dumps({"error": str(e)[:3000]}))
+        return 1
+    ref = np.asarray(walk(x, site))
+    rel = float(np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-9))
+    cos = float((got * ref).sum()
+                / (np.linalg.norm(got) * np.linalg.norm(ref) + 1e-9))
+    # Budget: the integer GEMM is exact; rel covers the f32-dot operand
+    # truncation to bf16 in the selection-matmul emit (~0.4%/element).
+    ok = rel < 0.01 and cos > 0.999
+    print(json.dumps({"check": "stem8_numerics", "rel_mean": rel,
+                      "cos": cos, "ok": ok}), flush=True)
+
+    # Standalone scan timings are relay-floor-dominated; the ratio at a
+    # shared 50-step scan is still indicative (full A/B: bench_quant).
+    import time as _t
+
+    def timed(fn, xin):
+        @jax.jit
+        def scan(xv, key):
+            def body(carry, k):
+                v = xv + jax.random.uniform(k, (1,)).astype(xv.dtype) * 1e-3
+                out = fn(v)
+                return carry + jnp.sum(out.astype(jnp.float32)) * 1e-20, None
+            acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, 50))
+            return acc
+
+        jax.block_until_ready(scan(xin, jax.random.key(5)))
+        best = np.inf
+        for r in range(3):
+            t0 = _t.perf_counter()
+            jax.block_until_ready(
+                scan(xin, jax.random.fold_in(jax.random.key(6), r)))
+            best = min(best, (_t.perf_counter() - t0) / 50)
+        return best * 1e6
+
+    x32 = jax.random.normal(jax.random.key(9), (32, 256, 256, 3),
+                            jnp.bfloat16) * 1.3
+    t_i8 = timed(lambda v: stem_int8.stem_forward_q(v, site), x32)
+    t_bf = timed(lambda v: stem_pallas.stem_forward(
+        v, kernel, bn_p["scale"], bn_p["bias"], bn_s["mean"], bn_s["var"]),
+        x32)
+    print(json.dumps({"check": "stem8_timing",
+                      "int8_us_per_call": round(t_i8, 1),
+                      "bf16_us_per_call": round(t_bf, 1),
+                      "speedup": round(t_bf / t_i8, 3)}), flush=True)
+    return 0 if ok else 1
+
+
 def main():
     from mhentropy_tpu.utils.cache import enable_compilation_cache
 
@@ -293,4 +384,6 @@ if __name__ == "__main__":
         sys.exit(main_int8())
     if len(sys.argv) > 1 and sys.argv[1] == "stage23":
         sys.exit(main_stage23())
+    if len(sys.argv) > 1 and sys.argv[1] == "stem8":
+        sys.exit(main_stem8())
     sys.exit(main())
