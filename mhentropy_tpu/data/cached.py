@@ -71,6 +71,10 @@ def eval_deterministic(ds) -> bool:
     index (no RNG draws): eval mode, and no RNG-consuming optional field.
     The RHD cloud resample is the one eval-mode RNG consumer across the
     loaders (depth_to_cloud + the 256-point output permutation)."""
+    if type(ds).__name__ == "MixedDataset":
+        # Deterministic iff every member is (the projection is pure).
+        # Checked BEFORE the aug probe: MixedDataset has no aug attr.
+        return all(eval_deterministic(m) for m in ds.datasets)
     if getattr(ds, "aug", True):
         return False
     heavy = getattr(ds, "heavy", None)
@@ -89,6 +93,12 @@ def fingerprint(ds) -> str:
     """Stable identity of the preprocessing configuration. Everything
     that changes item VALUES must land here."""
     cls = type(ds).__name__
+    if cls == "MixedDataset":
+        # Member fingerprints carry the preprocessing identity; the
+        # intersection projection is a pure function of the members.
+        return config_fingerprint(
+            {"cls": cls, "members": tuple(fingerprint(m)
+                                          for m in ds.datasets)})
     root = getattr(ds, "root", None) or getattr(ds, "base", None)
     fields = {
         "cls": cls,

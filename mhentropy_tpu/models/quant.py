@@ -118,6 +118,15 @@ def _stage1_blocks(p: dict, s: dict, n_blocks: int):
     return out
 
 
+def _int8_stem_ok(spec: QuantSpec, sites, x) -> bool:
+    if not (spec.int8_stem and sites is not None
+            and "stem/conv1" in sites):
+        return False
+    from mhentropy_tpu.models import stem_int8
+
+    return stem_int8.supported(x, 64, False)
+
+
 def _forward(spec: QuantSpec, p: dict, s: dict, sites: dict | None, x,
              collect: dict | None = None):
     """Structural eval-mode forward shared by calibration (collect) and
@@ -135,17 +144,11 @@ def _forward(spec: QuantSpec, p: dict, s: dict, sites: dict | None, x,
         collect["stem/conv1"] = jnp.max(
             jnp.abs(x), axis=tuple(range(x.ndim - 1))
         ).astype(jnp.float32)
-    stem_done = False
-    if spec.int8_stem and sites is not None and "stem/conv1" in sites:
+    if _int8_stem_ok(spec, sites, x):
         from mhentropy_tpu.models import stem_int8
 
-        if stem_int8.supported(x, 64, False):
-            x = stem_int8.stem_forward_q(
-                x, sites["stem/conv1"], compute_dtype=dtype,
-                out_dtype=dtype)
-            stem_done = True
-    if stem_done:
-        pass
+        x = stem_int8.stem_forward_q(
+            x, sites["stem/conv1"], compute_dtype=dtype, out_dtype=dtype)
     elif (spec.pallas_stem and dtype == jnp.bfloat16
             and stem_pallas.supported(x, 64, False)):
         x = stem_pallas.stem_forward(

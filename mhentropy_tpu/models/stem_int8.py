@@ -230,6 +230,28 @@ def prepare_stem_site(kernel, bn_p: dict, bn_s: dict, act_maxabs) -> dict:
     }
 
 
+def xla_reference(image, site, out_dtype=jnp.float32):
+    """The site's quantized arithmetic through plain XLA ops — the
+    parity-defining reference shared by tests/test_stem_int8.py,
+    tests/test_quant.py's wiring substitute, and the on-chip check
+    (tools/stage1_tpu_check.py stem8). A change to the quantization
+    scheme edits this ONE function and every check follows."""
+    import flax.linen as nn
+
+    xq = jnp.clip(
+        jnp.round(image.astype(jnp.float32) * site["inv_a"]), -127, 127
+    ).astype(jnp.int8)
+    yi = jax.lax.conv_general_dilated(
+        xq, site["w8"], (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = yi.astype(jnp.float32) * site["scale"] + site["bias"]
+    y = nn.max_pool(jnp.maximum(y, 0.0), (3, 3), strides=(2, 2),
+                    padding=[(1, 1), (1, 1)])
+    return y.astype(out_dtype)
+
+
 def supported(x, num_filters: int = F, train: bool = False) -> bool:
     return (
         not train

@@ -456,12 +456,24 @@ class Experiment:
             # Train side: the deterministic-prefix cache (decode through
             # flip served from disk; only the augmentation suffix runs
             # per epoch — 3.6x the per-item rate, bit-identical items).
+            extra = {}
+            if name == "mixed_ho3d_rhd":
+                # Config-gated loss inputs must survive the mixed
+                # schema projection — fail at construction, not as a
+                # trace-time KeyError on the first batch (mixed.py).
+                need = set()
+                if getattr(self.model_cfg, "use_chamfer_loss", False):
+                    need.add("object_verts")
+                if getattr(self.model_cfg, "use_mask_loss", False):
+                    need.add("hand_mask")
+                extra["required"] = need
             train = loader.load(data_dir, mode="training",
                                 heavy_fields=heavy, image_u8=u8,
-                                device_st=dst, prefix_cache=scache)
+                                device_st=dst, prefix_cache=scache,
+                                **extra)
             evald = loader.load(data_dir, mode="evaluation",
                                 heavy_fields=heavy, image_u8=u8,
-                                device_st=dst)
+                                device_st=dst, **extra)
             if scache:
                 from mhentropy_tpu.data import cached
 

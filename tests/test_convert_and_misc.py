@@ -86,10 +86,70 @@ def test_convert_realnvp_matches_module():
     np.testing.assert_allclose(ours, ref_lp, atol=1e-4)
 
 
-def test_mixed_dataset_indexing():
+def test_mixed_dataset_indexing_and_schema():
+    import pytest
+
     from mhentropy_tpu.data.mixed import MixedDataset
 
     class Fake:
+        def __init__(self, n, tag, extra_key):
+            self.n, self.tag, self.extra = n, tag, extra_key
+            self.probes = 0  # __init__ probes ds[0] once for the schema
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            self.probes += 1
+            return (f"{self.tag}{i}",
+                    {"pose3d": (self.tag, i), self.extra: 1})
+
+    a, b = Fake(3, "a", "object_verts"), Fake(2, "b", "patch")
+    ds = MixedDataset([a, b])
+    # Schema computed EAGERLY (one probe per member — the lazy version
+    # raced the thread-pooled collator and consumed hidden RNG draws).
+    assert (a.probes, b.probes) == (1, 1)
+    assert len(ds) == 5
+    # Targets are projected onto the key intersection.
+    assert ds[0] == ("a0", {"pose3d": ("a", 0)})
+    assert ds[2] == ("a2", {"pose3d": ("a", 2)})
+    assert ds[3] == ("b0", {"pose3d": ("b", 0)})
+    assert ds[4] == ("b1", {"pose3d": ("b", 1)})
+    # Negative indices follow Python convention (the concatenation's
+    # end, not the first member's).
+    assert ds[-1] == ds[4] and ds[-5] == ds[0]
+    with pytest.raises(IndexError):
+        ds[5]
+    with pytest.raises(IndexError):
+        ds[-6]
+    # Loss inputs that only a subset of members carry fail at
+    # construction with a clear message, not at trace time.
+    with pytest.raises(ValueError, match="object_verts"):
+        MixedDataset([Fake(3, "a", "object_verts"),
+                      Fake(2, "b", "patch")], required={"object_verts"})
+    # Non-dict targets are rejected up front.
+    class Bad:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return ("img", 0)
+
+    with pytest.raises(TypeError):
+        MixedDataset([Bad()])
+
+
+def test_mixed_dataset_sample_cache_support():
+    """cached.eval_deterministic/fingerprint recurse into MixedDataset
+    members, so cfg.tpu.sample_cache works for mixed eval datasets."""
+    from mhentropy_tpu.data import cached
+    from mhentropy_tpu.data.mixed import MixedDataset
+
+    class _Member:
+        aug = False
+        heavy = frozenset()
+        mode = "evaluation"
+
         def __init__(self, n, tag):
             self.n, self.tag = n, tag
 
@@ -97,12 +157,27 @@ def test_mixed_dataset_indexing():
             return self.n
 
         def __getitem__(self, i):
-            return (self.tag, i)
+            return (i, {"pose3d": (self.tag, i)})
 
-    ds = MixedDataset([Fake(3, "a"), Fake(2, "b")])
-    assert len(ds) == 5
-    assert ds[0] == ("a", 0) and ds[2] == ("a", 2)
-    assert ds[3] == ("b", 0) and ds[4] == ("b", 1)
+    # eval_deterministic whitelists by loader class NAME.
+    class HO3DDataset(_Member):
+        pass
+
+    class RHDDataset(_Member):
+        pass
+
+    ds = MixedDataset([HO3DDataset(2, "a"), RHDDataset(3, "b")])
+    assert cached.eval_deterministic(ds)
+    fp = cached.fingerprint(ds)
+    assert isinstance(fp, str) and len(fp) == 16
+    # The fingerprint tracks member identity (size change -> new dir).
+    ds2 = MixedDataset([HO3DDataset(2, "a"), RHDDataset(4, "b")])
+    assert cached.fingerprint(ds2) != fp
+    # A train-mode member makes the whole mix non-deterministic.
+    m = HO3DDataset(2, "a")
+    m.aug = True
+    assert not cached.eval_deterministic(
+        MixedDataset([m, RHDDataset(3, "b")]))
 
 
 def test_profiling_harness():

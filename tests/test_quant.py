@@ -110,8 +110,6 @@ def test_int8_stem_wiring(monkeypatch):
     through it. The kernel is substituted with its XLA-equivalent math
     (kernel ≡ XLA is tests/test_stem_int8.py's job); this pins the
     plumbing — site schema, fold inputs, dtype flow."""
-    import flax.linen as nn
-
     from mhentropy_tpu.models import stem_int8
 
     monkeypatch.setattr(stem_int8, "supported", lambda x, f, train: True)
@@ -120,16 +118,7 @@ def test_int8_stem_wiring(monkeypatch):
     def xla_equiv(image, site, compute_dtype=jnp.bfloat16,
                   out_dtype=jnp.bfloat16):
         used["site"] = site
-        xq = jnp.clip(jnp.round(image.astype(jnp.float32) * site["inv_a"]),
-                      -127, 127).astype(jnp.int8)
-        yi = jax.lax.conv_general_dilated(
-            xq, site["w8"], (2, 2), [(3, 3), (3, 3)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32)
-        y = yi.astype(jnp.float32) * site["scale"] + site["bias"]
-        y = nn.max_pool(jnp.maximum(y, 0.0), (3, 3), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)])
-        return y.astype(out_dtype)
+        return stem_int8.xla_reference(image, site, out_dtype=out_dtype)
 
     monkeypatch.setattr(stem_int8, "stem_forward_q", xla_equiv)
 

@@ -37,20 +37,6 @@ def _params(key):
     return kernel, bn_p, bn_s
 
 
-def _xla_quant_reference(image, site):
-    """The site's quantized arithmetic through XLA ops."""
-    xq = jnp.clip(jnp.round(image.astype(jnp.float32) * site["inv_a"]),
-                  -127, 127).astype(jnp.int8)
-    yi = jax.lax.conv_general_dilated(
-        xq, site["w8"], (2, 2), [(3, 3), (3, 3)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
-    y = yi.astype(jnp.float32) * site["scale"] + site["bias"]
-    y = jnp.maximum(y, 0.0)
-    return nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-
-
 def test_stem_int8_matches_xla_quant_walk():
     """h=64 (W lane-locked to 256) exercises every path incl. padded
     edges at a fraction of the h=256 interpret cost (the stem_pallas
@@ -62,7 +48,7 @@ def test_stem_int8_matches_xla_quant_walk():
 
     ours = stem_int8.stem_forward_q(
         image, site, compute_dtype=jnp.float32, out_dtype=jnp.float32)
-    ref = _xla_quant_reference(image, site)
+    ref = stem_int8.xla_reference(image, site)
     assert ours.shape == ref.shape == (1, 16, 64, 64)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)

@@ -99,7 +99,6 @@ def main_stem8():
     from mhentropy_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    import flax.linen as nn
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -117,17 +116,7 @@ def main_stem8():
     site = jax.tree.map(jnp.asarray, stem_int8.prepare_stem_site(
         kernel, bn_p, bn_s, jnp.max(jnp.abs(x), axis=(0, 1, 2))))
 
-    @jax.jit
-    def walk(x, site):
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * site["inv_a"]),
-                      -127, 127).astype(jnp.int8)
-        yi = jax.lax.conv_general_dilated(
-            xq, site["w8"], (2, 2), [(3, 3), (3, 3)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32)
-        y = yi.astype(jnp.float32) * site["scale"] + site["bias"]
-        return nn.max_pool(jnp.maximum(y, 0.0), (3, 3), strides=(2, 2),
-                           padding=[(1, 1), (1, 1)])
+    walk = jax.jit(stem_int8.xla_reference)
 
     try:
         got = np.asarray(stem_int8.stem_forward_q(
