@@ -25,9 +25,17 @@ from mhentropy_tpu.parallel import mesh as mesh_lib
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """jax.distributed bring-up (no-op when already initialised or single
-    process). On TPU pods the arguments auto-detect from the environment."""
-    if jax.process_count() > 1:
+    """jax.distributed bring-up (no-op when already initialised). On TPU
+    pods the arguments auto-detect from the environment.
+
+    MUST run before any JAX computation. The initialised check is
+    jax.distributed.is_initialized(), NOT a jax.process_count() probe —
+    process_count() itself initialises the backend, after which
+    jax.distributed.initialize() always raises; with that exception
+    swallowed, a pod would silently run as N independent single-process
+    instances (the bug this replaces).
+    """
+    if jax.distributed.is_initialized():
         return
     try:
         jax.distributed.initialize(
@@ -36,34 +44,53 @@ def initialize(coordinator_address: str | None = None,
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
-        # Already initialised, or single-process run without a coordinator.
-        pass
+        if coordinator_address or num_processes or process_id:
+            # Explicit multi-host bring-up must not silently degrade to
+            # a single-process run.
+            raise
+        # Auto-detect on a single-process dev box: run undistributed.
 
 
 def host_shard_indices(n: int, process_index: int | None = None,
                        process_count: int | None = None) -> np.ndarray:
     """Contiguous per-host index slice, padded by wrapping so every host
     serves the same count (static shapes across hosts are required — a
-    ragged final host would deadlock the collectives)."""
+    ragged final host would deadlock the collectives). The wrapped
+    duplicates are flagged by host_shard_valid so eval metrics never
+    count a sample twice."""
+    return _host_slice(n, process_index, process_count)[0]
+
+
+def host_shard_valid(n: int, process_index: int | None = None,
+                     process_count: int | None = None) -> np.ndarray:
+    """Boolean mask over host_shard_indices: False where the slice wrapped
+    past the dataset end (pure padding for shape parity across hosts)."""
+    return _host_slice(n, process_index, process_count)[1]
+
+
+def _host_slice(n, process_index, process_count):
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     per_host = -(-n // pc)  # ceil
-    idx = np.arange(pi * per_host, (pi + 1) * per_host) % n
-    return idx
+    pos = np.arange(pi * per_host, (pi + 1) * per_host)
+    return pos % n, pos < n
 
 
 def global_batch_from_local(mesh: Mesh, local_tree, spec: P | None = None):
     """Assemble host-local numpy batches into one globally-sharded jax.Array
     pytree. The local leading axis must be global_batch / process_count."""
     spec = spec if spec is not None else P(mesh_lib.DATA_AXIS)
-
-    def put(x):
-        sharding = NamedSharding(mesh, spec)
-        if jax.process_count() == 1:
-            return jax.device_put(np.asarray(x), sharding)
-        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
-
-    return jax.tree_util.tree_map(put, local_tree)
+    sharding = NamedSharding(mesh, spec)
+    local_tree = jax.tree_util.tree_map(np.asarray, local_tree)
+    if jax.process_count() == 1:
+        # ONE device_put dispatch for the whole tree (a per-leaf tree_map
+        # costs a relay dispatch per target field — the same ~20-dispatch
+        # tax data/common.batches' collation removed).
+        return jax.device_put(local_tree, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_tree,
+    )
 
 
 def multihost_batches(
@@ -91,19 +118,33 @@ def multihost_batches(
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
-    local_idx = host_shard_indices(len(order))
+    local_idx, local_valid = _host_slice(len(order), None, None)
     local_order = order[local_idx]
 
     view = _IndexedView(dataset, local_order)
+    pos = 0
     for batch in data_common.batches(
         view, local_bs, shuffle=False, pad_remainder=pad_remainder,
         to_device=False,
     ):
         image, target = batch[0], batch[1]
-        yield (
-            global_batch_from_local(mesh, image),
-            global_batch_from_local(mesh, target),
-        )
+        if pad_remainder:
+            # Fold the cross-host wrap padding (host_shard_valid) into
+            # the intra-host final-batch 'valid' mask, so pod eval never
+            # counts the shape-parity duplicates. batches() iterates the
+            # view sequentially, so batch rows are view positions
+            # [pos, pos + B) (its own tail padding is already valid=0).
+            rows = np.arange(pos, pos + image.shape[0])
+            in_range = rows < len(local_valid)
+            vrow = np.where(
+                in_range,
+                local_valid[np.minimum(rows, len(local_valid) - 1)],
+                False,
+            )
+            target = dict(target)
+            target["valid"] = target["valid"] * vrow.astype(np.float32)
+        pos += image.shape[0]
+        yield global_batch_from_local(mesh, (image, target))
 
 
 class _IndexedView:

@@ -14,10 +14,11 @@ TPU-shaped design decisions:
   the nearest power-of-two bucket (1, 2, 4, ..., max_batch) and the padded
   rows' outputs are dropped. Every bucket is compiled once, up front
   (`warmup()`), so the serving path never hits the compiler.
-* **Async dispatch.** `predict` returns as soon as the device program is
-  enqueued and only blocks on fetch, so a caller pipelining frames
-  overlaps host work with device compute (the same property the bench's
-  scanned loop measures).
+* **One dispatch per request.** `predict` enqueues the whole pipeline as
+  one pre-compiled program and blocks only on the device-to-host fetch
+  of the (B, N, K, ·) results — there is no per-stage host round-trip.
+  (The fetch itself is synchronous; through this box's relay it is the
+  dominant share of per-call latency — docs/PERF.md "serving latency".)
 * **Checkpoints.** Orbax pytrees (this framework's format) and converted
   torch `.pth` (the reference's format, via tools/convert_torch) both
   restore into the same param schema; absent checkpoint = fresh init
@@ -93,13 +94,22 @@ class InferenceServer:
 
         self._fns: dict[tuple, Any] = {}
         self.transports = tuple(transports)
-        # Raw-u8 inputs get the dataset's normalisation on device
-        # (HO3D: x*2/255-1, ho3d_dataloader.py:404-405; RHD/FreiHAND:
-        # x/255). f32 inputs are pre-normalised by contract.
+        # Raw-u8 inputs get the dataset's normalisation on device — the
+        # same per-dataset affine the loaders ship per sample (HO3D:
+        # x*2/255-1, ho3d.py _img_scale/_img_bias ~ ho3d_dataloader.py:
+        # 404-405; RHD/FreiHAND: x/255). f32 inputs are pre-normalised
+        # by contract. mixed_ho3d_rhd trains with per-member affines, so
+        # no single u8 affine exists — u8 transport is disabled for it.
         name = cfg.dataset.dataset_name if "dataset" in cfg else "rhd"
-        self.image_norm = (
-            (2.0 / 255.0, -1.0) if name == "ho3d" else (1.0 / 255.0, 0.0)
-        )
+        if name.startswith("ho3d"):
+            self.image_norm = (2.0 / 255.0, -1.0)
+        elif name.startswith("rhd") or name.startswith("freihand"):
+            self.image_norm = (1.0 / 255.0, 0.0)
+        else:
+            # mixed (per-member affines) or an unknown dataset: no single
+            # u8 affine exists — serve f32 pre-normalised frames only.
+            self.image_norm = None
+            self.transports = tuple(t for t in self.transports if t != "u8")
         self.quantize = bool(quantize)
         self.quantize_min_batch = int(quantize_min_batch)
         self._quant = None  # (spec, qtree)
@@ -138,7 +148,7 @@ class InferenceServer:
             cfg, model = self.model_cfg, self.model
             n = self.n_hypo
             spec = self._quant[0] if quantized else None
-            scale, bias = self.image_norm
+            scale, bias = self.image_norm or (1.0, 0.0)
 
             @jax.jit
             def run(params, batch_stats, image, k, temp, *qtree):
@@ -225,6 +235,12 @@ class InferenceServer:
         import jax
 
         images = np.asarray(images)
+        if images.dtype == np.uint8 and self.image_norm is None:
+            raise ValueError(
+                "raw-u8 transport is unavailable for this dataset config "
+                "(no single normalisation affine) — send float32 "
+                "pre-normalised frames"
+            )
         if images.dtype != np.uint8:
             images = images.astype(np.float32)
         if images.ndim == 3:
@@ -295,19 +311,36 @@ def _http_serve(server: InferenceServer, host: str, port: int):
                 self.send_response(404)
                 self.end_headers()
                 return
-            n = int(self.headers.get("Content-Length", 0))
-            b = int(self.headers.get("X-Batch", 1))
+            def bad(msg):
+                body = json.dumps({"error": msg}).encode()
+                self.send_response(400)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                b = int(self.headers.get("X-Batch", 1))
+            except ValueError:
+                return bad("non-integer Content-Length/X-Batch")
             dt_name = self.headers.get("X-Dtype", "float32")
             if dt_name not in ("float32", "uint8"):
-                self.send_response(400)
-                self.end_headers()
-                return
+                return bad(f"unsupported X-Dtype {dt_name!r}")
+            want = b * size * size * 3 * np.dtype(dt_name).itemsize
+            if b < 1 or n != want:
+                return bad(
+                    f"body is {n} bytes; X-Batch={b} {dt_name} frames "
+                    f"at {size}px need {want}"
+                )
             raw = self.rfile.read(n)
             images = np.frombuffer(raw, np.dtype(dt_name)).reshape(
                 b, size, size, 3
             )
             t0 = time.perf_counter()
-            out = server.predict(images)
+            try:
+                out = server.predict(images)
+            except ValueError as e:  # e.g. u8 frames to an f32-only server
+                return bad(str(e))
             ms = (time.perf_counter() - t0) * 1e3
             body = json.dumps(
                 {

@@ -342,6 +342,14 @@ def test_host_shard_indices_cover_and_balance():
     assert all(len(s) == 4 for s in shards)  # equal static sizes
     covered = set(np.concatenate(shards).tolist())
     assert covered == set(range(n))  # every sample served by some host
+    # Wrap padding (16 slots for 13 samples) is flagged so eval never
+    # double-counts: exactly n valid slots across the pod, and every
+    # sample is served by exactly one VALID slot.
+    valids = [multihost.host_shard_valid(n, pi, 4) for pi in range(4)]
+    assert sum(int(v.sum()) for v in valids) == n
+    valid_idx = np.concatenate(
+        [s[v] for s, v in zip(shards, valids)])
+    assert sorted(valid_idx.tolist()) == list(range(n))
 
 
 def test_glow_train_step_sharding_matches_single_device(model):

@@ -205,6 +205,24 @@ def test_http_roundtrip(server):
         body = json.loads(resp.read())
     assert np.asarray(body["xyz"]).shape == (1, 4, 21, 3)
     assert body["ms"] >= 0
+
+    # Malformed requests get a 400 with a JSON error, not a dropped
+    # connection: body shorter than X-Batch promises / bad X-Batch.
+    for headers, data in [
+        ({"X-Batch": "2"}, frame.tobytes()),        # size mismatch
+        ({"X-Batch": "zebra"}, frame.tobytes()),    # non-integer
+        ({"X-Batch": "1", "X-Dtype": "int16"}, frame.tobytes()),
+    ]:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=data,
+            headers=headers, method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
     httpd.shutdown()
 
 

@@ -32,7 +32,11 @@ def make_sample_fn(model, cfg, n: int, temp: float, mods=("xyz", "uv"),
     (models/quant.py). The qtree is closed over, so the int8 weights and
     scales bake into the artifact as constants — the fixed-checkpoint
     deployment shape (also the faster one: XLA constant-folds the int8
-    weight relayouts, docs/PERF.md).
+    weight relayouts, docs/PERF.md). CAVEAT that follows: the artifact
+    still takes `params` per call, but with quant set the encoder
+    BACKBONE comes from the baked qtree — call-time params feed only the
+    mu head, flow, and decode. Build the qtree from the same checkpoint
+    you deploy.
     """
     import jax
 
@@ -105,7 +109,13 @@ def main():
     p.add_argument("--quantize", action="store_true",
                    help="bake the int8 W8A8 encoder into the artifact "
                         "(calibrates on random images here; pass real "
-                        "calibration data via the library API)")
+                        "calibration data via the library API). The "
+                        "baked backbone ignores call-time params — "
+                        "combine with --pth for a deployable artifact.")
+    p.add_argument("--pth", default=None,
+                   help="torch .pth checkpoint (the reference's release "
+                        "format, via tools/convert_torch) to export "
+                        "instead of fresh-init params")
     args = p.parse_args()
 
     import jax
@@ -124,8 +134,20 @@ def main():
     )
     model = mano.synthetic_mano_model(0)
     params, batch_stats = mhent.init(jax.random.key(0), cfg)
+    if args.pth:
+        from tools.convert_torch import load_torch_checkpoint
+
+        params = load_torch_checkpoint(args.pth, cfg)
+        batch_stats = params.pop("_batch_stats", batch_stats)
     quant_arg = None
     if args.quantize:
+        if not args.pth:
+            import sys
+
+            print("WARNING: --quantize without --pth bakes a FRESH-INIT "
+                  "int8 backbone into the artifact; call-time params "
+                  "cannot replace it (make_sample_fn docstring)",
+                  file=sys.stderr)
         from mhentropy_tpu.models import quant
 
         calib = jax.random.uniform(
