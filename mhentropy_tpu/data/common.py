@@ -22,6 +22,26 @@ import numpy as np
 _DEVICE_BATCH_MEMO: dict = {}
 
 
+def field_gate(heavy):
+    """Membership test for a loader's heavy_fields setting — ONE place
+    owns 'None means the full reference-parity target'."""
+    return heavy.__contains__ if heavy is not None else (lambda _k: True)
+
+
+def item_rng(seed: int, epoch: int, idx: int) -> np.random.RandomState:
+    """Per-item augmentation RNG: a pure function of (seed, epoch, idx).
+
+    The loaders' former shared per-dataset RandomState made augmentation
+    draws depend on thread scheduling (batches() collates from a thread
+    pool; numpy RandomState is also documented as not thread-safe), so
+    fixed-seed runs were not reproducible. Per-item seeding is both
+    thread-safe and order-independent; epoch advances via set_epoch so
+    augmentations differ across epochs (the reference's worker seeding
+    repeats every epoch — utils.py:68, a documented defect not kept)."""
+    return np.random.RandomState(
+        np.array([seed & 0x7FFFFFFF, epoch, idx], dtype=np.uint32))
+
+
 def _collate(samples):
     """Stack (image, target) pairs — or the RLE datasets' 4-tuples
     (img, target, img_id, bbox) (custom.py:87-102), collated to
@@ -77,6 +97,14 @@ def batches(
                 list(synthetic.batches(dataset, batch_size, pad_remainder)),
             )
             _DEVICE_BATCH_MEMO[key] = entry
+        if shuffle:
+            # Inter-epoch mixing without restaging: permute the staged
+            # batch ORDER per (seed). Batch composition stays fixed —
+            # the acceptable trade for keeping the one-time device
+            # staging (per-step H2D costs ~0.5 s through the relay).
+            order = np.random.RandomState(seed).permutation(len(entry[1]))
+            yield from (entry[1][i] for i in order)
+            return
         yield from entry[1]
         return
 

@@ -53,7 +53,8 @@ class FreiHANDDataset:
         self.size = image_size
         self.mode = mode
         self.aug = mode == "training"
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0  # advanced by set_epoch (engine.train_epoch)
         with open(os.path.join(data_root, "training_K.json")) as f:
             self.k_mats = np.asarray(json.load(f), np.float32)
         with open(os.path.join(data_root, "training_xyz.json")) as f:
@@ -71,6 +72,10 @@ class FreiHANDDataset:
 
     def __len__(self):
         return len(self.indices)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation RNG stream (common.item_rng)."""
+        self.epoch = int(epoch)
 
     def __getitem__(self, i: int):
         idx = int(self.indices[i])
@@ -91,12 +96,13 @@ class FreiHANDDataset:
 
         rot_mat = np.eye(2, 3, dtype=np.float32)
         if self.aug:
-            params = T.make_aug_params(self.rng, trans_std=10.0)
+            rng = common.item_rng(self.seed, self.epoch, i)
+            params = T.make_aug_params(rng, trans_std=10.0)
             rot_mat = T.aug_rot_mat(params, s)
             pose3d_normed = T.rotate_xy(pose3d_normed, params["angle"])
             crop_uv = T.apply_affine_uv(crop_uv, rot_mat)
             image_crop = T.warp_image(
-                T.pixel_noise(self.rng, image_crop.astype(np.float32)), rot_mat, s
+                T.pixel_noise(rng, image_crop.astype(np.float32)), rot_mat, s
             )
 
         vis = np.ones(21, np.float32)

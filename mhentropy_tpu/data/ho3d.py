@@ -100,7 +100,9 @@ class HO3DDataset:
         # (pixel noise, warps) and the train-mode object subsample do.
         # Cached/uncached items are bit-identical.
         self.prefix_cache = prefix_cache
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0  # advanced by set_epoch (engine.train_epoch)
+        self.rng = np.random.RandomState(seed)  # legacy users only
 
         self.base = os.path.join(data_root, "HO3D_v3", "HO3D_v3")
         self.ycb_root = os.path.join(data_root, "HO3D_v3", "models")
@@ -110,6 +112,16 @@ class HO3DDataset:
             if not os.path.isdir(p):
                 raise FileNotFoundError(p)
 
+        # Annotation content identity for the prefix-cache fingerprint:
+        # in-place re-downloads with the same sample count must miss.
+        anno_files = [os.path.join(self.base, "train.txt")] + [
+            os.path.join(self.gt_root, f"handJoints3D_train_{s}.npy")
+            for s in ("4w", "8w", "left")
+        ]
+        self._anno_stat = tuple(
+            (int(os.stat(p).st_mtime), os.stat(p).st_size)
+            for p in anno_files if os.path.isfile(p)
+        )
         with open(os.path.join(self.base, "train.txt")) as f:
             files = np.array([ln.strip() for ln in f if ln.strip()])
         joints = np.concatenate(
@@ -142,6 +154,10 @@ class HO3DDataset:
     def __len__(self):
         return len(self.files)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation RNG stream (common.item_rng)."""
+        self.epoch = int(epoch)
+
     def _prefix_dir(self):
         d = getattr(self, "_prefix_dir_memo", None)
         if d is not None:
@@ -157,6 +173,8 @@ class HO3DDataset:
             "root": os.path.abspath(self.base),  # two roots never collide
             "size": self.image_size,
             "heavy": cached.heavy_field_tag(self.heavy),
+            "anno": self._anno_stat,  # in-place annotation swaps miss
+            "v": 2,  # prefix schema version (v2: pose3d_root dropped)
         })
         d = os.path.join(self.prefix_cache, fp)
         os.makedirs(d, exist_ok=True)
@@ -209,8 +227,7 @@ class HO3DDataset:
         half = scale / 2.0
 
         s = self.image_size
-        need = self.heavy.__contains__ if self.heavy is not None else \
-            (lambda _k: True)
+        need = common.field_gate(self.heavy)
         image_crop = T.crop_resize(image, centre, half, s)
         depth_crop = (
             T.crop_resize(depth, centre, half, s, pad=0.0)
@@ -233,7 +250,9 @@ class HO3DDataset:
             uvd, hand_mask_full, depth, quant=5, tol_mm=40.0
         ).astype(np.float32)
 
-        pose3d_normed, pose3d_root, bone_mm = T.normalize_pose3d_np(
+        # normalize's root return is unused: the target derives the root
+        # from joints_cv_r[12]/1000 after the RHD reorder.
+        pose3d_normed, _, bone_mm = T.normalize_pose3d_np(
             joints_cv, ROOT_IDX_HO3D, NORM_IDX_HO3D
         )
         return {
@@ -246,7 +265,6 @@ class HO3DDataset:
             "uv_crop": uv_crop,
             "vis": vis,
             "pose3d_normed": pose3d_normed,
-            "pose3d_root": pose3d_root,
             "bone_mm": bone_mm,
             "centre": centre,
             "half": half,
@@ -259,22 +277,22 @@ class HO3DDataset:
     def __getitem__(self, idx: int):
         pre = self._prefix(idx)
         s = self.image_size
-        need = self.heavy.__contains__ if self.heavy is not None else \
-            (lambda _k: True)
+        need = common.field_gate(self.heavy)
         image_crop = pre["image"]
         depth_crop, obj_mask = pre["depth_crop"], pre["obj_mask"]
         hand_mask_crop, uv_crop = pre["hand_mask_crop"], pre["uv_crop"]
         vis, pose3d_normed = pre["vis"], pre["pose3d_normed"]
-        pose3d_root, bone_mm = pre["pose3d_root"], pre["bone_mm"]
+        bone_mm = pre["bone_mm"]
         centre, half, cam = pre["centre"], pre["half"], pre["cam"]
         joints_cv, mesh_cv, obj_cv = (
             pre["joints_cv"], pre["mesh_cv"], pre["obj_cv"]
         )
 
         rot_mat = np.eye(2, 3, dtype=np.float32)
+        rng = common.item_rng(self.seed, self.epoch, idx)
         if self.aug:
-            image_crop = T.pixel_noise(self.rng, image_crop.astype(np.float32))
-            params = T.make_aug_params(self.rng, trans_std=10.0)
+            image_crop = T.pixel_noise(rng, image_crop.astype(np.float32))
+            params = T.make_aug_params(rng, trans_std=10.0)
             rot_mat = T.aug_rot_mat(params, s)
             pose3d_normed = T.rotate_xy(pose3d_normed, params["angle"])
             uv_crop = T.apply_affine_uv(uv_crop, rot_mat)
@@ -318,11 +336,11 @@ class HO3DDataset:
         if obj_cv.shape[0] >= 1000:
             # Eval subsampling is idx-seeded: deterministic metrics across
             # epochs/runs, and the one RNG draw that would otherwise block
-            # the eval sample cache (data/cached.py). Training keeps the
-            # stream RNG.
-            rng = self.rng if self.aug else \
+            # the eval sample cache (data/cached.py). Training uses the
+            # per-(seed, epoch, idx) stream like the other aug draws.
+            sub_rng = rng if self.aug else \
                 np.random.RandomState((idx * 2654435761) & 0x7FFFFFFF)
-            sel = np.sort(rng.choice(obj_cv.shape[0], 1000, replace=False))
+            sel = np.sort(sub_rng.choice(obj_cv.shape[0], 1000, replace=False))
             obj_sel = obj_cv[sel]
         else:
             obj_sel = np.resize(obj_cv, (1000, 3))

@@ -63,6 +63,11 @@ class MixedDataset:
     def __len__(self):
         return self._bounds[-1]
 
+    def set_epoch(self, epoch: int) -> None:
+        for ds in self.datasets:
+            if hasattr(ds, "set_epoch"):
+                ds.set_epoch(epoch)
+
     def __getitem__(self, idx: int):
         if idx < 0:
             idx += len(self)

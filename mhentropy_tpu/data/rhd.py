@@ -107,20 +107,6 @@ def gaussian_heatmaps(uv, size, vis, sigma=6.0):
     return er[:, None, :] * (ec[None, :, :] * cond.astype(np.float32))
 
 
-def _resize_nearest64(mask):
-    """cv2.resize(mask, (64, 64), INTER_NEAREST) with a pure-numpy
-    fallback (exact 4x decimation at the 256 default) for cv2-less hosts."""
-    try:
-        import cv2
-
-        return cv2.resize(mask, (64, 64), interpolation=cv2.INTER_NEAREST)
-    except ImportError:
-        h, w = mask.shape[:2]
-        r = (np.arange(64) * (h / 64.0)).astype(np.int64)
-        c = (np.arange(64) * (w / 64.0)).astype(np.int64)
-        return mask[r][:, c]
-
-
 class RHDDataset:
     #: Target keys that cost real host time / H2D bytes but are consumed by
     #: no shipped train or eval path (models/, train/, core/ never read
@@ -169,20 +155,29 @@ class RHDDataset:
         self.device_st = device_st
         # Deterministic-prefix disk cache (training counterpart of
         # data/cached.SampleCache): everything up to and including the
-        # flip — decode, hand side, depth visibility, crop, idx-seeded
-        # patch occlusion — is a pure function of the index; only the
+        # flip — decode, hand side, crop, idx-seeded patch occlusion —
+        # is a pure function of the index; only the
         # augmentation suffix draws RNG. With the prefix served from
         # disk, a train item costs one pickle read + the warp/rotate
         # suffix. Auto-disabled when the RNG-consuming cloud field is
         # requested. Cached/uncached items are bit-identical (the
         # prefix draws no RNG, so the stream is unchanged).
         self.prefix_cache = prefix_cache
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0  # advanced by set_epoch (engine.train_epoch)
+        self.rng = np.random.RandomState(seed)  # legacy users only
         self.root = self._find_root(data_root)
-        with open(
-            os.path.join(self.root, mode, f"anno_{mode}.pickle"), "rb"
-        ) as f:
+        anno_path = os.path.join(self.root, mode, f"anno_{mode}.pickle")
+        st = os.stat(anno_path)
+        # Annotation content identity for the prefix-cache fingerprint:
+        # replacing annotation files in place (same count) must miss.
+        self._anno_stat = (int(st.st_mtime), st.st_size)
+        with open(anno_path, "rb") as f:
             self.anno = pickle.load(f)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation RNG stream (common.item_rng)."""
+        self.epoch = int(epoch)
 
     @staticmethod
     def _find_root(data_root):
@@ -217,6 +212,8 @@ class RHDDataset:
             "size": self.size, "vc": self.vc,
             "patch_occlude": self.patch_occlude,
             "heavy": cached.heavy_field_tag(self.heavy),
+            "anno": self._anno_stat,  # in-place annotation swaps miss
+            "v": 2,  # prefix schema/semantics version (v2: patch-only vis)
         })
         d = os.path.join(self.prefix_cache, fp)
         os.makedirs(d, exist_ok=True)
@@ -239,10 +236,14 @@ class RHDDataset:
     def _compute_prefix(self, idx: int) -> dict:
         anno = self.anno[idx]
         base = os.path.join(self.root, self.mode)
+        need = common.field_gate(self.heavy)
         image = common.imread(os.path.join(base, "color", f"{idx:05d}.png"))
         mask = common.imread(os.path.join(base, "mask", f"{idx:05d}.png"))
-        depth_png = common.imread(os.path.join(base, "depth", f"{idx:05d}.png"))
-        depth = depth_two_uint8_to_float(depth_png[:, :, 0], depth_png[:, :, 1])
+        if need("cloud"):  # depth feeds only the point cloud now
+            depth_png = common.imread(
+                os.path.join(base, "depth", f"{idx:05d}.png"))
+            depth = depth_two_uint8_to_float(
+                depth_png[:, :, 0], depth_png[:, :, 1])
 
         kp_uv = anno["uv_vis"][:, :2]
         kp_vis = anno["uv_vis"][:, 2] == 1
@@ -259,9 +260,13 @@ class RHDDataset:
         uv_vis = kp_vis[sl]
         hand_mask_full = cond_l if left else cond_r
 
-        # Depth-agreement visibility on the full image (rhddataloader.py:98-99).
-        vis_full = occlusion.check_occlusion(kp_uv, depth, kp_xyz, delta=0.02, quant=2)
-        vis = vis_full[:21] if left else vis_full[-21:]
+        # The reference computes a depth-agreement vis (check_occlusion,
+        # rhddataloader.py:95) and then DISCARDS it: the emitted vis is
+        # rebuilt from ones by patch_occlusion(vis=None) (:133-134), or
+        # set to ones outright when the patch branch is off (:136). The
+        # operative RHD vis is therefore patch(0)/visible(1)/oob(2) only
+        # — replicated below (an r3 review caught this port composing
+        # depth AND patch, which skewed the vis/invis metric split).
 
         pose3d_normed, pose3d_root, bone = T.normalize_pose3d_np(pose3d, 12, 11)
 
@@ -270,8 +275,6 @@ class RHDDataset:
         crop_center = uv_all[12].astype(np.float64)
         crop_size = float(np.max(np.abs(uv_all[uv_vis] - crop_center))) * 1.3
         s = self.size
-        need = self.heavy.__contains__ if self.heavy is not None else \
-            (lambda _k: True)
         image_crop = T.crop_resize(image, crop_center, crop_size, s)
         hand_mask_crop = (
             T.crop_resize(hand_mask_full.astype(np.float32), crop_center,
@@ -281,7 +284,8 @@ class RHDDataset:
 
         if need("cloud"):
             cloud = depth_to_cloud(
-                depth, hand_mask_full, pose3d_root, cam, 4000, self.rng
+                depth, hand_mask_full, pose3d_root, cam, 4000,
+                common.item_rng(self.seed, 0, idx),
             )
             cloud_normed = (cloud - pose3d[12]) / bone
         else:
@@ -305,14 +309,17 @@ class RHDDataset:
             if need("heatmap") else None
         )
 
-        # Patch occlusion before augmentation (rhddataloader.py:131-137).
+        # Patch occlusion before augmentation (rhddataloader.py:131-137);
+        # vis=None starts from ones — see the parity note above.
         patch_cx = patch_cy = patch_r = 0
         object_mask = np.zeros(image_crop.shape[:2], np.float32)
         if self.patch_occlude:
             image_crop, vis, (patch_cx, patch_cy, patch_r, object_mask) = (
                 occlusion.patch_occlusion(image_crop, crop_uv, idx=idx,
-                                          size=50, vis=vis, copy=False)
+                                          size=50, vis=None, copy=False)
             )
+        else:
+            vis = np.ones((21,), dtype=np.float32)
 
         # Only the requested masks ride the flip/warp chain; image/uv/pose
         # always do. (depth/hand-mask crops that no output ever carried were
@@ -358,8 +365,7 @@ class RHDDataset:
             idx = 0
         pre = self._prefix(idx)
         s = self.size
-        need = self.heavy.__contains__ if self.heavy is not None else \
-            (lambda _k: True)
+        need = common.field_gate(self.heavy)
         image_crop = pre["image"]
         crop_uv, pose3d_normed = pre["crop_uv"], pre["pose3d_normed"]
         vis, masks, cloud_normed = pre["vis"], pre["masks"], pre["cloud_normed"]
@@ -371,16 +377,30 @@ class RHDDataset:
 
         rot_mat = np.eye(2, 3, dtype=np.float32)
         hand_side = np.float32(left)
+        rng = common.item_rng(self.seed, self.epoch, idx)
         if self.aug:
-            params = T.make_aug_params(self.rng, trans_std=22.0)
+            params = T.make_aug_params(rng, trans_std=22.0)
             rot_mat = T.aug_rot_mat(params, s)
             pose3d_normed = T.rotate_xy(pose3d_normed, params["angle"])
             cloud_normed = T.rotate_xy(cloud_normed, params["angle"])
             crop_uv = T.apply_affine_uv(crop_uv, rot_mat)
             image_crop = T.warp_image(image_crop, rot_mat, s)
             masks = {k: T.warp_image(m, rot_mat, s) for k, m in masks.items()}
+            if heatmap is not None:
+                # Reference train path flips + warps the heatmap too
+                # (augment.py:34, 52, 64-67: same angle/scale about the
+                # 64px centre, translation x0.25, INTER_LINEAR). The
+                # prefix keeps it unwarped because the reference EVAL
+                # path ('processing') leaves the heatmap unflipped — a
+                # reference defect kept for parity there.
+                if left:
+                    heatmap = heatmap[:, ::-1, :].copy()
+                hm_params = dict(params, tx=params["tx"] * 0.25,
+                                 ty=params["ty"] * 0.25)
+                heatmap = T.warp_image(
+                    heatmap, T.aug_rot_mat(hm_params, 64), 64, linear=True)
         cloud_out = (
-            cloud_normed[self.rng.permutation(len(cloud_normed))[:256]]
+            cloud_normed[rng.permutation(len(cloud_normed))[:256]]
             if need("cloud") else cloud_normed
         )
 
@@ -455,8 +475,8 @@ class RHDDataset:
             target["object_mask"] = masks["object_mask"].astype(np.float32)
         if need("mask"):
             # 64x64 nearest hand mask (rhddataloader.py:196, 223).
-            target["mask"] = _resize_nearest64(
-                masks["mask"].astype(np.float32)
+            target["mask"] = T.resize_nearest(
+                masks["mask"].astype(np.float32), 64
             )
         return image_out, target
 

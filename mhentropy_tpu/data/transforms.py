@@ -213,13 +213,17 @@ def apply_affine_uv(uv: np.ndarray, m: np.ndarray) -> np.ndarray:
     return np.concatenate([uv, ones], 1) @ m.T
 
 
-def warp_image(img: np.ndarray, m: np.ndarray, size: int = 256, border=0.0):
+def warp_image(img: np.ndarray, m: np.ndarray, size: int = 256, border=0.0,
+               linear: bool = False):
     # cv2's SIMD fixed-point warp is ~5x the scalar native kernel (110 vs
     # 595 us at 640x480->256, measured r2); the native path is the
-    # cv2-absent fallback.
+    # cv2-absent fallback. linear=True matches the reference's heatmap
+    # warp (augment.py:67, INTER_LINEAR); the nearest fallback is the
+    # cv2-absent approximation for those smooth Gaussian targets.
     if cv2 is not None:
+        flags = cv2.INTER_LINEAR if linear else cv2.INTER_NEAREST
         return cv2.warpAffine(
-            img, m, (size, size), flags=cv2.INTER_NEAREST, borderValue=border
+            img, m, (size, size), flags=flags, borderValue=border
         )
     ho = _hostops()
     if ho:  # pragma: no cover — exercised only when cv2 is absent
@@ -289,5 +293,10 @@ def target_transform(data: tuple, dataset_name: str):
         }
     else:
         raise NotImplementedError(dataset_name)
+    # The collator's tail-padding mask must survive the rebuild in the
+    # coco/h36m branches, or padded duplicates double-count in metrics.
+    if len(data) > 1 and isinstance(data[1], dict) and "valid" in data[1] \
+            and "valid" not in target:
+        target["valid"] = np.asarray(data[1]["valid"])
     target["image"] = image
     return image, target

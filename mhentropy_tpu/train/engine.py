@@ -590,6 +590,11 @@ class Experiment:
 
     def train_epoch(self, data, epoch: int):
         bs = self.cfg.training.batch_size
+        if hasattr(data, "set_epoch"):
+            # Advance the loaders' per-(seed, epoch, idx) augmentation
+            # stream (data/common.item_rng) so augmentations differ
+            # across epochs without any shared-RandomState draw ordering.
+            data.set_epoch(epoch)
         loss_meter = AverageMeter()
         # Device scalars are only fetched at log points and at epoch end:
         # a per-step float(aux["loss"]) forces a D2H sync each step, and a

@@ -311,6 +311,25 @@ def test_batches_pad_remainder_covers_all_samples(model):
     assert seen == 13
 
 
+def test_array_backed_batches_shuffle_order(model):
+    """shuffle=True on the memoised array-backed path permutes the staged
+    batch ORDER per seed (composition stays fixed — the trade for the
+    one-time device staging); identical seeds replay the same order."""
+    from mhentropy_tpu.data import common as data_common, synthetic as synth
+
+    data = synth.make_dataset(model, n=16, image_size=IMG, seed=4)
+
+    def order(shuffle, seed):
+        return [float(np.asarray(img).sum()) for img, _ in
+                data_common.batches(data, 4, shuffle=shuffle, seed=seed)]
+
+    base = order(False, 0)
+    s1 = order(True, 1)
+    assert sorted(s1) == sorted(base)  # same batches...
+    assert s1 != base or order(True, 2) != base  # ...different order
+    assert order(True, 1) == s1  # deterministic per seed
+
+
 def test_multihost_batches_single_process_equivalence(model):
     """multihost_batches on 1 process over the virtual mesh must equal the
     plain loader (identity sharding path), with global batches sharded over

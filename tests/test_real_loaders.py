@@ -573,3 +573,92 @@ def test_mixed_ho3d_rhd_collates(rhd_root, ho3d_root, tmp_path):
     keys0 = set(ds.datasets[0][0][1].keys())
     keys1 = set(ds.datasets[1][0][1].keys())
     assert set(target.keys()) | {"dataset"} <= (keys0 & keys1) | {"valid"}
+
+
+# --------------------------------------------- review-driven behavior pins
+
+
+def test_rhd_vis_is_patch_only(rhd_root):
+    """Reference parity: the emitted RHD vis is rebuilt from ones by
+    patch_occlusion(vis=None) (rhddataloader.py:133-134) — the depth
+    check_occlusion result is computed and DISCARDED there (and vis is
+    ones outright when the patch branch is off, :136). Every non-oob,
+    non-patch joint must therefore be 1 regardless of depth."""
+    from mhentropy_tpu.data import rhd
+
+    ds = rhd.load(rhd_root, mode="evaluation", heavy_fields=set())
+    _, t = ds[0]
+    assert set(np.unique(t["vis"])).issubset({0.0, 1.0, 2.0})
+    no_patch = rhd.RHDDataset(rhd_root, mode="evaluation",
+                              heavy_fields=set(), patch_occlude=False)
+    _, t2 = no_patch[0]
+    assert set(np.unique(t2["vis"])).issubset({1.0, 2.0})  # ones + oob
+
+
+def test_rhd_train_heatmap_tracks_augmented_uv(rhd_root):
+    """The train-mode heatmap rides the flip + rotMatHeatMap warp
+    (augment.py:34, 52, 64-67): each visible in-bounds joint's heatmap
+    peak must sit at crop_uv/4 after augmentation."""
+    from mhentropy_tpu.data import rhd
+
+    ds = rhd.RHDDataset(rhd_root, mode="training",
+                        heavy_fields={"heatmap"}, uv_norm=False)
+    for i in range(len(ds)):
+        _, t = ds[i]
+        hm = t["heatmap"]
+        uv = t["crop_uv"].reshape(21, 2) / 4.0
+        checked = 0
+        for k in range(21):
+            if t["target_uv_weight"][k] != 1.0 or not (
+                    2 <= uv[k, 0] <= 61 and 2 <= uv[k, 1] <= 61):
+                continue
+            if hm[..., k].max() < 0.3:  # warp can clip a border peak
+                continue
+            r, c = np.unravel_index(np.argmax(hm[..., k]), hm.shape[:2])
+            assert abs(c - uv[k, 0]) <= 2.0 and abs(r - uv[k, 1]) <= 2.0, (
+                i, k, (r, c), uv[k])
+            checked += 1
+        assert checked >= 3, i  # the assertion actually ran
+
+
+def test_rhd_augmentation_is_order_independent_and_epoch_varied(rhd_root):
+    """Per-(seed, epoch, idx) augmentation RNG (common.item_rng): items
+    are identical whatever order they are fetched in (the shared-
+    RandomState version depended on collation thread scheduling), and
+    set_epoch changes the draws."""
+    from mhentropy_tpu.data import rhd
+
+    kw = dict(heavy_fields=set(), device_st=True)
+    a = rhd.load(rhd_root, "training", seed=7, **kw)
+    b = rhd.load(rhd_root, "training", seed=7, **kw)
+    items_fwd = [a[i] for i in range(len(a))]
+    items_rev = [b[i] for i in reversed(range(len(b)))][::-1]
+    for (ia, ta), (ib, tb) in zip(items_fwd, items_rev):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ta["crop_uv"], tb["crop_uv"])
+    a.set_epoch(1)
+    i2, t2 = a[0]
+    assert not np.array_equal(t2["crop_uv"], items_fwd[0][1]["crop_uv"])
+
+
+def test_prefix_cache_misses_on_annotation_swap(rhd_root, tmp_path):
+    """Replacing annotation files in place (same count) must change the
+    prefix-cache fingerprint — the cache keys annotation (mtime, size)."""
+    import os
+    import shutil
+
+    from mhentropy_tpu.data import rhd
+
+    root2 = tmp_path / "rhd2"
+    shutil.copytree(rhd_root, root2)
+    kw = dict(heavy_fields=set(), prefix_cache=str(tmp_path / "pc"))
+    d1 = rhd.load(rhd_root, "training", **kw)._prefix_dir()
+    anno = os.path.join(str(root2), "training", "anno_training.pickle")
+    os.utime(anno, (1, 1))  # same bytes, different mtime
+    ds2 = rhd.RHDDataset(str(root2), "training", **kw)
+    # Different root alone changes it; compare against a same-root reload
+    # after touching the annotation.
+    os.utime(os.path.join(rhd_root, "training", "anno_training.pickle"),
+             (2, 2))
+    d3 = rhd.load(rhd_root, "training", **kw)._prefix_dir()
+    assert d1 != d3
