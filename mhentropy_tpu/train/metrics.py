@@ -194,14 +194,17 @@ def calc_coord_accuracy(
     """
     import numpy as np
 
-    coords = np.asarray(coords, dtype=float)
+    # np.array (not asarray): float64 inputs would otherwise alias the
+    # caller's buffers and the in-place scaling below would corrupt the
+    # target dict for later consumers.
+    coords = np.array(coords, dtype=float)
     d = 3 if output_3d else 2
     if output_3d:
-        labels = np.asarray(target["pose3d"], dtype=float)
+        labels = np.array(target["pose3d"], dtype=float)
         masks = np.ones_like(labels)
     else:
-        labels = np.asarray(target["crop_uv"], dtype=float)
-        masks = np.asarray(target["target_uv_weight"], dtype=float)
+        labels = np.array(target["crop_uv"], dtype=float)
+        masks = np.array(target["target_uv_weight"], dtype=float)
         if masks.ndim == 2 and masks.shape[1] * 2 == labels.shape[1]:
             masks = np.repeat(masks, 2, axis=1)
     b = coords.shape[0]
@@ -213,11 +216,18 @@ def calc_coord_accuracy(
     if output_normalized:
         coords[..., 0] = (coords[..., 0] + 0.5) * hm[0]
         coords[..., 1] = (coords[..., 1] + 0.5) * hm[1]
-        labels[..., 0] = (labels[..., 0] + 0.5) * hm[0]
-        labels[..., 1] = (labels[..., 1] + 0.5) * hm[1]
         if output_3d:
             coords[..., 2] = (coords[..., 2] + 0.5) * hm[2]
+    if output_3d:
+        if output_normalized:
+            labels[..., 0] = (labels[..., 0] + 0.5) * hm[0]
+            labels[..., 1] = (labels[..., 1] + 0.5) * hm[1]
             labels[..., 2] = (labels[..., 2] + 0.5) * hm[2]
+    else:
+        # The reference scales 2D labels UNCONDITIONALLY
+        # (utils.py:255-256) — output_normalized only gates the coords.
+        labels[..., 0] = (labels[..., 0] + 0.5) * hm[0]
+        labels[..., 1] = (labels[..., 1] + 0.5) * hm[1]
     if output_3d and root_idx is not None:
         labels = labels - labels[:, root_idx : root_idx + 1]
         coords = coords - coords[:, root_idx : root_idx + 1]

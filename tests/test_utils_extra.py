@@ -53,6 +53,28 @@ def test_pck_perfect_and_off_predictions():
     assert off < perfect
 
 
+def test_pck_unnormalized_2d_scales_labels_and_never_mutates():
+    """The reference scales 2D labels UNCONDITIONALLY (utils.py:255-256)
+    — output_normalized only gates the coords — so pixel-space preds vs
+    [-0.5, 0.5) labels must still yield a real PCK, not the silent 0.0
+    the old gated port returned. And float64 inputs must not be
+    rescaled in place (they used to alias through np.asarray)."""
+    b = 4
+    labels = np.random.RandomState(2).uniform(-0.3, 0.4, (b, 21, 2))
+    px = (labels + 0.5) * 64.0  # already heatmap-pixel coords
+    target = {
+        "crop_uv": labels.reshape(b, -1).copy(),  # float64 on purpose
+        "target_uv_weight": np.ones((b, 42), np.float64),
+    }
+    before = target["crop_uv"].copy()
+    acc = metrics.calc_coord_accuracy(
+        px.reshape(b, -1), target, hm_shape=(64, 64, 0), ds_type="hand",
+        thr=15.0 / 40.0, output_normalized=False,
+    )
+    assert acc > 0.9, acc
+    np.testing.assert_array_equal(target["crop_uv"], before)
+
+
 def test_viz_outputs(tmp_path):
     import matplotlib
 

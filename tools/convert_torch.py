@@ -50,6 +50,12 @@ def convert_resnet(sd: dict, prefix: str) -> tuple[dict, dict]:
             scope, rest = None, k
         parts = rest.split(".")
         name, leaf = parts[0], parts[-1]
+        if name == "fc":
+            # fc is Identity in the reference; stock torchvision
+            # checkpoints carry a real head — drop weight AND bias (the
+            # leaf == "bias" branch below would otherwise leak a stray
+            # params['fc']['bias'] subtree that breaks strict restores).
+            continue
         path = ([scope] if scope else []) + [name]
         if leaf == "weight" and v.ndim == 4:  # conv OIHW -> HWIO
             put(params, path + ["kernel"], v.transpose(2, 3, 1, 0))
@@ -133,6 +139,9 @@ def load_torch_checkpoint(path: str, model_cfg) -> dict:
     params: dict = {}
     enc_sd = ckpt.get("encoderRGB")
     if enc_sd is None:
+        print(f"WARNING: {path} has no 'encoderRGB' module "
+              f"(keys: {sorted(ckpt)[:6]}) — nothing converted",
+              file=sys.stderr)
         return params
     bb_params, bb_stats = convert_resnet(enc_sd, "feat_extractor.res.")
     encoder = {"backbone": bb_params}
@@ -158,15 +167,15 @@ def main():
     from mhentropy_tpu.models.mhent import MHEntConfig
 
     params = load_torch_checkpoint(src, MHEntConfig())
+    if not params:
+        print(f"ERROR: no convertible modules found in {src}", file=sys.stderr)
+        return 1
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as saver:
         saver.save(dst, params, force=True)
     print(f"converted {src} -> {dst}")
-
-
-if __name__ == "__main__":
-    main()
+    return 0
 
 
 def load_rle_checkpoint(path: str, model_cfg) -> dict:
@@ -309,3 +318,9 @@ def load_prohmr_smpl_flow(path: str, glow_cfg=None) -> list:
             f"{path}: no ConditionalGlow found; keys like {sorted(sd)[:5]}"
         )
     return convert_conditional_glow(sd, prefixes[0])
+
+
+if __name__ == "__main__":
+    # At the END of the module: a mid-file guard ran main() before
+    # convert_conditional_glow was defined (NameError on glow ckpts).
+    sys.exit(main())
