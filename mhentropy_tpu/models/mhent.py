@@ -345,11 +345,13 @@ def forward_log_p(
         out[f"log_p_{mod}_giv_z"] = priors.laplace_deadzone_log_prob(
             gt, mu, b_scale, weights=weights
         )
-    if cfg.use_mask_loss and "hand_mask" in y:
+    mask_key = "hand_mask" if "hand_mask" in y else (
+        "mask" if "mask" in y else None)  # HO3D vs RHD spelling
+    if cfg.use_mask_loss and mask_key is not None:
         from mhentropy_tpu.core import render as render_lib
 
         rendered = render_lib.render_mods(dec["verts"], logs_t, mods=("m",))
-        gt_mask = y["hand_mask"].astype(jnp.float32)
+        gt_mask = y[mask_key].astype(jnp.float32)
         if gt_mask.shape[-1] != rendered["mask"].shape[-1]:
             # Downsample the crop-resolution mask to the render grid.
             f = gt_mask.shape[-1] // rendered["mask"].shape[-1]

@@ -425,8 +425,11 @@ class Experiment:
             self._pending_restore = None
 
     # ------------------------------------------------------------------ data
-    def make_datasets(self):
-        """Synthetic fixture unless a real dataset dir is configured."""
+    def make_datasets(self, which=("train", "eval")):
+        """Synthetic fixture unless a real dataset dir is configured.
+        Returns (train, eval); a split absent from `which` is None (an
+        eval-only run should not pay train-split construction — prefix
+        plumbing, annotation indexing, the mixed loader's probe items)."""
         name = self.cfg.dataset.dataset_name
         data_dir = self.cfg.tpu.data_dir if "tpu" in self.cfg else None
         if data_dir:
@@ -449,7 +452,10 @@ class Experiment:
             if self.cfg.tpu.get("target_fields", "auto") != "full":
                 heavy = set()
                 if getattr(self.model_cfg, "use_mask_loss", False):
-                    heavy.add("hand_mask")
+                    # Both spellings: HO3D emits "hand_mask", RHD "mask"
+                    # (each loader gates on its own key; requesting the
+                    # other's is a no-op for it).
+                    heavy |= {"hand_mask", "mask"}
             u8 = bool(self.cfg.tpu.get("image_u8", True))
             dst = bool(self.cfg.tpu.get("device_st", True))
             scache = self.cfg.tpu.get("sample_cache")
@@ -470,11 +476,12 @@ class Experiment:
             train = loader.load(data_dir, mode="training",
                                 heavy_fields=heavy, image_u8=u8,
                                 device_st=dst, prefix_cache=scache,
-                                **extra)
+                                **extra) if "train" in which else None
             evald = loader.load(data_dir, mode="evaluation",
                                 heavy_fields=heavy, image_u8=u8,
-                                device_st=dst, **extra)
-            if scache:
+                                device_st=dst, **extra) \
+                if "eval" in which else None
+            if scache and evald is not None:
                 from mhentropy_tpu.data import cached
 
                 if cached.eval_deterministic(evald):
@@ -493,11 +500,11 @@ class Experiment:
         n_train = max(4 * bs, 32)
         train = synthetic.make_dataset(
             self.model, n=n_train, image_size=img, seed=self.seed, ds=ds
-        )
+        ) if "train" in which else None
         evald = synthetic.make_dataset(
             self.model, n=max(2 * bs, 32), image_size=img, seed=self.seed + 1,
             ds=ds,
-        )
+        ) if "eval" in which else None
         return train, evald
 
     # ----------------------------------------------------------------- setup
@@ -507,11 +514,43 @@ class Experiment:
         first state init — or eval("ckpt") after train_baseline() on the
         same Experiment would silently evaluate the current params."""
         if self._pending_restore:
-            self.load_model(self._pending_restore)
-            self._pending_restore = None
+            pr, self._pending_restore = self._pending_restore, None
+            if isinstance(pr, tuple):  # (path, mod_names) via load_model
+                self.load_model(*pr)
+            else:
+                self.load_model(pr)
 
-    def _ensure_state(self, steps_per_epoch: int):
+    def _ensure_state(self, steps_per_epoch: int, for_training: bool = False):
         if self.state is not None:
+            if for_training and steps_per_epoch != self.steps_per_epoch:
+                # State was initialised by an eval_loop (eval-dataset
+                # sizing): rebuild the LR schedule + opt_state with the
+                # TRAIN steps_per_epoch, or the MultiStepLR milestones
+                # fire at eval-set scale (e.g. ~15x early on RHD).
+                # Params/batch_stats are kept; training has not stepped.
+                self.log.info(
+                    f"rebuilding optimizer: steps_per_epoch "
+                    f"{self.steps_per_epoch} -> {steps_per_epoch}"
+                )
+                self.steps_per_epoch = steps_per_epoch
+                self.optimizer = make_optimizer(
+                    self.cfg.training.lr, self.cfg.training.milestones,
+                    steps_per_epoch,
+                )
+                self.state = self.state._replace(
+                    opt_state=self.optimizer.init(self.state.params)
+                )
+                if self.integrated:
+                    self._train_step = make_train_step(
+                        self.model, self.model_cfg, self.optimizer,
+                        self.mesh,
+                        fsdp=bool(self.cfg.tpu.fsdp)
+                        if "tpu" in self.cfg else False,
+                    )
+                else:
+                    self._train_step = make_rle_train_step(
+                        self.model_cfg, self.optimizer, self.mesh
+                    )
             self._apply_pending_restore()
             return
         self.steps_per_epoch = steps_per_epoch
@@ -557,7 +596,10 @@ class Experiment:
             fp.write("\n".join(lines) + "\n")
 
     def _get_eval_step(self, n: int, temp: float, quant_spec=None):
-        key = (n, temp, quant_spec)
+        # The RLE step uses none of these knobs — key it constant or each
+        # (n, temp) pair would re-trace an identical program (~20-60 s on
+        # this 1-core host).
+        key = (n, temp, quant_spec) if self.integrated else "rle"
         if key not in self._eval_step:
             if self.integrated:
                 n_quant = self.cfg.training.get("test_quant") or n
@@ -576,7 +618,7 @@ class Experiment:
         train_data, eval_data = self.make_datasets()
         bs = self.cfg.training.batch_size
         n_batches = max(1, _num_samples(train_data) // bs)
-        self._ensure_state(n_batches)
+        self._ensure_state(n_batches, for_training=True)
 
         self.eval_loop(eval_data, epoch=0)
         for epoch in range(self.cfg.training.epochs):
@@ -618,10 +660,14 @@ class Experiment:
             self._step += 1
             if idx % self.cfg.info_interval == 0:
                 drain()
+                # ONE device_get for all the log scalars — a float() per
+                # key is a separate ~25 ms relay round-trip each.
+                extras = jax.device_get(
+                    {k: aux[k] for k in ("h_q", "q_log_p", "sigma_i")
+                     if k in aux})
                 msg = f"Epoch:{epoch}| Step:{idx}| Avg_Loss:{loss_meter.avg:.4f}|"
-                for k in ("h_q", "q_log_p", "sigma_i"):
-                    if k in aux:
-                        msg += f" {k}:{float(aux[k]):.4f}|"
+                for k, v in extras.items():
+                    msg += f" {k}:{float(v):.4f}|"
                 self.log.info(msg)
                 self.writer.add_scalar(
                     "loss_avg/loss_total", loss_meter.avg, global_step=self._step
@@ -705,7 +751,7 @@ class Experiment:
     def eval(self, name: str | None = None):
         if name:
             self._pending_restore = name
-        _, eval_data = self.make_datasets()
+        _, eval_data = self.make_datasets(which=("eval",))
         return self.eval_loop(eval_data)
 
     # ------------------------------------------------------------ checkpoints
@@ -727,6 +773,13 @@ class Experiment:
     def load_model(self, path: str, mod_names=None):
         """Restore from an orbax dir or a torch .pth via the converter
         (load_mod_names subsetting as CrossModalHand.py:589-602)."""
+        if self.state is None:
+            # No state to restore into yet: queue it for the next
+            # _ensure_state (the cfg.training.pth machinery) instead of
+            # crashing on self.state.params.
+            self._pending_restore = (path, mod_names)
+            self.log.info(f"queued restore of {path} until state init")
+            return
         path = os.path.abspath(path)
         if path.endswith(".pth"):
             from tools.convert_torch import load_torch_checkpoint

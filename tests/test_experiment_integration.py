@@ -152,3 +152,62 @@ def test_experiment_glow_regressor_smoke(tmp_path):
     assert os.path.exists(os.path.join(cfg.model_dir, "models.txt"))
     ckpts = [d for d in os.listdir(cfg.model_dir) if d.startswith("baseline_")]
     assert ckpts, os.listdir(cfg.model_dir)
+
+
+def test_load_model_before_state_and_train_schedule_rebuild(tmp_path):
+    """Two engine regressions: (a) load_model on a fresh Experiment (state
+    None) must queue the restore instead of crashing on self.state.params,
+    and apply it at the next _ensure_state; (b) _ensure_state(...,
+    for_training=True) after an eval-sized init must rebuild the LR
+    schedule with the train steps_per_epoch (MultiStepLR milestones fired
+    ~eval-set-scale early otherwise), keeping params."""
+    import jax
+
+    from mhentropy_tpu.train.engine import Experiment
+    from mhentropy_tpu.utils.config import update_cfg
+
+    cfg = update_cfg("configs/smoke.yaml")
+    cfg.model_dir = str(tmp_path / "run")
+    exp = Experiment(cfg)
+    exp._ensure_state(3)
+    exp.save_model("snap")
+    snap = np.asarray(exp.state.params["det_head"]["l0"]["w"]).copy()
+
+    cfg2 = update_cfg("configs/smoke.yaml")
+    cfg2.model_dir = str(tmp_path / "run2")
+    cfg2.training.seed = 9  # different init, so the restore is observable
+    exp2 = Experiment(cfg2)
+    exp2.load_model(os.path.join(cfg.model_dir, "snap"))  # state is None
+    assert exp2.state is None and exp2._pending_restore is not None
+    exp2._ensure_state(3)  # eval-style sizing; applies the queued restore
+    np.testing.assert_array_equal(
+        snap, np.asarray(exp2.state.params["det_head"]["l0"]["w"])
+    )
+
+    # (b) train-time rebuild: schedule re-sized, params untouched.
+    opt_before = exp2.optimizer
+    assert exp2.steps_per_epoch == 3
+    exp2._ensure_state(40, for_training=True)
+    assert exp2.steps_per_epoch == 40
+    assert exp2.optimizer is not opt_before
+    np.testing.assert_array_equal(
+        snap, np.asarray(exp2.state.params["det_head"]["l0"]["w"])
+    )
+    # A second train-time call with the same sizing is a no-op.
+    opt2 = exp2.optimizer
+    exp2._ensure_state(40, for_training=True)
+    assert exp2.optimizer is opt2
+
+
+def test_eval_only_skips_train_split(tmp_path, monkeypatch):
+    """Experiment.eval() must not construct the training dataset (an
+    eval-only run paid train-split construction — annotation indexing,
+    prefix plumbing, mixed probe items — for nothing)."""
+    from mhentropy_tpu.train.engine import Experiment
+    from mhentropy_tpu.utils.config import update_cfg
+
+    cfg = update_cfg("configs/smoke.yaml")
+    cfg.model_dir = str(tmp_path / "run")
+    exp = Experiment(cfg)
+    train, evald = exp.make_datasets(which=("eval",))
+    assert train is None and evald is not None
