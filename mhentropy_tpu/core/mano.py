@@ -310,6 +310,27 @@ def _chain_nl(
     return chain_r_nl, chain_t_nl, skin_t_nl, v_shaped_nl, pose_map
 
 
+def _lbs_blend_nl(model: ManoModel, chain_r_nl, skin_t_nl, v_posed_nl,
+                  pallas_lbs: bool):
+    """Per-vertex LBS blend, batch-last (3, 778, B) — ONE implementation
+    for both mano_forward and mano_decode (they silently forked before).
+    Blending R and t separately costs 12/16 the HBM traffic of the
+    homogeneous (4, 4) blend; the Pallas kernel variant streams the nine
+    (V, R) planes through VMEM with no (3, 3, 778, B) intermediate
+    (core/lbs_pallas.py, inference only — no custom VJP needed)."""
+    if pallas_lbs:
+        from mhentropy_tpu.core import lbs_pallas
+
+        return lbs_pallas.lbs_blend(
+            model.lbs_weights, chain_r_nl, skin_t_nl, v_posed_nl
+        )
+    per_vert_r_nl = _einsum("vj,rcjb->rcvb", model.lbs_weights, chain_r_nl)
+    per_vert_t_nl = _einsum("vj,rjb->rvb", model.lbs_weights, skin_t_nl)
+    return (
+        _einsum("rcvb,cvb->rvb", per_vert_r_nl, v_posed_nl) + per_vert_t_nl
+    )  # (3, 778, B)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "pallas_lbs"))
 def _mano_forward_nl(
     model: ManoModel,
@@ -327,27 +348,8 @@ def _mano_forward_nl(
         model, theta, beta, config
     )
     v_posed_nl = v_shaped_nl + _einsum("vdp,bp->dvb", model.posedirs, pose_map)
-    # Blend R and t separately: materialising per-vertex (3, 3) + (3,) costs
-    # 12/16 the HBM traffic of the homogeneous (4, 4) blend, and the wasted
-    # constant bottom row is never computed. All batch-last: the blend is 9
-    # (778, 16) @ (16, B) GEMMs and the rotation apply is elementwise over
-    # (778, B) planes with rows on lanes.
-    if pallas_lbs:
-        # Fused blend kernel: no (3, 3, 778, B) intermediate — the blend is
-        # pure HBM bandwidth and the kernel streams it through VMEM
-        # (core/lbs_pallas.py). Inference path only (no custom VJP needed).
-        from mhentropy_tpu.core import lbs_pallas
-
-        verts_nl = lbs_pallas.lbs_blend(
-            model.lbs_weights, chain_r_nl, skin_t_nl, v_posed_nl
-        )
-    else:
-        per_vert_r_nl = _einsum("vj,rcjb->rcvb", model.lbs_weights, chain_r_nl)
-        per_vert_t_nl = _einsum("vj,rjb->rvb", model.lbs_weights, skin_t_nl)
-        verts_nl = (
-            _einsum("rcvb,cvb->rvb", per_vert_r_nl, v_posed_nl)
-            + per_vert_t_nl
-        )  # (3, 778, B)
+    verts_nl = _lbs_blend_nl(model, chain_r_nl, skin_t_nl, v_posed_nl,
+                             pallas_lbs)
 
     chain_joints = jnp.transpose(chain_t_nl, (2, 1, 0))  # (B, 16, 3), tiny
     tips = jnp.transpose(verts_nl[:, model.tips], (2, 1, 0))  # (B, 5, 3)
@@ -445,7 +447,8 @@ def _folded_kp26_nl(model, chain_r_nl, skin_t_nl, beta, pose_map):
 
 @functools.partial(jax.jit, static_argnames=("skeidx", "pallas_lbs"))
 def mano_decode(model: ManoModel, theta: jax.Array, beta: jax.Array,
-                skeidx: str = "RHD", pallas_lbs: bool = False):
+                skeidx: str = "RHD", pallas_lbs: bool = False,
+                config: ManoConfig = ManoConfig()):
     """High-level decode used by MHEnt (parity: hand/ManoLayer.py:45-60).
 
     Returns a dict with the mesh, the J-regressor 21 keypoints ('joints') and
@@ -458,7 +461,6 @@ def mano_decode(model: ManoModel, theta: jax.Array, beta: jax.Array,
     read it (the bench/eval xyz+uv path) — numerically both routes agree
     to float-reassociation (tested, test_mano.py).
     """
-    config = ManoConfig()
     chain_r_nl, chain_t_nl, skin_t_nl, v_shaped_nl, pose_map = _chain_nl(
         model, theta, beta, config
     )
@@ -484,19 +486,8 @@ def mano_decode(model: ManoModel, theta: jax.Array, beta: jax.Array,
     # Mesh: the explicit per-vertex blend (XLA einsums or the Pallas
     # streaming kernel), computed only if the caller reads it.
     v_posed_nl = v_shaped_nl + _einsum("vdp,bp->dvb", model.posedirs, pose_map)
-    if pallas_lbs:
-        from mhentropy_tpu.core import lbs_pallas
-
-        verts_nl = lbs_pallas.lbs_blend(
-            model.lbs_weights, chain_r_nl, skin_t_nl, v_posed_nl
-        )
-    else:
-        per_vert_r_nl = _einsum("vj,rcjb->rcvb", model.lbs_weights, chain_r_nl)
-        per_vert_t_nl = _einsum("vj,rjb->rvb", model.lbs_weights, skin_t_nl)
-        verts_nl = (
-            _einsum("rcvb,cvb->rvb", per_vert_r_nl, v_posed_nl)
-            + per_vert_t_nl
-        )  # (3, 778, B)
+    verts_nl = _lbs_blend_nl(model, chain_r_nl, skin_t_nl, v_posed_nl,
+                             pallas_lbs)
     verts_nl = (verts_nl - center_nl[:, None]) * 1000.0
     verts = jnp.transpose(verts_nl, (2, 1, 0))
 

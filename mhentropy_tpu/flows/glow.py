@@ -358,7 +358,16 @@ def ddi(
     """ActNorm data-dependent init, matching the fork's first training-mode
     forward (nflows ActNorm._initialize): per step, log_scale = -log(std),
     shift = -(x/std).mean(0) of that step's actnorm input, then the step is
-    applied with the new values before initialising the next."""
+    applied with the new values before initialising the next.
+
+    Known limitation (use_batch_norm=True only): the propagation here
+    runs the coupling nets in EVAL mode (initial running stats), while
+    the fork's first train-mode forward would normalise with batch
+    statistics and update the running stats as a side effect — actnorms
+    after step 0 initialise from a slightly different activation
+    distribution on BN configs. The shipped glow configs (MHEnt,
+    ProHMR) use use_batch_norm=False, where this is exact
+    (tests/test_glow_parity_torch.py::test_actnorm_ddi_parity)."""
     masks = coupling_masks(cfg.features, cfg.num_layers)
     cache = _ctx_cache(params, context)
     new_params = []

@@ -117,8 +117,12 @@ def _xavier(key, shape, gain=1.0):
 
 
 def init_params(key: jax.Array, cfg: RealNVPConfig) -> RealNVPParams:
-    """Xavier(gain=0.01) init on all linear weights (flows.py:200-208) so the
-    flow starts near the identity."""
+    """Xavier(gain=0.01) weights + zero biases so the flow starts near
+    the identity. NOT reference parity: the reference's _init()
+    (flows.py:200-208) is dead code (no call site), so it actually
+    trains from torch-default kaiming weights + nonzero uniform biases;
+    near-identity is the deliberate, better-behaved choice here (copied-
+    weight parity tests are unaffected)."""
     d, h, c, L = cfg.dim, cfg.h_dim, cfg.effective_cond_dim(), cfg.n_layers
     keys = iter(jax.random.split(key, 32))
 
@@ -402,13 +406,27 @@ def log_prob(
     if weights is None:
         w_row = jnp.ones(rows.shape[0], x.dtype)
     else:
+        if d not in (2, 3):
+            # Per-row visibility weighting only makes sense when rows ARE
+            # joints (per-joint independent modeling); the reference
+            # refuses anything else too (flows.py:284-285) — silently
+            # applying joint-0's visibility to a whole 45-dim pose row
+            # would be a wrong loss.
+            raise NotImplementedError(
+                f"visibility weights need per-joint rows (dim 2/3), "
+                f"got dim={d}"
+            )
         w_row = weights.reshape(-1, d)[:, 0]
 
+    mu_r = logvar_r = None
     if cfg.tsfm_on in ("x", "z") and mu is not None:
         mu_r = mu.reshape(-1, d)
         logvar_r = None if logvar is None else logvar.reshape(-1, d)
     logdet_sigma = jnp.zeros(rows.shape[0], x.dtype)
-    if cfg.tsfm_on == "x":
+    # mu=None: the actnorm is the identity (the reference's _tsfm skips
+    # it too, flows.py:54-72) — calling through would hit the unbound
+    # mu_r.
+    if cfg.tsfm_on == "x" and mu_r is not None:
         rows, logdet_sigma = _actnorm(rows, mu_r, logvar_r, reverse=True)
 
     if cproj is None and cfg.effective_cond_dim() > 0:
@@ -416,7 +434,7 @@ def log_prob(
         cproj = cond_cache(params, cfg, cond)
 
     z, logdet = inverse(params, cfg, rows, cproj)
-    if cfg.tsfm_on == "z":
+    if cfg.tsfm_on == "z" and mu_r is not None:
         z, logdet_sigma = _actnorm(z, mu_r, logvar_r, reverse=True)
 
     lp = (_std_normal_logp(z) + logdet + logdet_sigma) * w_row
@@ -451,6 +469,11 @@ def sample(
     d = cfg.dim
     z0 = jax.random.normal(key, (batch_rows, d)) * temp
     z = z0
+    actnorm_ld = jnp.zeros((), z0.dtype)
+    if cfg.tsfm_on in ("x", "z") and mu is not None and logvar is not None:
+        # The scale part of the actnorm contributes 0.5*sum(logvar) to
+        # log|det dx/dz0| (the shift is volume-preserving).
+        actnorm_ld = 0.5 * jnp.sum(logvar.reshape(-1, d), -1)
     if cfg.tsfm_on == "z" and mu is not None:
         z = _actnorm(z, mu.reshape(-1, d),
                      None if logvar is None else logvar.reshape(-1, d),
@@ -464,8 +487,9 @@ def sample(
                      None if logvar is None else logvar.reshape(-1, d),
                      reverse=False)
     if return_log_prob:
-        # log q(x) = log N(z0) - log|det dx/dz|  (tsfm 'x'/'z' handled by the
-        # conditional-only training path not using actnorm with entropy).
-        lp = _std_normal_logp(z0) - fwd_logdet
+        # log q(x) = log N(z0) - log|det dx/dz0|, INCLUDING the actnorm
+        # scale when tsfm 'x'/'z' is active (it was silently omitted —
+        # densities were wrong by 0.5*sum(logvar) per row).
+        lp = _std_normal_logp(z0) - fwd_logdet - actnorm_ld
         return x, lp
     return x

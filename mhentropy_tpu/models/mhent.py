@@ -64,6 +64,7 @@ class MHEntConfig(NamedTuple):
     kld_w_annealing: tuple = (1.0, 24000)
     n_train_hypotheses: int = 10  # N (network.py:780)
     use_pallas_sampler: bool | None = None  # None -> auto (TPU backend only)
+    glow_dropout: float = 0.2  # ConditionalGlow coupling-net dropout
     use_chamfer_loss: bool = False  # hand-object chamfer term (network.py:821-826)
     w_chamfer: float = 10.0
     # Mask-reconstruction likelihood p(m | z) — the reference sketched this
@@ -120,7 +121,7 @@ def init(key: jax.Array, cfg: MHEntConfig):
         # (network.py:343-344).
         params["flow"] = glow_lib.init_params(k_flow, glow_lib.GlowConfig(
             features=45, hidden=512, context_features=cfg.feat_dim,
-            dropout=0.2))
+            dropout=cfg.glow_dropout))
     f, h, o = cfg.feat_dim, cfg.feat_dim, cfg.det_dims()
 
     def linear(key, din, dout):
@@ -249,8 +250,13 @@ def sample_q_z(
                 params["flow"], feat, key, n, temp=temp, cfg=glow_cfg
             )
         else:
+            # Training (differentiable) applies the coupling-net dropout
+            # like the torch reference's train-mode forward — infer_config
+            # cannot recover the rate from params, so it rides MHEntConfig.
             z_flow, log_q = glow_lib.sample_and_log_prob(
-                params["flow"], feat, key, n, temp=temp
+                params["flow"], feat, key, n, temp=temp,
+                cfg=glow_cfg._replace(dropout=cfg.glow_dropout),
+                train=differentiable,
             )
     z_det = jnp.tile(det_head_apply(params["det_head"], feat), (n, 1))
     return combine_z(cfg, z_det, z_flow), log_q
