@@ -186,43 +186,50 @@ def heatmap_to_coord_simple(hms, bbox, **kwargs):
     return preds[None], maxvals[None]
 
 
-def get_warpmatrix(theta, size_input, size_dst, size_target):
-    """(transforms.py:428-443): rotation/scale warp in target coords."""
+def get_warpmatrix(theta, size_input, size_dst, size_target,
+                   pixel_std=1.0):
+    """(transforms.py:428-443): rotation/scale warp in target coords.
+    An earlier port of this rotated the OPPOSITE way (signs flipped vs
+    the reference) and dropped the pixel_std scaling — caught in review;
+    now parity-tested against the imported reference."""
+    size_target = np.asarray(size_target, np.float64) * pixel_std
     theta = theta / 180.0 * math.pi
     m = np.zeros((2, 3), dtype=np.float32)
     scale_x = size_target[0] / size_dst[0]
     scale_y = size_target[1] / size_dst[1]
     m[0, 0] = math.cos(theta) * scale_x
-    m[0, 1] = -math.sin(theta) * scale_y
+    m[0, 1] = math.sin(theta) * scale_y
     m[0, 2] = (
         -0.5 * size_target[0] * math.cos(theta)
-        + 0.5 * size_target[1] * math.sin(theta) + 0.5 * size_input[0]
+        - 0.5 * size_target[1] * math.sin(theta) + 0.5 * size_input[0]
     )
-    m[1, 0] = math.sin(theta) * scale_x
+    m[1, 0] = -math.sin(theta) * scale_x
     m[1, 1] = math.cos(theta) * scale_y
     m[1, 2] = (
-        -0.5 * size_target[0] * math.sin(theta)
+        0.5 * size_target[0] * math.sin(theta)
         - 0.5 * size_target[1] * math.cos(theta) + 0.5 * size_input[1]
     )
     return m
 
 
 def get_warpmatrix_inverse(theta, size_input, size_dst, size_target):
-    """(transforms.py:446-465)."""
+    """(transforms.py:446-465), including the reference's *200 box
+    scaling (dropped by the earlier port)."""
+    size_target = np.asarray(size_target, np.float64) * 200.0
     theta = theta / 180.0 * math.pi
     m = np.zeros((2, 3), dtype=np.float32)
     scale_x = size_dst[0] / size_target[0]
     scale_y = size_dst[1] / size_target[1]
     m[0, 0] = math.cos(theta) * scale_x
-    m[0, 1] = math.sin(theta) * scale_x
+    m[0, 1] = -math.sin(theta) * scale_x
     m[0, 2] = scale_x * (
         -0.5 * size_input[0] * math.cos(theta)
-        - 0.5 * size_input[1] * math.sin(theta) + 0.5 * size_target[0]
+        + 0.5 * size_input[1] * math.sin(theta) + 0.5 * size_target[0]
     )
-    m[1, 0] = -math.sin(theta) * scale_y
+    m[1, 0] = math.sin(theta) * scale_y
     m[1, 1] = math.cos(theta) * scale_y
     m[1, 2] = scale_y * (
-        0.5 * size_input[0] * math.sin(theta)
+        -0.5 * size_input[0] * math.sin(theta)
         - 0.5 * size_input[1] * math.cos(theta) + 0.5 * size_target[1]
     )
     return m
@@ -397,6 +404,7 @@ def count_visible(bbox, joints_3d):
         & (joints_3d[:, 1, 0] > bbox[1])
         & (joints_3d[:, 1, 0] < bbox[3])
         & (joints_3d[:, 0, 1] > 0)
+        & (joints_3d[:, 1, 1] > 0)
     )
     return int(np.sum(vis)), vis
 
@@ -423,15 +431,17 @@ def gaussian_heatmap_target(joints_3d, num_joints, heatmap_size, feat_stride,
     oob = (ul[:, 0] >= hm_w) | (ul[:, 1] >= hm_h) | (br[:, 0] < 0) | (br[:, 1] < 0)
     target_weight[oob] = 0
 
-    ys, xs = np.mgrid[0:hm_h, 0:hm_w]
+    # One (6*sigma+1)^2 Gaussian window shared by every joint (the
+    # reference's scheme) — a full HxW grid + masks per joint was ~18x
+    # the exp work in this per-sample host path.
+    size = 2 * tmp_size + 1
+    ax = np.arange(size, dtype=np.float32) - tmp_size
+    g = np.exp(-(ax[None, :] ** 2 + ax[:, None] ** 2) / (2 * sigma**2))
     for i in np.nonzero((~oob) & (target_weight[:, 0] > 0.5))[0]:
-        cx, cy = ul[i, 0] + tmp_size, ul[i, 1] + tmp_size
-        g = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * sigma**2))
-        win = (
-            (xs >= max(0, ul[i, 0])) & (xs < min(br[i, 0], hm_w))
-            & (ys >= max(0, ul[i, 1])) & (ys < min(br[i, 1], hm_h))
-        )
-        target[i] = g * win
+        x0, x1 = max(0, ul[i, 0]), min(br[i, 0], hm_w)
+        y0, y1 = max(0, ul[i, 1]), min(br[i, 1], hm_h)
+        target[i, y0:y1, x0:x1] = g[y0 - ul[i, 1]:y1 - ul[i, 1],
+                                    x0 - ul[i, 0]:x1 - ul[i, 0]]
     return target, np.expand_dims(target_weight, -1)
 
 
@@ -741,6 +751,13 @@ class SimpleTransform3D:
         self._joint_pairs = dataset.joint_pairs
         self._scale_factor = scale_factor
         self._color_factor = color_factor
+        if occlusion or add_dpg:
+            # Silently ignoring these trained without the requested
+            # augmentations; the reference refuses too
+            # (simple_transform_3d.py:219-241 occlusion path unported).
+            raise NotImplementedError(
+                "SimpleTransform3D occlusion/add_dpg augmentation is not "
+                "ported; pass False")
         self._occlusion = occlusion
         self._rot = rot
         self._input_size = input_size
@@ -821,11 +838,14 @@ class SimpleTransform3D:
                 joints, num_joints, self._heatmap_size, self._feat_stride,
                 self._sigma,
             )
+            # (K, 1, 1) per-joint weight x per-joint visibility — the flat
+            # reshape below would broadcast (K,1,1)x(3K,) into garbage.
+            target_weight = target_weight * joints_vis[:, :1, None]
         else:
             target, target_weight = integral_target_3d(
                 joints, num_joints, inp_h, inp_w, self.bbox_3d_shape[0]
             )
-        target_weight = target_weight * joints_vis.reshape(-1)
+            target_weight = target_weight * joints_vis.reshape(-1)
         out_bbox = center_scale_to_box(center, scale)
 
         if self._train:

@@ -9,9 +9,11 @@ non-integrated BasicEnc + p_nf path, config-reachable via network.p_nf):
 * the point estimate is the mean of K1=10 tempered (0.8) samples, with the
   per-joint std reported as sigma,
 * optional nf_res='rle' adds the Gaussian-Q residual term
-  (CrossModalHand.py:337-346),
-* optional pgm='inv_prob' conditions the flow on [z, backbone feature]
-  (combine_flow_cond, flows.py:365-370).
+  (CrossModalHand.py:337-346; actnorm mode only, like the reference).
+
+The reference's pgm='inv_prob' [z, feature] conditioning
+(combine_flow_cond, flows.py:365-370) is NOT implemented here — the
+conditional mode conditions on the l2 feature head directly.
 
 All pure functions of (params, batch, rng).
 """
@@ -113,7 +115,14 @@ def loss_and_predict(
         out["uv"] = (samples + 1.0) / 2.0 * cfg.image_size
 
     if cfg.nf_res == "rle":
-        # Gaussian-Q residual (CrossModalHand.py:337-346).
+        # Gaussian-Q residual (CrossModalHand.py:337-346). Only defined
+        # in the actnorm mode where (mu, logvar) ARE density statistics;
+        # in conditional mode logvar is the feature head — the reference
+        # raises NotImplementedError there too (:339-341).
+        if cfg.flow.tsfm_on != "x":
+            raise NotImplementedError(
+                "nf_res='rle' needs tsfm_on='x' (mu/logvar actnorm mode)"
+            )
         bar_mu = (pose_gt - mu) * jnp.exp(-0.5 * logvar)
         rows = bar_mu.reshape(-1, cfg.flow.dim)
         w_row = (

@@ -91,6 +91,30 @@ def test_get_affine_transform_parity(ref):
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
+def test_get_warpmatrix_parity(ref):
+    """Both warp-matrix builders vs the imported reference — an earlier
+    port rotated the opposite direction and dropped the pixel_std / *200
+    scalings (caught in an r3 review; these two had no parity test)."""
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        theta = float(rng.uniform(-180, 180))
+        size_input = rng.uniform(100, 500, 2)
+        size_dst = rng.uniform(50, 300, 2)
+        size_target = rng.uniform(0.5, 3.0, 2)
+        pixel_std = float(rng.choice([1.0, 200.0]))
+        want = ref["tf"].get_warpmatrix(
+            theta, size_input.copy(), size_dst.copy(), size_target.copy(),
+            pixel_std)
+        got = pp.get_warpmatrix(
+            theta, size_input, size_dst, size_target, pixel_std)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        want_inv = ref["tf"].get_warpmatrix_inverse(
+            theta, size_input.copy(), size_dst.copy(), size_target.copy())
+        got_inv = pp.get_warpmatrix_inverse(
+            theta, size_input, size_dst, size_target)
+        np.testing.assert_allclose(got_inv, want_inv, rtol=1e-5, atol=1e-5)
+
+
 def test_transform_preds_and_affine_parity(ref):
     rng = np.random.RandomState(1)
     center = np.array([120.0, 90.0])
