@@ -75,13 +75,20 @@ def splat_depth(
     grid = (jnp.arange(s, dtype=jnp.float32) + 0.5)[None]
     gx = jnp.exp(-((px[..., 0:1] - grid) ** 2) / (2 * sigma_px**2))
     gy = jnp.exp(-((px[..., 1:2] - grid) ** 2) / (2 * sigma_px**2))
-    w = jnp.einsum("bvy,bvx->bvyx", gy, gx)  # (B, V, S, S)
-    # Closer vertices dominate: weights scaled by softmin over depth.
-    beta = 50.0
-    zw = w * jax.nn.softmax(-beta * verts_z, axis=1)[:, :, None, None]
-    denom = zw.sum(1) + 1e-8
-    depth = jnp.einsum("bvyx,bv->byx", zw, verts_z) / denom
-    cover = 1.0 - jnp.exp(-w.sum(1))
+    # PER-PIXEL softmin over depth: weights w_v(pixel) * exp(-beta z_v),
+    # normalised per pixel. (A global softmax over vertices made any
+    # pixel covered only by non-frontmost vertices read depth ~0 — the
+    # e^-beta*dz weight vanished against the denominator floor.) Both
+    # sums stay SEPARABLE — no (B, V, S, S) intermediate (at mhent's
+    # hypothesis-major rows that tensor would be ~40 GB).
+    beta = 10.0
+    zs = jnp.exp(-beta * (verts_z - verts_z.min(axis=1, keepdims=True)))
+    denom = jnp.einsum("bvy,bvx,bv->byx", gy, gx, zs)
+    num = jnp.einsum("bvy,bvx,bv->byx", gy, gx, zs * verts_z)
+    # Floor just above f32 underflow: back-surface-only pixels carry
+    # e^-beta*dz ~ 1e-26 scale weights that a 1e-8 floor would swamp.
+    depth = num / jnp.maximum(denom, 1e-37)
+    cover = 1.0 - jnp.exp(-jnp.einsum("bvy,bvx->byx", gy, gx))
     return jnp.where(cover > 0.5, depth, background)
 
 
@@ -97,8 +104,12 @@ def render_mods(
         verts_normed: (R, V, 3) normalised-relative mesh vertices.
         logs_t: (R, 3) orthographic camera (log s, tx, ty).
     """
-    scale = jnp.exp(logs_t[:, 0:1])
-    uv = verts_normed[..., :2] * scale[:, None] + logs_t[:, None, 1:3]
+    from mhentropy_tpu.core import camera
+
+    uv = camera.orth_project(
+        verts_normed, jnp.exp(logs_t[:, 0:1]), logs_t[:, 1:3],
+        inv_norm=False,
+    )  # one weak-perspective convention for renderer + uv heads
     out = {}
     if "m" in mods:
         out["mask"] = splat_silhouette(uv, mask_size)

@@ -113,6 +113,30 @@ def nll_loss(
     out["cam"] = cam
     if "betas" in target:
         out["betas_l2"] = jnp.sum((betas - target["betas"]) ** 2, axis=1)
+    if "keypoints3d" in target or "keypoints2d" in target:
+        # ProHMR's mode-decode supervision: the z=0 flow sample decodes
+        # through SMPL; 3D keypoints supervise pose/betas, the 2D
+        # reprojection is the ONLY gradient the cam head gets (without
+        # it the camera stayed at random init — review finding).
+        from mhentropy_tpu.core import camera
+
+        b = image.shape[0]
+        pose_mode, _ = glow_lib.sample_and_log_prob(
+            params["flow"], feat, key, 1, cfg=cfg.flow,
+            noise=jnp.zeros((b, POSE_DIM)), train=train,
+        )
+        _, joints = smpl_lib.smpl_forward_6d(model, pose_mode, betas)
+        if "keypoints3d" in target:
+            gt3 = target["keypoints3d"]
+            out["kp3d_l1"] = jnp.abs(
+                (joints - joints[:, 0:1]) - (gt3 - gt3[:, 0:1])
+            ).mean(axis=(1, 2))
+        if "keypoints2d" in target:
+            uv = camera.orth_project(
+                joints, jnp.exp(cam[:, 0:1]), cam[:, 1:3], inv_norm=False
+            )
+            out["kp2d_l1"] = jnp.abs(uv - target["keypoints2d"]).mean(
+                axis=(1, 2))
     return out, new_stats
 
 
@@ -170,10 +194,12 @@ def sample_hypotheses(
         pallas_lbs=lbs_pallas.supported(pose.shape[0],
                                         model.lbs_weights.shape[0]),
     )
-    scale = jnp.exp(cam[:, 0:1])
-    uv = joints[..., :2] * jnp.tile(scale, (n, 1))[:, None] + jnp.tile(
-        cam[:, 1:3], (n, 1)
-    )[:, None]
+    from mhentropy_tpu.core import camera
+
+    uv = camera.orth_project(
+        joints, jnp.tile(jnp.exp(cam[:, 0:1]), (n, 1)),
+        jnp.tile(cam[:, 1:3], (n, 1)), inv_norm=False,
+    )  # one weak-perspective convention (shared with mhent/render)
     return {
         "pose_6d": pose.reshape(n, b, POSE_DIM),
         "log_q": log_q.reshape(n, b),
@@ -187,12 +213,27 @@ def sample_hypotheses(
 
 def multi_hypothesis_metrics(samples: dict, target: dict) -> dict:
     """Best/mean-hypothesis MPJPE over the 24 SMPL joints (mm), the 3DPW-style
-    multi-hypothesis eval of BASELINE config 5."""
+    multi-hypothesis eval of BASELINE config 5.
+
+    Pelvis(joint 0)-aligned on BOTH sides: predictions sit in the SMPL
+    canonical frame (no transl output) while real 3DPW GT is camera-frame
+    — the standard protocol subtracts the root before the norm. PJD
+    follows the reference's calc order (criteria.py:160-162: per-joint
+    volume^(1/3), THEN the joint mean), in mm, zeros at N == 1 like the
+    reference's ddof=1 guard."""
     gt = target["joints3d"]  # (B, 24, 3) metres
     pred = samples["joints3d"]  # (N, B, 24, 3)
-    err = jnp.linalg.norm(pred - gt[None], axis=-1).mean(-1) * 1000.0  # (N, B)
+    pred_a = pred - pred[..., 0:1, :]
+    gt_a = gt - gt[:, 0:1, :]
+    err = jnp.linalg.norm(pred_a - gt_a[None], axis=-1).mean(-1) * 1000.0
+    n = pred.shape[0]
+    if n > 1:
+        vol = (pred_a * 1000.0).std(0, ddof=1).prod(-1)  # (B, 24) mm^3
+        pjd = (vol ** (1.0 / 3.0)).mean(-1) * 3.0**0.5
+    else:
+        pjd = jnp.zeros(pred.shape[1])
     return {
         "mpjpe_bh": err.min(0),
         "mpjpe_mean": err.mean(0),
-        "pjd_3d": pred.std(0, ddof=1).prod(-1).mean(-1) ** (1 / 3) * 3**0.5,
+        "pjd_3d": pjd,
     }

@@ -36,6 +36,20 @@ def test_depth_prefers_closer_vertices():
     assert np.asarray(depth)[0, 0, 0] == 0.0
 
 
+def test_depth_is_per_pixel_not_global():
+    """Regression: the softmin over depth must be PER PIXEL — with a
+    global softmax over vertices, a pixel covered only by a non-frontmost
+    vertex read depth ~0 (its weight vanished against the denominator
+    floor). Two well-separated vertices at different depths: each pixel
+    reads its own vertex's depth."""
+    # [-1,1) coords: (-0.5,-0.5) -> px 8, (0.5,0.5) -> px 24 on a 32 grid.
+    uv = jnp.asarray([[[-0.5, -0.5], [0.5, 0.5]]], jnp.float32)
+    z = jnp.asarray([[0.2, 3.0]], jnp.float32)  # far vertex 2.8 behind
+    depth = np.asarray(render.splat_depth(uv, z, mask_size=32))
+    assert abs(depth[0, 8, 8] - 0.2) < 0.05
+    assert abs(depth[0, 24, 24] - 3.0) < 0.05  # was ~0 with global softmin
+
+
 def test_render_mods_through_camera():
     rng = np.random.RandomState(1)
     verts = jnp.asarray(rng.randn(3, 200, 3).astype(np.float32) * 0.5)

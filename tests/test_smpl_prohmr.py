@@ -125,15 +125,21 @@ def test_prohmr_nll_grads(model, prohmr_setup):
     target = {
         "pose_6d": jax.random.normal(jax.random.key(2), (b, 144)) * 0.3,
         "betas": jnp.zeros((b, 10)),
+        "keypoints3d": jax.random.normal(jax.random.key(4), (b, 24, 3)) * 0.2,
+        "keypoints2d": jax.random.normal(jax.random.key(5), (b, 24, 2)) * 0.3,
     }
 
     def loss(p):
         out, _ = prohmr.nll_loss(
             model, p, stats, cfg, image, target, jax.random.key(3), train=False
         )
-        return -out["log_p"].mean() + out["betas_l2"].mean()
+        return (-out["log_p"].mean() + out["betas_l2"].mean()
+                + out["kp3d_l1"].mean() + out["kp2d_l1"].mean())
 
     val, grads = jax.value_and_grad(loss)(params)
     assert np.isfinite(float(val))
     assert np.abs(np.asarray(grads["flow"][0]["coupling"]["final"]["w"])).max() > 0
     assert np.abs(np.asarray(grads["betas_head"]["w"])).max() > 0
+    # The 2D mode-reprojection is the cam head's ONLY gradient path —
+    # without it the camera stayed at random init (review regression).
+    assert np.abs(np.asarray(grads["cam_head"]["w"])).max() > 0
