@@ -61,7 +61,7 @@ def main():
     print(f"N={n} hypotheses over {b} images")
     print(f"BH-MPJPE:   {float(np.mean(np.asarray(mets['mpjpe_bh']))):.2f} mm")
     print(f"mean MPJPE: {float(np.mean(np.asarray(mets['mpjpe_mean']))):.2f} mm")
-    print(f"3D PJD:     {float(np.mean(np.asarray(mets['pjd_3d']))) * 1000:.2f} mm")
+    print(f"3D PJD:     {float(np.mean(np.asarray(mets['pjd_3d']))):.2f} mm")
 
 
 if __name__ == "__main__":
