@@ -72,14 +72,19 @@ def rotmat_from_6d(x6d: jax.Array, eps: float = 1e-8) -> jax.Array:
         x6d: (..., 6) = two stacked 3-vectors (a1, a2).
 
     Returns:
-        (..., 3, 3) with rows [b1; b2; b3] formed by Gram-Schmidt + cross.
+        (..., 3, 3) with COLUMNS [b1 | b2 | b3] formed by Gram-Schmidt +
+        cross — the reference/ProHMR convention (rot6d.py:4-51 cats on
+        dim=2). An earlier port stacked ROWS, i.e. returned the
+        transpose; internally consistent, but released ProHMR-style
+        checkpoints predicting standard column-convention 6D would have
+        decoded every joint rotation as its inverse.
     """
     a1, a2 = x6d[..., :3], x6d[..., 3:]
     b1 = a1 / (jnp.linalg.norm(a1, axis=-1, keepdims=True) + eps)
     b2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
     b2 = b2 / (jnp.linalg.norm(b2, axis=-1, keepdims=True) + eps)
     b3 = jnp.cross(b1, b2)
-    return jnp.stack([b1, b2, b3], axis=-2)
+    return jnp.stack([b1, b2, b3], axis=-1)
 
 
 def project_rotmat(mats: jax.Array) -> jax.Array:

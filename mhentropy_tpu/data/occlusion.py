@@ -84,6 +84,12 @@ def check_occlusion(
     Args:
         uv: (K, 2) pixel coords; depthmap (H, W) metres; pose3d (K, 3) camera
         coords (z used).
+
+    Replicated quirk (like check_wib's): the reference's in-bounds test
+    swaps width/height (row vs w, col vs h) — exact only on SQUARE
+    depthmaps (RHD is 320x320). The clip below keeps non-square inputs
+    crash-free where the reference would IndexError, but the test
+    semantics off the square case are the reference's, not corrected.
     """
     h, w = depthmap.shape
     du, dv = _window_offsets(quant)

@@ -19,8 +19,6 @@ import yaml
 class CfgNode(dict):
     """Minimal yacs-compatible config node."""
 
-    _NEW_ALLOWED = "__new_allowed__"
-
     def __init__(self, init: dict | None = None, new_allowed: bool = False):
         super().__init__()
         object.__setattr__(self, "_new_allowed", new_allowed)
@@ -68,12 +66,29 @@ class CfgNode(dict):
 
 
 def _coerce(new: Any, old: Any, key: str) -> Any:
-    if old is None or new is None:
+    if old is None:
+        # Keep dict overlays addressable as cfg nodes (a raw dict broke
+        # attribute access and wholesale-replaced on a second merge).
+        return CfgNode(new) if isinstance(new, dict) else new
+    if new is None:
         return new
     if isinstance(old, bool):
-        return bool(new)
-    if isinstance(old, (int, float)) and isinstance(new, (int, float)):
-        return type(old)(new) if not isinstance(new, bool) else new
+        # yacs raises on a non-bool overlay; bool("false") == True would
+        # silently invert the user's intent.
+        if not isinstance(new, bool):
+            raise TypeError(
+                f"Type mismatch for key {key}: bool vs {type(new)} "
+                f"({new!r}) — unquote true/false in the YAML")
+        return new
+    if isinstance(old, (int, float)) and isinstance(new, (int, float)) \
+            and not isinstance(new, bool):
+        coerced = type(old)(new)
+        if isinstance(old, int) and coerced != new:
+            # int(0.5) == 0 would silently disable a fractional weight.
+            raise TypeError(
+                f"Type mismatch for key {key}: int default cannot hold "
+                f"{new!r} losslessly")
+        return coerced
     if type(old) is type(new):
         return new
     if isinstance(old, (list, tuple)) and isinstance(new, (list, tuple)):

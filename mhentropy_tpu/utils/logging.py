@@ -2,8 +2,9 @@
 
 Capability parity with the reference's observability surface (SURVEY.md §5):
 python logging to file+stdout (utils.py:106-122), AverageMeters
-(utils.py:75-91 — including its quirk of dropping zero-valued updates, which
-we keep OFF by default but expose for log parity), TensorBoard scalars
+(utils.py:75-91 — including its quirk of dropping zero-valued updates,
+which is ON by default for log parity with the reference's meters; pass
+drop_zeros=False for an honest average), TensorBoard scalars
 (tensorboardX when present, JSONL fallback), random run names
 (utils.py:125-126).
 """
@@ -23,7 +24,10 @@ class AverageMeter:
     """Running average.
 
     The reference's update() counts a sample only when val != 0
-    (utils.py:86-91); pass drop_zeros=True to reproduce that exactly.
+    (utils.py:86-91); drop_zeros=True (the default, for log parity)
+    reproduces that quirk up to honoring the caller's n (the reference
+    forces n=1 for nonzero values). An exactly-0.0 metric therefore does
+    not enter the average — pass drop_zeros=False where that matters.
     """
 
     def __init__(self, drop_zeros: bool = True):
@@ -53,6 +57,8 @@ def get_logger(filename: str, verbosity: int = 1, name: str | None = None):
     logger = logging.getLogger(name or filename)
     logger.setLevel(level)
     logger.propagate = False
+    for h in logger.handlers:  # close before dropping: repeated
+        h.close()              # get_logger calls leaked file descriptors
     logger.handlers.clear()
     os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
     fh = logging.FileHandler(filename, "w")

@@ -135,3 +135,23 @@ training:
     assert mc.n_train_hypotheses == 4
     assert cfg.training.test_quant == 8
     assert cfg.training.eval_temp == 0.5
+
+
+def test_coercion_rejects_lossy_and_mistyped_overlays():
+    """yacs-parity strictness (review regressions): int defaults refuse
+    fractional overlays (int(0.5)==0 silently disabled weights), bool
+    defaults refuse non-bools (bool('false')==True inverted intent),
+    and dict-over-None stays attribute-addressable."""
+    import pytest
+
+    from mhentropy_tpu.utils.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    with pytest.raises(TypeError, match="losslessly"):
+        cfg.merge_from_other_cfg({"network": {"w_prior_2d": 0.5}})
+    cfg.merge_from_other_cfg({"network": {"w_prior_2d": 2.0}})  # integral OK
+    assert cfg.network.w_prior_2d == 2
+    with pytest.raises(TypeError, match="bool"):
+        cfg.merge_from_other_cfg({"network": {"entropy": "false"}})
+    cfg.merge_from_other_cfg({"network": {"pgm": {"a": 1}}})
+    assert cfg.network.pgm.a == 1  # CfgNode, not a raw dict

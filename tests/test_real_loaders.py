@@ -284,7 +284,9 @@ def test_experiment_passes_minimal_fields(rhd_root, tmp_path, monkeypatch):
         SimpleNamespace(image_size=256, use_mask_loss=True),
     )
     train3, _ = exp.make_datasets()
-    assert train3.heavy == frozenset({"hand_mask"})
+    # Both spellings: HO3D emits "hand_mask", RHD emits "mask" — each
+    # loader gates on its own key (requesting the other's is a no-op).
+    assert train3.heavy == frozenset({"hand_mask", "mask"})
 
 
 # ------------------------------------------------------- uint8 transport

@@ -35,7 +35,9 @@ def test_quat_to_rotmat_orthonormal():
 def test_rotmat_from_6d_recovers_rotation():
     rng = np.random.RandomState(2)
     ref = R.random(16, random_state=rng).as_matrix().astype(np.float32)
-    x6d = ref[:, :2, :].reshape(16, 6)  # first two rows
+    # First two COLUMNS — the reference/ProHMR convention (rot6d.py
+    # cats on dim=2); the row encoding belonged to the transposed port.
+    x6d = np.swapaxes(ref, -1, -2)[:, :2, :].reshape(16, 6)
     ours = np.asarray(rotations.rotmat_from_6d(jnp.asarray(x6d)))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 

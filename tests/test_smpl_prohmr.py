@@ -59,7 +59,9 @@ def test_smpl_6d_matches_axis_angle(model):
     rng = np.random.RandomState(0)
     aa = rng.randn(2, 72).astype(np.float32) * 0.2
     rots = R.from_rotvec(aa.reshape(-1, 3)).as_matrix().reshape(2, 24, 3, 3)
-    p6d = rots[..., :2, :].reshape(2, 144).astype(np.float32)
+    # First two COLUMNS (the reference/ProHMR 6D convention).
+    p6d = np.swapaxes(rots, -1, -2)[..., :2, :].reshape(2, 144) \
+        .astype(np.float32)
     v_aa, j_aa = smpl_lib.smpl_forward_axis_angle(model, jnp.asarray(aa), jnp.zeros((2, 10)))
     v_6d, j_6d = smpl_lib.smpl_forward_6d(model, jnp.asarray(p6d), jnp.zeros((2, 10)))
     np.testing.assert_allclose(np.asarray(j_aa), np.asarray(j_6d), atol=1e-4)
