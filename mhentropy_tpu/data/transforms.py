@@ -103,9 +103,11 @@ def crop_with_padding(img: np.ndarray, centre, half_size, pad_rgb=127):
     pad_l, pad_t = max(0, -x1), max(0, -y1)
     pad_r, pad_b = max(0, x2 - w), max(0, y2 - h)
     if pad_l or pad_t or pad_r or pad_b:
-        value = pad_rgb if img.ndim == 3 else 0
+        # Honor pad_rgb for ANY rank (a 2-D branch hardcoding 0 made the
+        # native and fallback crop paths pad differently for masks when
+        # a caller relied on the 127 default).
         pad_spec = [(pad_t, pad_b), (pad_l, pad_r)] + [(0, 0)] * (img.ndim - 2)
-        img = np.pad(img, pad_spec, constant_values=value)
+        img = np.pad(img, pad_spec, constant_values=pad_rgb)
         x1, x2 = x1 + pad_l, x2 + pad_l
         y1, y2 = y1 + pad_t, y2 + pad_t
     return img[y1:y2, x1:x2]
@@ -238,7 +240,10 @@ def warp_image(img: np.ndarray, m: np.ndarray, size: int = 256, border=0.0,
 
 def pixel_noise(rng: np.random.RandomState, rgb: np.ndarray, factor=0.4):
     """Channel-wise multiplicative pixel noise (ho3d_dataloader.py:191-198)."""
-    pn = rng.uniform(1 - factor, 1 + factor, 3)
+    # f32 noise: a float64 pn promoted every augmented image to f64 for
+    # the rest of the host chain (2x the pixel bytes on the tracked
+    # imgs/s/core bottleneck).
+    pn = rng.uniform(1 - factor, 1 + factor, 3).astype(np.float32)
     return np.clip(rgb * pn[None, None, :], 0.0, 255.0)
 
 

@@ -242,7 +242,13 @@ def auto_images_per_tile(cfg: GlowConfig, rows: int, weight_dtype,
                          requested: int) -> int:
     """Largest tile fitting VMEM: double-buffered stage weights (the (H, H)
     residual matmul dominates) + per-image activation scratch
-    (2 x (rows, H) f32 temps + 2 x (rows, Dp) f32 state)."""
+    (2 x (rows, H) f32 temps + 2 x (rows, Dp) f32 state).
+
+    Known slack: the pipeline's z0 input and x/logdet output blocks ride
+    OUTSIDE this estimate (the shipped ProHMR shape fits with them, so
+    the formula is not tightened without an on-chip re-measure). A
+    config near the boundary that hits a scoped-vmem OOM should lower
+    images_per_tile explicitly."""
     dp = _round_up(cfg.features, LANE)
     h = cfg.hidden
     itemsize = jnp.dtype(weight_dtype).itemsize
@@ -351,11 +357,15 @@ def sample_and_log_prob_fused(
         )
 
     if noise is None:
-        z0 = jax.random.normal(key, (b_pad, r, d)) * temp
-    else:
-        # Reference layout is hypothesis-major (n*B, D); regroup image-major.
-        z0 = jnp.transpose(noise.reshape(n, b, d), (1, 0, 2))
-        z0 = jnp.pad(z0, ((0, b_pad - b), (0, r - n), (0, 0)))
+        # Draw EXACTLY like glow.sample_and_log_prob (split + (n*b, d)
+        # hypothesis-major): same key -> same hypotheses on both paths,
+        # so toggling use_pallas_sampler (or the CPU/TPU auto gate) never
+        # changes a seeded run's samples.
+        key, k_noise = jax.random.split(key)
+        noise = jax.random.normal(k_noise, (n * b, d)) * temp
+    # Reference layout is hypothesis-major (n*B, D); regroup image-major.
+    z0 = jnp.transpose(noise.reshape(n, b, d), (1, 0, 2))
+    z0 = jnp.pad(z0, ((0, b_pad - b), (0, r - n), (0, 0)))
     z0_tiles = jnp.pad(z0, ((0, 0), (0, 0), (0, dp - d))).reshape(
         b_pad // ipt, ipt, r, dp
     )

@@ -235,7 +235,14 @@ def sample_fused(
     if b_pad != b:
         cproj_layers = jnp.pad(cproj_layers, ((0, 0), (0, b_pad - b), (0, 0), (0, 0)))
 
-    z0 = jax.random.normal(key, (b_pad, r, d)) * temp
+    # Draw EXACTLY like realnvp.sample (the caller's key, (n*b, d)
+    # hypothesis-major rows): same key -> same hypotheses on the fused
+    # and XLA paths, so toggling use_pallas_sampler (or the backend auto
+    # gate) never changes a seeded run's samples. Regroup image-major
+    # for the kernel; padded rows carry zeros (outputs discarded).
+    z0_rows = jax.random.normal(key, (n * b, d)) * temp
+    z0 = jnp.transpose(z0_rows.reshape(n, b, d), (1, 0, 2))
+    z0 = jnp.pad(z0, ((0, b_pad - b), (0, r - n), (0, 0)))
     z0_tiles = jnp.pad(z0, ((0, 0), (0, 0), (0, dp - d))).reshape(
         b_pad // ipt, ipt, r, dp
     )

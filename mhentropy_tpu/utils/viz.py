@@ -31,6 +31,10 @@ def plot_pose2d(ax, uv: np.ndarray, colors=COLORS_PRED, image=None, s=8):
         img = np.asarray(image)
         if img.min() < 0:  # [-1,1] normalised
             img = (img + 1.0) / 2.0
+        elif img.max() > 1.0 or img.dtype == np.uint8:
+            # Raw 0-255 pixels (the default u8 transport) — clipping
+            # them to [0, 1] rendered a blank panel.
+            img = img.astype(np.float32) / 255.0
         ax.imshow(np.clip(img, 0, 1))
     uv = uv.reshape(-1, 2)
     for chain, c in zip(_finger_chains(uv), colors):
@@ -57,7 +61,13 @@ def viz_2djoints(image, uvs, path: str, gt_uv=None, titles=None):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    uvs = np.atleast_3d(np.asarray(uvs))
+    uvs = np.asarray(uvs)
+    if uvs.ndim == 1:  # one flat (2K,) pose
+        uvs = uvs[None]
+    if uvs.ndim == 2 and uvs.shape[-1] == 2:
+        # A single (K, 2) pose is ONE hypothesis (np.atleast_3d appended
+        # the axis at the END, splitting a skeleton into K one-dot panels).
+        uvs = uvs[None]
     n = uvs.shape[0]
     fig, axes = plt.subplots(1, n, figsize=(3 * n, 3), squeeze=False)
     for i in range(n):
@@ -171,9 +181,13 @@ def display_hand(hand_info: dict, mano_faces=None, ax=None, alpha=0.2,
         ax.add_collection3d(mesh)
     ax.scatter(joints[:, 0], joints[:, 1], joints[:, 2], color="r")
     cam_equal_aspect_3d(ax, verts)
-    if path is not None and fig is not None:
-        fig.savefig(path)
-        plt.close(fig)
+    if path is not None:
+        # Save the composed figure even when the caller supplied the ax
+        # (a silently skipped export loses headless composition output).
+        target_fig = fig if fig is not None else ax.figure
+        target_fig.savefig(path)
+        if fig is not None:
+            plt.close(fig)
     elif show:
         plt.show()
     return ax

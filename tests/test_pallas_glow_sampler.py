@@ -137,3 +137,20 @@ def test_mhent_glow_regressor_uses_fused_sampler():
     lp_ref = glow.log_prob(params["flow"], z[:, 3:48], ctx_rows)
     np.testing.assert_allclose(np.asarray(log_q), np.asarray(lp_ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_fused_own_noise_matches_xla_same_key():
+    """noise=None draws exactly like glow.sample_and_log_prob (split +
+    hypothesis-major (n*b, d)): toggling the fused sampler never changes
+    a seeded run's samples."""
+    cfg, params = _setup(features=12, hidden=32, num_layers=2, context=8)
+    b, n = 3, 8
+    feat = jax.random.normal(jax.random.key(70), (b, 8))
+    x_ref, lp_ref = glow.sample_and_log_prob(
+        params, feat, jax.random.key(77), n, temp=0.9, cfg=cfg)
+    x_f, lp_f = pgs.sample_and_log_prob_fused(
+        params, feat, jax.random.key(77), n, temp=0.9, cfg=cfg,
+        weight_dtype=jnp.float32)  # isolate the draw; bf16 is perf-only
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_ref),
+                               atol=2e-3)

@@ -36,17 +36,15 @@ def test_fused_matches_xla_forward():
         images_per_tile=2,
     )
 
-    # Re-derive with the XLA path from the identical base draw.
-    r = n  # n already a multiple of 8
-    z0 = jax.random.normal(key, (b, r, cfg.dim)) * 0.8
-    z_rows = jnp.transpose(z0, (1, 0, 2)).reshape(n * b, cfg.dim)
+    # The XLA path with the SAME key must give the same hypotheses:
+    # sample_fused draws exactly like realnvp.sample (hypothesis-major
+    # (n*b, d) from the caller's key), so toggling use_pallas_sampler
+    # never changes a seeded run's samples.
     cond = realnvp.make_cond(params, cfg, feat)
     cproj = realnvp.cond_cache(params, cfg, cond)
-    x_ref, logdet = realnvp.forward(params, cfg, z_rows, jnp.tile(cproj, (1, 1, n, 1)))
-    lp_ref = (
-        -0.5 * jnp.sum(z_rows**2, -1)
-        - 0.5 * cfg.dim * math.log(2 * math.pi)
-        - logdet
+    x_ref, lp_ref = realnvp.sample(
+        params, cfg, key, n * b, cproj=jnp.tile(cproj, (1, 1, n, 1)),
+        temp=0.8, return_log_prob=True,
     )
     np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(lp_fused), np.asarray(lp_ref), atol=1e-4)
