@@ -49,6 +49,19 @@ def depth_mask_visibility(
     Returns:
         (K,) bool.
     """
+    from mhentropy_tpu.data.transforms import _hostops
+
+    ho = _hostops()
+    if ho:
+        # The C++ kernel (native/hostops.cc) — parity-pinned vs the
+        # numpy body in tests/test_native_hostops.py; per-sample HO3D
+        # visibility is one of the hot host-path items.
+        return ho.depth_mask_visibility(uvd, hand_mask, depth_m,
+                                        quant=quant, tol_mm=tol_mm)
+    return _depth_mask_visibility_np(uvd, hand_mask, depth_m, quant, tol_mm)
+
+
+def _depth_mask_visibility_np(uvd, hand_mask, depth_m, quant, tol_mm):
     h, w = hand_mask.shape
     du, dv = _window_offsets(quant)
     u = uvd[:, 0].astype(int)[:, None] + du[None]

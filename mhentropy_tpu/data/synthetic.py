@@ -63,7 +63,8 @@ def make_dataset(
         [rng.randn(n, 3) * 0.3, rng.randn(n, 45) * 0.5], axis=1
     ).astype(np.float32)
     beta = (rng.randn(n, 10) * 0.01).astype(np.float32)
-    out = mano.mano_decode(model, jnp.asarray(theta), jnp.asarray(beta), skeidx="RHD")
+    out = mano.mano_decode(model, jnp.asarray(theta), jnp.asarray(beta),
+                           skeidx="RHD", config=mano_config)
     xyz = np.asarray(out["mano_joints"])  # (n, 21, 3) mm
     root_idx, norm_idx = skeletons.ROOT_IDX[ds], skeletons.NORM_IDX[ds]
     normed, root, bone = camera.batch_normalize_pose3d(
@@ -78,12 +79,15 @@ def make_dataset(
     uv_px = (crop_uv + 1.0) / 2.0 * image_size
 
     # 3-state visibility: 1 visible, 0 patch-occluded, 2 out-of-bounds
-    # (rhddataloader.py:169-173 semantics).
+    # (rhddataloader.py:169-173 semantics). Like the loaders'
+    # demote_out_of_bounds, only VISIBLE joints demote to 2 — an occluded
+    # joint that is also out of frame stays 0 (the fixture previously let
+    # 2 override 0, skewing the vis/invis label mix vs real data).
     vis = np.ones((n, 21), np.float32)
     occ = rng.rand(n, 21) < occlusion_rate
     vis[occ] = 0.0
     oob = (crop_uv < -1.0).any(-1) | (crop_uv >= 1.0).any(-1)
-    vis[oob] = 2.0
+    vis[oob & (vis == 1.0)] = 2.0
 
     st = np.concatenate([s_cam, t_cam], axis=1)
     images = _render_keypoint_splats(uv_px, image_size)

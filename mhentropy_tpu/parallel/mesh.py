@@ -46,7 +46,18 @@ def make_mesh(n_devices: int | None = None, hypo: int = 1, devices=None) -> Mesh
         )
     devices = devices[:n_devices]
     assert n_devices % hypo == 0, (n_devices, hypo)
-    grid = np.asarray(devices).reshape(n_devices // hypo, hypo)
+    shape = (n_devices // hypo, hypo)
+    try:
+        # Topology-aware layout: enumeration-order reshape puts mesh
+        # neighbours on devices that need not be ICI neighbours, so
+        # collectives over 'data'/'hypo' would cross non-adjacent links
+        # on a real slice. create_device_mesh degrades to the plain
+        # reshape on hosts/CPU.
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_device_mesh(shape, devices=devices)
+    except Exception:
+        grid = np.asarray(devices).reshape(shape)
     return Mesh(grid, (DATA_AXIS, HYPO_AXIS))
 
 
@@ -68,12 +79,6 @@ def shard_batch(mesh: Mesh, tree):
     """Device-put a host batch with the leading axis sharded over 'data'."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
-
-
-def constrain_hypotheses(z_nb, mesh: Mesh | None = None):
-    """Annotate an (N, B, ...) tensor to live sharded over (hypo, data)."""
-    spec = P(HYPO_AXIS, DATA_AXIS)
-    return jax.lax.with_sharding_constraint(z_nb, spec)
 
 
 def fsdp_sharding(mesh: Mesh, tree, min_size: int = 4096):

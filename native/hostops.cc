@@ -26,10 +26,13 @@ template <typename T>
 static void crop_resize_nearest_t(const T* img, int h, int w, int c,
                                   float cx, float cy, float half,
                                   float pad_value, float* out, int s) {
-  const int x1 = (int)std::lround(cx - half);
-  const int y1 = (int)std::lround(cy - half);
-  const int x2 = (int)std::lround(cx + half);
-  const int y2 = (int)std::lround(cy + half);
+  // nearbyint (round-half-to-even under the default FP mode) matches the
+  // numpy fallback's np.round; lround's half-away-from-zero shifted the
+  // whole crop by one pixel whenever cx/cy +- half landed exactly on .5.
+  const int x1 = (int)std::nearbyint(cx - half);
+  const int y1 = (int)std::nearbyint(cy - half);
+  const int x2 = (int)std::nearbyint(cx + half);
+  const int y2 = (int)std::nearbyint(cy + half);
   const int cw = x2 - x1, ch = y2 - y1;
   // Degenerate crop (half <= 0): everything is padding. The prefix/suffix
   // padding below assumes col[] is monotone non-decreasing, which only
@@ -186,16 +189,22 @@ void check_occlusion(const float* uv, const float* z, int k,
                      const float* depth, int h, int w, float delta, int quant,
                      float* vis) {
   for (int i = 0; i < k; ++i) {
-    const int row0 = (int)std::lround(uv[2 * i + 1]);
-    const int col0 = (int)std::lround(uv[2 * i]);
+    // nearbyint == np.round (half to even) — the numpy twin's rounding.
+    const int row0 = (int)std::nearbyint(uv[2 * i + 1]);
+    const int col0 = (int)std::nearbyint(uv[2 * i]);
     float flag = 0.f;
     for (int row = row0 - quant + 1; row < row0 + quant && flag == 0.f; ++row) {
       // Reference bounds use (w, h) transposed; crops are square so this is
-      // equivalent — keep square-image semantics.
+      // equivalent — keep square-image semantics. The READ clips to real
+      // memory like the numpy twin (non-square inputs stay crash-free:
+      // the transposed test admits rows in [h, w) on landscape frames,
+      // which previously read past the buffer).
       if (row < 0 || row > w - 1) continue;
+      const int rc = row > h - 1 ? h - 1 : row;
       for (int col = col0 - quant + 1; col < col0 + quant; ++col) {
         if (col < 0 || col > h - 1) continue;
-        if (std::fabs(depth[(int64_t)row * w + col] - z[i]) <= delta) {
+        const int cc = col > w - 1 ? w - 1 : col;
+        if (std::fabs(depth[(int64_t)rc * w + cc] - z[i]) <= delta) {
           flag = 1.f;
           break;
         }

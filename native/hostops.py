@@ -73,7 +73,12 @@ def crop_resize_nearest(img: np.ndarray, centre, half: float, size: int,
         img, h, w, c, float(centre[0]), float(centre[1]), float(half),
         float(pad_value), out, size,
     )
-    return out[..., 0] if squeeze else out
+    out = out[..., 0] if squeeze else out
+    # Match the numpy fallback's dtype contract (it preserves the input
+    # dtype; a nearest gather copies pixels, so the cast back from the
+    # kernel's f32 is exact for integer sources) — same normalisation
+    # warp_affine_nearest's caller applies.
+    return out if img.dtype != np.uint8 else out.astype(np.uint8)
 
 
 def warp_affine_nearest(img: np.ndarray, m: np.ndarray, size: int,
@@ -100,7 +105,10 @@ def warp_affine_nearest(img: np.ndarray, m: np.ndarray, size: int,
 def circle_occlude(img: np.ndarray, cx: int, cy: int, r: int,
                    uv: np.ndarray):
     lib = _load()
-    img = np.ascontiguousarray(img, np.float32)
+    # Always copy: the C kernel writes in place, and ascontiguousarray
+    # ALIASES a contiguous f32 input — the caller's array was mutated on
+    # exactly that path and left untouched on every other dtype/layout.
+    img = np.array(img, np.float32)
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]

@@ -58,7 +58,9 @@ def test_depth_mask_visibility_matches_numpy():
         [rng.uniform(-5, 100, 21), rng.uniform(-5, 100, 21),
          rng.uniform(300, 900, 21)], 1
     ).astype(np.float32)
-    ref = occlusion.depth_mask_visibility(uvd, mask, depth, quant=5, tol_mm=40)
+    # Compare against the numpy BODY: the public function now dispatches
+    # to the native kernel when built, which would make this vacuous.
+    ref = occlusion._depth_mask_visibility_np(uvd, mask, depth, 5, 40)
     ours = hostops.depth_mask_visibility(uvd, mask, depth, quant=5, tol_mm=40)
     np.testing.assert_array_equal(ours, ref)
 
