@@ -445,7 +445,7 @@ def _folded_kp26_nl(model, chain_r_nl, skin_t_nl, beta, pose_map):
     return kp, jnp.sum(m, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("skeidx", "pallas_lbs"))
+@functools.partial(jax.jit, static_argnames=("skeidx", "pallas_lbs", "config"))
 def mano_decode(model: ManoModel, theta: jax.Array, beta: jax.Array,
                 skeidx: str = "RHD", pallas_lbs: bool = False,
                 config: ManoConfig = ManoConfig()):
