@@ -319,6 +319,24 @@ def forward(
     return x, logdet
 
 
+def inverse_layer(layer, cp, z, logdet, conditional: bool):
+    """One coupling layer of the data->base direction (the body of
+    `inverse`'s scan, exposed for the pipeline-parallel runner in
+    parallel/pipeline.py).
+
+    Args:
+        layer: this layer's weight pytree (leading L axis already indexed).
+        cp: (4, R, H) conditioning projections for this layer.
+    """
+    mask = jax.lax.stop_gradient(layer.masks)
+    z_masked = z * mask
+    s, t = _st_nets(layer, z_masked, cp, conditional)
+    s = s * (1.0 - mask)
+    t = t * (1.0 - mask)
+    z = (1.0 - mask) * (z - t) * jnp.exp(-s) + z_masked
+    return z, logdet - jnp.sum(s, axis=1)
+
+
 def inverse(
     params: RealNVPParams,
     cfg: RealNVPConfig,
@@ -338,13 +356,7 @@ def inverse(
     def body(carry, inp):
         z, logdet = carry
         layer, cp = inp
-        mask = jax.lax.stop_gradient(layer.masks)
-        z_masked = z * mask
-        s, t = _st_nets(layer, z_masked, cp, conditional)
-        s = s * (1.0 - mask)
-        t = t * (1.0 - mask)
-        z = (1.0 - mask) * (z - t) * jnp.exp(-s) + z_masked
-        return (z, logdet - jnp.sum(s, axis=1)), None
+        return inverse_layer(layer, cp, z, logdet, conditional), None
 
     (z, logdet), _ = jax.lax.scan(
         body,

@@ -11,7 +11,12 @@ absence: a 2-D (data, hypo) mesh over ICI where
   per image spread across chips; per-image features are broadcast once),
 * optionally the TrainState itself shards over 'data' (`fsdp_sharding` —
   ZeRO-3: params/moments partitioned, XLA inserts all-gathers and
-  reduce-scatters; `engine.make_train_step(..., fsdp=True)`).
+  reduce-scatters; `engine.make_train_step(..., fsdp=True)`),
+* optionally the model itself shards over a third 'model' axis
+  (`tp_sharding` — Megatron-style tensor parallelism: column-parallel
+  first linear / row-parallel second linear per MLP pair, channel-parallel
+  conv1 + input-channel-parallel conv2 per residual block; XLA inserts the
+  one psum per pair; `engine.make_train_step(..., tp=True)`).
 
 Everything uses jit + NamedSharding + with_sharding_constraint — XLA inserts
 the collectives.
@@ -27,10 +32,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 HYPO_AXIS = "hypo"
+MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
-def make_mesh(n_devices: int | None = None, hypo: int = 1, devices=None) -> Mesh:
-    """A (data, hypo) mesh. hypo=1 gives pure data parallelism."""
+def make_mesh(n_devices: int | None = None, hypo: int = 1, tp: int = 1,
+              pp: int = 1, devices=None) -> Mesh:
+    """A (data, hypo, model, pipe) mesh. hypo=tp=pp=1 gives pure data
+    parallelism (the extra size-1 axes are free — specs that never name
+    them replicate over them). 'pipe' carries the GPipe flow-stack
+    pipeline (parallel/pipeline.py)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
@@ -45,8 +56,9 @@ def make_mesh(n_devices: int | None = None, hypo: int = 1, devices=None) -> Mesh
             "sitecustomize."
         )
     devices = devices[:n_devices]
-    assert n_devices % hypo == 0, (n_devices, hypo)
-    shape = (n_devices // hypo, hypo)
+    grp = hypo * tp * pp
+    assert n_devices % grp == 0, (n_devices, hypo, tp, pp)
+    shape = (n_devices // grp, hypo, tp, pp)
     try:
         # Topology-aware layout: enumeration-order reshape puts mesh
         # neighbours on devices that need not be ICI neighbours, so
@@ -58,7 +70,7 @@ def make_mesh(n_devices: int | None = None, hypo: int = 1, devices=None) -> Mesh
         grid = mesh_utils.create_device_mesh(shape, devices=devices)
     except Exception:
         grid = np.asarray(devices).reshape(shape)
-    return Mesh(grid, (DATA_AXIS, HYPO_AXIS))
+    return Mesh(grid, (DATA_AXIS, HYPO_AXIS, MODEL_AXIS, PIPE_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -114,6 +126,124 @@ def fsdp_sharding(mesh: Mesh, tree, min_size: int = 4096):
     return jax.tree_util.tree_map(leaf, tree)
 
 
+def _tp_spec(path: str, shape, n: int) -> P | None:
+    """Megatron-style PartitionSpec for one parameter leaf, or None.
+
+    Pairs are chosen so each MLP costs exactly one psum (after the
+    row-parallel member) and every residual/block boundary stays
+    replicated:
+
+    * RealNVP stacked couplings (flows/realnvp.py RealNVPParams,
+      (L, in, out) kernels): `*_w0`/`*_c0` column-parallel into the hidden
+      (+ their biases), `*_w1` row-parallel out of it; `*_w2` (H→45) and
+      the layer-1 cond fusions stay replicated — their outputs are tiny.
+    * Glow ResidualNet blocks (flows/glow.py): `l0`/`ctx` column-parallel
+      (both feed the hidden add), `l1` row-parallel back to the residual
+      stream; actnorm/LULinear/initial/final replicated (45-dim).
+    * ResNet residual blocks (flax dicts, HWIO kernels): `conv1`
+      output-channel-parallel with its `bn1` scale/bias sharded to match,
+      `conv2` input-channel-parallel (the contraction is over channels, so
+      a channel-sharded activation psums back to replicated); `conv3`/
+      downsample/stem replicated. Running batch_stats stay replicated.
+    * det_head: `l0` column- / `l1` row-parallel.
+    """
+    nd = len(shape)
+
+    def div(d):
+        return shape[d] % n == 0
+
+    if "batch_stats" in path:
+        return None
+    # --- RealNVP stacked couplings -----------------------------------
+    if nd == 3 and div(2) and any(
+        path.endswith(k) for k in (".s_w0", ".t_w0", ".s_c0", ".t_c0")
+    ):
+        return P(None, None, MODEL_AXIS)
+    if nd == 2 and div(1) and any(
+        path.endswith(k) for k in (".s_b0", ".t_b0", ".s_cb0", ".t_cb0")
+    ):
+        return P(None, MODEL_AXIS)
+    if nd == 3 and div(1) and any(
+        path.endswith(k) for k in (".s_w1", ".t_w1")
+    ):
+        return P(None, MODEL_AXIS, None)
+    # --- Glow ResidualNet blocks --------------------------------------
+    if "'blocks'" in path and "'coupling'" in path:
+        if nd == 2 and div(1) and (
+            "'l0'" in path or "'ctx'" in path
+        ) and path.endswith("'w']"):
+            return P(None, MODEL_AXIS)
+        if nd == 1 and div(0) and (
+            "'l0'" in path or "'ctx'" in path
+        ) and path.endswith("'b']"):
+            return P(MODEL_AXIS)
+        if nd == 2 and div(0) and "'l1'" in path and path.endswith("'w']"):
+            return P(MODEL_AXIS, None)
+        return None
+    # --- ResNet residual blocks ---------------------------------------
+    if "'layer" in path and "backbone" in path:
+        if nd == 4 and div(3) and "'conv1'" in path:
+            return P(None, None, None, MODEL_AXIS)
+        if nd == 1 and div(0) and "'bn1'" in path:
+            return P(MODEL_AXIS)
+        if nd == 4 and div(2) and "'conv2'" in path:
+            return P(None, None, MODEL_AXIS, None)
+        return None
+    # --- det head ------------------------------------------------------
+    if "det_head" in path:
+        if nd == 2 and div(1) and "'l0'" in path and path.endswith("'w']"):
+            return P(None, MODEL_AXIS)
+        if nd == 1 and div(0) and "'l0'" in path and path.endswith("'b']"):
+            return P(MODEL_AXIS)
+        if nd == 2 and div(0) and "'l1'" in path and path.endswith("'w']"):
+            return P(MODEL_AXIS, None)
+    return None
+
+
+def tp_sharding(mesh: Mesh, tree):
+    """Per-leaf NamedShardings for Megatron-style tensor parallelism over
+    the 'model' axis (see `_tp_spec` for the layout). Leaves the rules
+    don't claim stay replicated. Matching is by key-path suffix, so the
+    same rules cover a bare params tree, a TrainState, and the optax
+    moment mirrors inside it."""
+    n = mesh.shape[MODEL_AXIS]
+
+    def leaf(path, x):
+        shape = getattr(x, "shape", ())
+        spec = _tp_spec(jax.tree_util.keystr(path), shape, n) if n > 1 else None
+        return NamedSharding(mesh, spec if spec is not None else P())
+
+    return jax.tree_util.tree_map_with_path(leaf, tree)
+
+
+def state_sharding(mesh: Mesh, tree, fsdp: bool = False, tp: bool = False,
+                   min_size: int = 4096):
+    """Combined TrainState layout: tensor-parallel specs first (`tp`),
+    then ZeRO-3 sharding over 'data' (`fsdp`) on whatever dims the TP
+    rule left unsharded — large TP-sharded leaves pick up a second axis
+    (2-D sharding), everything else falls back to the plain fsdp rule."""
+    n_d = mesh.shape[DATA_AXIS]
+    n_m = mesh.shape[MODEL_AXIS]
+
+    def leaf(path, x):
+        shape = getattr(x, "shape", ())
+        size = int(np.prod(shape)) if shape else 0
+        spec = list(_tp_spec(jax.tree_util.keystr(path), shape, n_m) or
+                    [None] * len(shape)) if (tp and n_m > 1) else \
+            [None] * len(shape)
+        if fsdp and n_d > 1 and size >= min_size:
+            for d in sorted(range(len(shape)), key=lambda d: shape[d],
+                            reverse=True):
+                if spec[d] is None and shape[d] % n_d == 0:
+                    spec[d] = DATA_AXIS
+                    break
+        while spec and spec[-1] is None:  # P(None,..) == P() semantically;
+            spec.pop()                    # keep the canonical spelling
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(leaf, tree)
+
+
 def shard_tree(tree, shardings):
     """Device-put a host pytree onto per-leaf shardings (e.g. from
     fsdp_sharding)."""
@@ -127,12 +257,14 @@ def pad_batch(batch_size: int, n_devices: int) -> int:
     return int(math.ceil(batch_size / n_devices) * n_devices)
 
 
-def fit_devices(batch_size: int, hypo: int = 1, n_available: int | None = None) -> int:
-    """Largest usable device count: a multiple of `hypo` whose data axis
+def fit_devices(batch_size: int, hypo: int = 1, tp: int = 1,
+                n_available: int | None = None) -> int:
+    """Largest usable device count: a multiple of `hypo*tp` whose data axis
     divides the batch."""
     if n_available is None:
         n_available = len(jax.devices())
+    grp = hypo * tp
     for n in range(n_available, 0, -1):
-        if n % hypo == 0 and batch_size % (n // hypo) == 0:
+        if n % grp == 0 and batch_size % (n // grp) == 0:
             return n
-    return hypo
+    return grp

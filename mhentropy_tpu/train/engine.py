@@ -278,14 +278,18 @@ def init_state(key, model_cfg: MHEntConfig, optimizer) -> TrainState:
 
 
 def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer,
-                    mesh, fsdp: bool = False):
+                    mesh, fsdp: bool = False, tp: bool = False):
     """One pjit-compiled optimisation step; batch sharded over 'data'.
 
     fsdp=True additionally shards the TrainState itself (params, optimizer
     moments) over 'data' per `mesh_lib.fsdp_sharding` — ZeRO-3 layout, with
     XLA inserting the param all-gathers and gradient reduce-scatters. Same
     math as the replicated step (tested); per-device memory for state
-    drops ~linearly with the data-axis size."""
+    drops ~linearly with the data-axis size.
+
+    tp=True shards the model itself over the mesh's 'model' axis
+    (Megatron-style column/row-parallel pairs, `mesh_lib.tp_sharding`);
+    composes with fsdp (TP-sharded leaves pick up a second 'data' axis)."""
 
     def step_fn(state: TrainState, image, target, key):
         image, target = _prep_batch(image, target)
@@ -321,20 +325,22 @@ def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
     state_sh = repl
-    if fsdp and mesh.size > 1:
+    if (fsdp or tp) and mesh.size > 1:
         tmpl = jax.eval_shape(
             lambda k: init_state(k, model_cfg, optimizer), jax.random.key(0)
         )
-        state_sh = mesh_lib.fsdp_sharding(mesh, tmpl)
+        state_sh = mesh_lib.state_sharding(mesh, tmpl, fsdp=fsdp, tp=tp)
     return _mesh_jit(step_fn, mesh, (state_sh, data, data, repl),
                      (state_sh, repl), donate=(0,))
 
 
 def make_eval_step(
     model: ManoModel, model_cfg: MHEntConfig, mesh, n: int, temp: float,
-    n_quant: int | None = None, quant_spec=None,
+    n_quant: int | None = None, quant_spec=None, tp: bool = False,
 ):
-    """Multi-hypothesis eval: N sharded over 'hypo', batch over 'data'.
+    """Multi-hypothesis eval: N sharded over 'hypo', batch over 'data';
+    tp=True additionally runs the model tensor-parallel over 'model'
+    (params laid out by `mesh_lib.tp_sharding`, batch_stats replicated).
 
     quant_spec: optional models/quant.QuantSpec — the returned step takes
     a trailing int8 qtree argument and samples hypotheses through the
@@ -370,7 +376,12 @@ def make_eval_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
-    in_sh = (repl, repl, data, data, repl)
+    params_sh = repl
+    if tp and mesh.size > 1:
+        tmpl = jax.eval_shape(lambda k: mhent.init(k, model_cfg)[0],
+                              jax.random.key(0))
+        params_sh = mesh_lib.tp_sharding(mesh, tmpl)
+    in_sh = (params_sh, repl, data, data, repl)
     if quant_spec is not None:
         in_sh = in_sh + (repl,)
     return _mesh_jit(eval_fn, mesh, in_sh, repl)
@@ -394,10 +405,12 @@ class Experiment:
             self.model_cfg = build_rle_config(cfg)
         self.model = load_mano_model(mano_dir)
         hypo = cfg.tpu.mesh_hypo if "tpu" in cfg else 1
+        tp = int(cfg.tpu.get("tp") or 1) if "tpu" in cfg else 1
         # Use as many devices as divide the batch (a 2-image batch cannot
         # shard over 8 virtual devices).
-        n_dev = mesh_lib.fit_devices(cfg.training.batch_size, hypo=hypo)
-        self.mesh = mesh_lib.make_mesh(n_devices=n_dev, hypo=hypo)
+        n_dev = mesh_lib.fit_devices(cfg.training.batch_size, hypo=hypo, tp=tp)
+        self.mesh = mesh_lib.make_mesh(n_devices=n_dev, hypo=hypo, tp=tp)
+        self._tp = tp > 1
 
         os.makedirs(cfg.model_dir, exist_ok=True)
         self.log = get_logger(
@@ -546,6 +559,7 @@ class Experiment:
                         self.mesh,
                         fsdp=bool(self.cfg.tpu.fsdp)
                         if "tpu" in self.cfg else False,
+                        tp=self._tp,
                     )
                 else:
                     self._train_step = make_rle_train_step(
@@ -563,6 +577,7 @@ class Experiment:
             self._train_step = make_train_step(
                 self.model, self.model_cfg, self.optimizer, self.mesh,
                 fsdp=bool(self.cfg.tpu.fsdp) if "tpu" in self.cfg else False,
+                tp=self._tp,
             )
         else:
             params, stats = rle.init(k_init, self.model_cfg)
@@ -606,6 +621,7 @@ class Experiment:
                 self._eval_step[key] = make_eval_step(
                     self.model, self.model_cfg, self.mesh, n, temp,
                     n_quant=min(n_quant, n), quant_spec=quant_spec,
+                    tp=self._tp,
                 )
             else:
                 self._eval_step[key] = make_rle_eval_step(

@@ -123,6 +123,73 @@ def test_fsdp_train_step_matches_single_device(small_cfg, model):
     np.testing.assert_allclose(results[1][3], results[8][3], atol=1e-2)
 
 
+def test_tp_sharding_specs(small_cfg):
+    """Megatron layout rules (pure host, no compile): column-parallel
+    first linears, row-parallel second, replicated elsewhere; batch_stats
+    and the optax moment mirrors follow the same suffix rules."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = mesh_lib.make_mesh(n_devices=8, hypo=2, tp=2)
+    optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
+    tmpl = jax.eval_shape(
+        lambda k: engine.init_state(k, small_cfg, optimizer), jax.random.key(0)
+    )
+    sh = mesh_lib.state_sharding(mesh, tmpl, tp=True)
+    params = sh.params
+    assert params["flow"].s_w0.spec == P(None, None, "model")
+    assert params["flow"].t_w1.spec == P(None, "model")  # row (trailing None canonicalised away)
+    assert params["flow"].s_w2.spec == P()  # H->45: stays replicated
+    assert params["det_head"]["l0"]["w"].spec == P(None, "model")
+    assert params["det_head"]["l1"]["w"].spec == P("model")
+    bb = params["encoder"]["backbone"]
+    assert bb["layer1_0"]["conv1"]["kernel"].spec == P(None, None, None, "model")
+    assert bb["layer1_0"]["conv2"]["kernel"].spec == P(None, None, "model")
+    assert bb["layer1_0"]["bn1"]["scale"].spec == P("model")
+    assert bb["conv1"]["kernel"].spec == P()  # stem replicated
+    # Running stats never shard; optax moments mirror the param layout.
+    assert all(
+        s.is_fully_replicated
+        for s in jax.tree_util.tree_leaves(sh.batch_stats)
+    )
+    mu = jax.tree_util.tree_leaves(
+        sh.opt_state, is_leaf=lambda x: hasattr(x, "spec")
+    )
+    assert any(not s.is_fully_replicated for s in mu)
+    # tp+fsdp: a TP-sharded conv leaf picks up a second 'data' axis when a
+    # free dim divides; the fsdp-only rule still covers unclaimed leaves.
+    sh2 = mesh_lib.state_sharding(mesh, tmpl, tp=True, fsdp=True)
+    got = sh2.params["encoder"]["backbone"]["layer1_0"]["conv1"]["kernel"].spec
+    assert "model" in got and ("data" in got or got.index("model") >= 0)
+
+
+def test_tp_train_step_matches_single_device(small_cfg, model):
+    """Tensor-parallel (model-axis) training must compute the same update
+    as the replicated single-device step — XLA SPMD inserts the Megatron
+    psums; numerics only move by reduction order."""
+    optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
+    data = synthetic.make_dataset(model, n=8, image_size=IMG, seed=1)
+    image, target = next(synthetic.batches(data, 8))
+
+    results = {}
+    for ndev, tp in ((1, False), (8, True)):
+        mesh = mesh_lib.make_mesh(n_devices=ndev, hypo=1, tp=2 if tp else 1)
+        state = engine.init_state(jax.random.key(0), small_cfg, optimizer)
+        im = mesh_lib.shard_batch(mesh, image)
+        tg = mesh_lib.shard_batch(mesh, target)
+        step = engine.make_train_step(model, small_cfg, optimizer, mesh,
+                                      tp=tp)
+        state, aux = step(state, im, tg, jax.random.key(7))
+        results[ndev] = (
+            float(aux["loss"]),
+            np.asarray(state.params["det_head"]["l0"]["w"]),
+        )
+        if tp:
+            w0 = state.params["flow"].s_w0
+            assert not w0.sharding.is_fully_replicated, "flow not TP-sharded"
+    assert abs(results[1][0] - results[8][0]) / abs(results[1][0]) < 1e-4
+    np.testing.assert_allclose(results[1][1], results[8][1], atol=1e-4)
+
+
 def test_eval_step_hypo_sharding_matches_unsharded(small_cfg, model):
     """Hypo-sharded eval must equal unsharded eval (VERDICT r1 item 8 —
     strongest multi-chip correctness evidence without hardware)."""
