@@ -107,23 +107,11 @@ def fsdp_sharding(mesh: Mesh, tree, min_size: int = 4096):
 
     Apply to a TrainState template: the optimizer moments (optax mirrors
     the param pytree) pick up the identical layout automatically.
+
+    (Thin alias of `state_sharding(fsdp=True)` — one copy of the leaf
+    rule.)
     """
-    n = mesh.shape[DATA_AXIS]
-
-    def leaf(x):
-        shape = getattr(x, "shape", ())
-        size = int(np.prod(shape)) if shape else 0
-        if n == 1 or size < min_size:
-            return NamedSharding(mesh, P())
-        for d in sorted(range(len(shape)), key=lambda d: shape[d],
-                        reverse=True):
-            if shape[d] % n == 0:
-                spec = [None] * len(shape)
-                spec[d] = DATA_AXIS
-                return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map(leaf, tree)
+    return state_sharding(mesh, tree, fsdp=True, min_size=min_size)
 
 
 def _tp_spec(path: str, shape, n: int) -> P | None:

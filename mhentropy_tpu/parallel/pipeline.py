@@ -28,10 +28,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-try:  # jax >= 0.4.35 exports it at the top level
+try:  # jax >= 0.4.35 exports it at the top level (check_vma kwarg)
     from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
+
+    _NO_REP_CHECK = {"check_vma": False}
+except ImportError:  # pragma: no cover - older jax spells it check_rep
     from jax.experimental.shard_map import shard_map
+
+    _NO_REP_CHECK = {"check_rep": False}
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mhentropy_tpu.flows import realnvp
@@ -146,7 +150,7 @@ def inverse_pipelined(
             P(None, DATA_AXIS, None),
         ),
         out_specs=P(None, DATA_AXIS, None),
-        check_vma=False,
+        **_NO_REP_CHECK,
     )(layers, cp, x_m)
     z = out[..., :dim].reshape(rows, dim)
     logdet = out[..., dim].reshape(rows)
@@ -164,6 +168,12 @@ def log_prob_pipelined(
     """Standard-conditional log q(x | feat) through the pipelined stack
     (the tsfm/vis-weight variants stay on the sequential path — they wrap
     the same inverse)."""
+    if cfg.dim in (2, 3):
+        raise NotImplementedError(
+            "log_prob_pipelined covers the standard-conditional flow; "
+            "per-joint configs (dim in {2,3}) reshape rows and sum/weight "
+            "per sample — use realnvp.log_prob."
+        )
     cond = realnvp.make_cond(params, cfg, feat)
     cproj = realnvp.cond_cache(params, cfg, cond)
     z, logdet = inverse_pipelined(params, cfg, x, cproj, mesh, n_micro)

@@ -337,10 +337,12 @@ def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer,
 def make_eval_step(
     model: ManoModel, model_cfg: MHEntConfig, mesh, n: int, temp: float,
     n_quant: int | None = None, quant_spec=None, tp: bool = False,
+    fsdp: bool = False,
 ):
     """Multi-hypothesis eval: N sharded over 'hypo', batch over 'data';
-    tp=True additionally runs the model tensor-parallel over 'model'
-    (params laid out by `mesh_lib.tp_sharding`, batch_stats replicated).
+    tp/fsdp mirror the training-state layout (`mesh_lib.state_sharding`)
+    so an fsdp- or tensor-parallel-trained state evals in place instead
+    of re-gathering the whole parameter tree every call.
 
     quant_spec: optional models/quant.QuantSpec — the returned step takes
     a trailing int8 qtree argument and samples hypotheses through the
@@ -377,10 +379,10 @@ def make_eval_step(
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
     params_sh = repl
-    if tp and mesh.size > 1:
+    if (tp or fsdp) and mesh.size > 1:
         tmpl = jax.eval_shape(lambda k: mhent.init(k, model_cfg)[0],
                               jax.random.key(0))
-        params_sh = mesh_lib.tp_sharding(mesh, tmpl)
+        params_sh = mesh_lib.state_sharding(mesh, tmpl, fsdp=fsdp, tp=tp)
     in_sh = (params_sh, repl, data, data, repl)
     if quant_spec is not None:
         in_sh = in_sh + (repl,)
@@ -622,6 +624,8 @@ class Experiment:
                     self.model, self.model_cfg, self.mesh, n, temp,
                     n_quant=min(n_quant, n), quant_spec=quant_spec,
                     tp=self._tp,
+                    fsdp=bool(self.cfg.tpu.fsdp) if "tpu" in self.cfg
+                    else False,
                 )
             else:
                 self._eval_step[key] = make_rle_eval_step(

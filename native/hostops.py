@@ -52,8 +52,12 @@ def crop_resize_nearest(img: np.ndarray, centre, half: float, size: int,
     if half <= 0:
         # The C++ kernel's prefix/suffix padding assumes a monotone
         # column map (half > 0); a degenerate crop is all padding.
+        # Keep the input dtype (the u8-transport contract: u8 in -> u8
+        # out, like the main path's cast-back below) so a degenerate
+        # sample cannot promote a collated batch to float.
         c = 1 if img.ndim == 2 else img.shape[2]
-        out = np.full((size, size, c), pad_value, np.float32)
+        dt = np.uint8 if img.dtype == np.uint8 else np.float32
+        out = np.full((size, size, c), pad_value, dt)
         return out[..., 0] if img.ndim == 2 else out
     lib = _load()
     # uint8 sources go straight to the u8 kernel (the convert fuses into

@@ -36,6 +36,15 @@ def test_crop_resize_degenerate_half_is_all_padding():
         out = hostops.crop_resize_nearest(img, (25.0, 25.0), half, 16,
                                           pad_value=3.0)
         np.testing.assert_array_equal(out, np.full((16, 16, 3), 3.0))
+    # u8 sources keep the u8-transport contract even on the degenerate
+    # path: one f32 sample would promote the whole collated batch and
+    # bypass engine._prep_image's uint8 normalisation.
+    out = hostops.crop_resize_nearest(
+        np.full((50, 50, 3), 9, np.uint8), (25.0, 25.0), 0.0, 16,
+        pad_value=3.0,
+    )
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, np.full((16, 16, 3), 3, np.uint8))
 
 
 def test_circle_occlude_matches_numpy():
