@@ -71,6 +71,15 @@ def _coerce(new: Any, old: Any, key: str) -> Any:
         # attribute access and wholesale-replaced on a second merge).
         return CfgNode(new) if isinstance(new, dict) else new
     if new is None:
+        if isinstance(old, CfgNode):
+            # A YAML section with all keys commented out parses as None;
+            # silently replacing the whole group would crash far from the
+            # merge ("'NoneType' has no attribute ..."). yacs raises at
+            # merge time — so do we.
+            raise TypeError(
+                f"Type mismatch for key {key}: the YAML overlay sets the "
+                "config group to null (empty section?) — delete the "
+                "section header or give it keys")
         return new
     if isinstance(old, bool):
         # yacs raises on a non-bool overlay; bool("false") == True would

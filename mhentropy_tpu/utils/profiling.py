@@ -40,19 +40,52 @@ def nan_sanitizer(enable: bool = True):
         jax.config.update("jax_debug_infs", prev_inf)
 
 
-def time_fn(fn, *args, iters: int = 20, warmup: int = 2):
-    """Median-free simple wall timing with device sync.
+def _default_vary(args):
+    """Per-iteration input variation: nudge the first floating array arg.
+
+    The axon relay serves repeated identical (program, args) executions
+    from a cache — fixed-input timing loops report impossible numbers
+    (CLAUDE.md "Measurement gotchas", measured r2: resnet50 fwd "0.14 ms"
+    = 6x over v5e peak). Every timing call must therefore be a distinct
+    execution."""
+    import jax.numpy as jnp
+
+    idx = next(
+        (
+            i
+            for i, a in enumerate(args)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        ),
+        None,
+    )
+    if idx is None:
+        return lambda i, a: a
+
+    def vary(i, a):
+        x = a[idx]
+        return a[:idx] + (x + x.dtype.type((i + 1) * 1e-6),) + a[idx + 1:]
+
+    return vary
+
+
+def time_fn(fn, *args, iters: int = 20, warmup: int = 2, vary=None):
+    """Simple wall timing with device sync and per-call input variation
+    (see `_default_vary` — fixed inputs are served from the relay's
+    execution cache and time as ~0). Pass `vary=(lambda i, args: args)`
+    only on backends without an execution cache.
 
     Returns:
         (seconds_per_call, last_result).
     """
+    if vary is None:
+        vary = _default_vary(args)
     result = None
-    for _ in range(warmup):
-        result = fn(*args)
+    for i in range(warmup):
+        result = fn(*vary(-1 - i, args))
     jax.block_until_ready(result)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        result = fn(*args)
+    for i in range(iters):
+        result = fn(*vary(i, args))
     jax.block_until_ready(result)
     return (time.perf_counter() - t0) / iters, result
 
@@ -62,3 +95,49 @@ def hypotheses_per_sec(fn, *args, n_hypotheses: int, batch: int,
     """The BASELINE.json throughput metric for a sampling step."""
     sec, _ = time_fn(fn, *args, iters=iters)
     return n_hypotheses * batch / sec
+
+
+def _scan_harness(fn, steps: int):
+    """The canonical relay-safe scan: per-step varied first arg (else XLA
+    hoists the body out of the scan) and the FULL output reduced into the
+    carry (else XLA prunes the network) — both CLAUDE.md measurement
+    rules. One copy; the probes in tools/ dispatch through here."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def scan(args, key):
+        def body(carry, k):
+            varied = (
+                args[0]
+                + jax.random.uniform(k, (1,), jnp.float32).astype(
+                    args[0].dtype
+                )
+                * args[0].dtype.type(1e-3),
+            ) + tuple(args[1:])
+            out = fn(*varied)
+            return carry + jnp.sum(out.astype(jnp.float32)) * 1e-20, None
+
+        acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, steps))
+        return acc
+
+    return scan
+
+
+def traced_scan(fn, args, key, steps: int = 20):
+    """Run `steps` executions of fn inside ONE jitted lax.scan (for xplane
+    profiling or as a single timed dispatch)."""
+    return _scan_harness(fn, steps)(tuple(args), key)
+
+
+def scan_seconds_per_step(fn, args, key, steps: int = 30, rounds: int = 3):
+    """Best-of-rounds wall seconds per step of fn inside the scan harness
+    (jitted once; each round uses a distinct key)."""
+    scan = _scan_harness(fn, steps)
+    args = tuple(args)
+    jax.block_until_ready(scan(args, key))
+    best = float("inf")
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        jax.block_until_ready(scan(args, jax.random.fold_in(key, r)))
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best

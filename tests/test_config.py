@@ -155,3 +155,18 @@ def test_coercion_rejects_lossy_and_mistyped_overlays():
         cfg.merge_from_other_cfg({"network": {"entropy": "false"}})
     cfg.merge_from_other_cfg({"network": {"pgm": {"a": 1}}})
     assert cfg.network.pgm.a == 1  # CfgNode, not a raw dict
+
+
+def test_empty_yaml_section_raises_not_nulls_group():
+    """A YAML overlay section with every key commented out parses as
+    {'training': None}; replacing the group with None would crash far from
+    the merge (AttributeError on cfg.training.batch_size). yacs raises at
+    merge time — so do we."""
+    import pytest
+
+    from mhentropy_tpu.utils.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    with pytest.raises(TypeError, match="empty section"):
+        cfg.merge_from_other_cfg({"training": None})
+    assert cfg.training.batch_size  # group untouched

@@ -188,10 +188,23 @@ def test_profiling_harness():
         return x * 2.0
 
     sec, res = profiling.time_fn(f, jnp.ones(8), iters=3)
-    assert sec > 0 and np.all(np.asarray(res) == 2.0)
+    # time_fn perturbs the input per call (relay execution-cache rule,
+    # CLAUDE.md "Measurement gotchas") — the result is ~2, not exactly 2.
+    assert sec > 0 and np.allclose(np.asarray(res), 2.0, atol=1e-3)
+    assert not np.all(np.asarray(res) == 2.0), "inputs were not varied"
     hps = profiling.hypotheses_per_sec(f, jnp.ones(8), n_hypotheses=10,
                                        batch=4, iters=3)
     assert hps > 0
+
+    # The canonical scan harness: per-step varied input, full-carry
+    # reduction, one jitted dispatch for `steps` executions.
+    acc = profiling.traced_scan(f, (jnp.ones(8),), jax.random.key(0),
+                                steps=4)
+    assert np.isfinite(float(acc))
+    best = profiling.scan_seconds_per_step(f, (jnp.ones(8),),
+                                           jax.random.key(0), steps=4,
+                                           rounds=2)
+    assert best > 0
 
     with profiling.nan_sanitizer(False):
         pass  # toggles restore without error

@@ -305,7 +305,11 @@ def load_prohmr_smpl_flow(path: str, glow_cfg=None) -> list:
     """Load the reference's released ProHMR-style SMPL-flow weights
     (/root/reference/README.md:26-42) into flows.glow params (BASELINE
     config 5). Auto-detects the ConditionalGlow key prefix (ProHMR stores it
-    as `flow.`; standalone dumps use '')."""
+    as `flow.`; standalone dumps use '').
+
+    glow_cfg: optional flows.glow.GlowConfig to validate the converted
+    geometry against — a mismatched checkpoint fails HERE with the two
+    configs printed, not with a shape error deep inside sampling."""
     import torch
 
     sd = torch.load(path, map_location="cpu")
@@ -317,7 +321,18 @@ def load_prohmr_smpl_flow(path: str, glow_cfg=None) -> list:
         raise ValueError(
             f"{path}: no ConditionalGlow found; keys like {sorted(sd)[:5]}"
         )
-    return convert_conditional_glow(sd, prefixes[0])
+    params = convert_conditional_glow(sd, prefixes[0])
+    if glow_cfg is not None:
+        from mhentropy_tpu.flows.glow import infer_config
+
+        got = infer_config(params)
+        want = glow_cfg._replace(dropout=got.dropout)  # not in the weights
+        if got != want:
+            raise ValueError(
+                f"{path}: checkpoint geometry {got} does not match the "
+                f"configured flow {want}"
+            )
+    return params
 
 
 if __name__ == "__main__":

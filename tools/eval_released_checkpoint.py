@@ -73,14 +73,20 @@ def main():
 
     key = jax.random.key(0)
     meters: dict = {}
-    for i, (image, target) in enumerate(common.batches(dataset, args.batch)):
+    batch_mets = []
+    # pad_remainder keeps the tail samples — the reference's eval
+    # DataLoader has no drop_last (CrossModalHand.py:176-179), so a
+    # truncated split would skew the README-table comparison. Metric
+    # fetches are deferred to ONE device_get (a per-scalar fetch costs
+    # ~25 ms of relay round trip per batch — docs/PERF.md).
+    for image, target in common.prefetch(
+            common.batches(dataset, args.batch, pad_remainder=True)):
         key, k = jax.random.split(key)
-        mets = eval_step(params, batch_stats, image, target, k)
+        batch_mets.append(eval_step(params, batch_stats, image, target, k))
+    for mets in jax.device_get(batch_mets):
+        n_valid = float(mets.pop("n_valid", args.batch))
         for name, v in mets.items():
-            meters.setdefault(name, AverageMeter()).update(float(v))
-        if i % 10 == 0:
-            print(f"batch {i}: BH-MPJPE "
-                  f"{meters['eucLoss_3d_rgb_sample'].avg * 1000:.2f} mm")
+            meters.setdefault(name, AverageMeter()).update(float(v), n=n_valid)
 
     print("\n=== README-table metrics (hand/README.md:46-50) ===")
     print(f"MPJPE (BH, mm):   {meters['eucLoss_3d_rgb_sample'].avg * 1000:.2f}"

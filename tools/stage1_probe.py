@@ -316,21 +316,9 @@ def _probe_xla():
 
 
 def _traced_scan(fn, args, key, steps=20):
-    import jax
-    import jax.numpy as jnp
+    from mhentropy_tpu.utils.profiling import traced_scan
 
-    @jax.jit
-    def scan(args, key):
-        def body(carry, k):
-            varied = (args[0] + jax.random.uniform(
-                k, (1,), jnp.float32).astype(args[0].dtype) * args[0].dtype.type(1e-3),) + args[1:]
-            out = fn(*varied)
-            return carry + jnp.sum(out.astype(jnp.float32)) * 1e-20, None
-
-        acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, steps))
-        return acc
-
-    return scan(args, key)
+    return traced_scan(fn, args, key, steps)
 
 
 def main():

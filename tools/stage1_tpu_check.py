@@ -248,12 +248,17 @@ def main():
     ref = np.asarray(jax.jit(xla_ref)(x).astype(jnp.float32))
     err = np.abs(ours - ref)
     scale = np.abs(ref).mean()
+    # bf16 dot accumulation vs the XLA path: observed rel_mean ~1e-3 when
+    # healthy; the r3 int8 incident read 42% on-chip while interpret mode
+    # was exact — gate the exit code so CI/scripts catch it.
+    ok = float(err.mean() / scale) < 0.02
     print(json.dumps({
         "check": "numerics",
         "max_abs_err": float(err.max()),
         "mean_abs_err": float(err.mean()),
         "ref_mean_abs": float(scale),
         "rel_mean": float(err.mean() / scale),
+        "ok": ok,
     }), flush=True)
 
     # --- timing (scanned, varied input, full carry) ---
@@ -283,7 +288,7 @@ def main():
         "xla_us_per_call": round(t_xla, 1),
         "speedup": round(t_xla / t_pal, 3),
     }), flush=True)
-    return 0
+    return 0 if ok else 1
 
 
 def main_stage23():

@@ -126,26 +126,10 @@ def probe_xla_step():
 
 def bench(fn, args, steps=30, name=""):
     import jax
-    import jax.numpy as jnp
 
-    @jax.jit
-    def scan(args, key):
-        def body(carry, k):
-            varied = (args[0] + jax.random.uniform(
-                k, (1,), args[0].dtype) * args[0].dtype.type(1e-3),) + args[1:]
-            out = fn(*varied)
-            return carry + jnp.sum(out.astype(jnp.float32)) * 1e-20, None
+    from mhentropy_tpu.utils.profiling import scan_seconds_per_step
 
-        acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, steps))
-        return acc
-
-    key = jax.random.key(0)
-    jax.block_until_ready(scan(args, key))
-    best = float("inf")
-    for r in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(scan(args, jax.random.fold_in(key, r)))
-        best = min(best, (time.perf_counter() - t0) / steps)
+    best = scan_seconds_per_step(fn, args, jax.random.key(0), steps=steps)
     print(json.dumps({"metric": f"stem probe {name}", "ms_per_step":
                       round(best * 1e3, 3)}), flush=True)
     return best
@@ -201,21 +185,9 @@ def main():
 
 
 def _traced_scan(fn, args, key, steps=20):
-    import jax
-    import jax.numpy as jnp
+    from mhentropy_tpu.utils.profiling import traced_scan
 
-    @jax.jit
-    def scan(args, key):
-        def body(carry, k):
-            varied = (args[0] + jax.random.uniform(
-                k, (1,), args[0].dtype) * args[0].dtype.type(1e-3),) + args[1:]
-            out = fn(*varied)
-            return carry + jnp.sum(out.astype(jnp.float32)) * 1e-20, None
-
-        acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, steps))
-        return acc
-
-    return scan(args, key)
+    return traced_scan(fn, args, key, steps)
 
 
 if __name__ == "__main__":

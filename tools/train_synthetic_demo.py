@@ -62,12 +62,16 @@ def main(epochs: int = 30, lr: float = 2e-4, backbone: str = "resnet18",
 
     def evaluate(step_fn=None, qargs=()):
         step_fn = step_fn or eval_step
-        mets = {}
+        batch_mets = []
         for i in range(0, 64, bs):
             im = jax.numpy.asarray(evald.images[i : i + bs])
             tg = {k: jax.numpy.asarray(v[i : i + bs]) for k, v in evald.targets.items()}
-            m = step_fn(state.params, state.batch_stats, im, tg,
-                        jax.random.key(9), *qargs)
+            batch_mets.append(step_fn(state.params, state.batch_stats, im, tg,
+                                      jax.random.key(9), *qargs))
+        # ONE device_get for the whole eval (a per-scalar fetch costs ~25 ms
+        # of relay round trip — docs/PERF.md).
+        mets = {}
+        for m in jax.device_get(batch_mets):
             for k, v in m.items():
                 mets.setdefault(k, []).append(float(v))
         return {k: float(np.mean(v)) for k, v in mets.items()}
