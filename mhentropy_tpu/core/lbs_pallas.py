@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _kernel(w_ref, r_ref, t_ref, vp_ref, out_ref, *, n_joints: int):
+def _kernel(w_ref, r_ref, t_ref, vp_ref, out_ref):
     acc = None
     for r in range(3):
         # Translation term: W (V, J) @ skin_t[r] (J, tile).
@@ -95,7 +95,7 @@ def lbs_blend(
 
     grid = (v_pad // v_tile, padded // tile)
     out = pl.pallas_call(
-        functools.partial(_kernel, n_joints=j),
+        _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((v_tile, j), lambda iv, ir: (iv, 0),

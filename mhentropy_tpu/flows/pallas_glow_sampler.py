@@ -44,13 +44,11 @@ import numpy as np
 
 from mhentropy_tpu.flows import glow
 from mhentropy_tpu.flows.glow import GlowConfig
+from mhentropy_tpu.flows.pallas_common import LANE, VMEM_BYTES, round_up
 
-LANE = 128
 STAGES = 5  # sub-steps per glow layer (see module docstring)
 
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+_round_up = round_up  # shared scaffolding (flows/pallas_common.py)
 
 
 def pack_glow_weights(params: list[dict], cfg: GlowConfig, dtype=jnp.bfloat16):
@@ -233,9 +231,6 @@ def _kernel(
     def _():
         x_out_ref[0] = x_scratch[:]
         ld_out_ref[0] = ld_scratch[:]
-
-
-VMEM_BYTES = 16 * 1024 * 1024
 
 
 def auto_images_per_tile(cfg: GlowConfig, rows: int, weight_dtype,

@@ -34,13 +34,10 @@ import jax
 import jax.numpy as jnp
 
 from mhentropy_tpu.flows import realnvp
+from mhentropy_tpu.flows.pallas_common import LANE, VMEM_BYTES, round_up
 from mhentropy_tpu.flows.realnvp import RealNVPConfig, RealNVPParams
 
-LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+_round_up = round_up  # shared scaffolding (flows/pallas_common.py)
 
 
 def pack_weights(params: RealNVPParams, cfg: RealNVPConfig, dtype=jnp.float32):
@@ -181,9 +178,6 @@ def _fused_transform(packed: dict, z0_tiles, cproj_layers, n_layers: int, h: int
         packed["t_w2"], packed["t_b2"],
     )
     return x_out, jnp.sum(logdet, axis=-1)
-
-
-VMEM_BYTES = 16 * 1024 * 1024
 
 
 def auto_images_per_tile(cfg: RealNVPConfig, rows: int, weight_dtype,
@@ -352,7 +346,12 @@ def sample_fused_diff(
     d = cfg.dim
     cond = realnvp.make_cond(params, cfg, feat)
     cproj = realnvp.cond_cache(params, cfg, cond)
-    z0 = jax.random.normal(key, (b, n, d)) * temp
+    # Draw EXACTLY like realnvp.sample ((n*b, d) hypothesis-major rows,
+    # same as sample_fused): same key -> same hypotheses whichever path
+    # runs, so toggling use_pallas_sampler never changes a seeded
+    # training run. Regroup image-major for the kernel.
+    z0_rows = jax.random.normal(key, (n * b, d)) * temp
+    z0 = jnp.transpose(z0_rows.reshape(n, b, d), (1, 0, 2))
     x_tiles, logdet = transform_diff(params, cfg, z0, cproj, images_per_tile)
     x = jnp.transpose(x_tiles, (1, 0, 2)).reshape(n * b, d)
     base_lp = -0.5 * jnp.sum(z0 * z0, -1) - 0.5 * d * math.log(2 * math.pi)

@@ -54,13 +54,15 @@ class QuantSpec(NamedTuple):
     dtype: str = "bfloat16"    # float compute dtype for unquantized ops
     pallas_stem: bool = True
     pallas_stage1: bool = True
-    # Fused int8 stage-2/3 kernels (models/stage2_int8.py). Default OFF:
-    # measured LOSS vs int8 XLA at the headline shape (stage 2: 615 vs
-    # 511 us, stage 3: 687 vs 372 — XLA's mid-stage convs pipeline the
-    # requant epilogues well; the per-image kernel grid does not reach
-    # the same MXU occupancy). Kept opt-in for the channel-major-s8
-    # boundary-fusion path (docs/PERF.md).
-    pallas_mid: bool = False
+    # Fused int8 stage-2/3 kernels (models/stage2_int8.py). A documented
+    # tri-state: False (default), True (NHWC-s8 mid kernels), "s8"
+    # (channel-major s8 handoff from the stage-1 kernel), or "fused"
+    # (stage-1 emits straight into the stage-2 kernel). Default OFF:
+    # every mode measured a LOSS vs int8 XLA at the headline shape
+    # (stage 2: 615 vs 511 us, stage 3: 687 vs 372 — XLA's mid-stage
+    # convs pipeline the requant epilogues well). Kept opt-in as the
+    # boundary-fusion study substrate (docs/PERF.md).
+    pallas_mid: bool | str = False
     # int8 fused stem kernel (models/stem_int8.py). Default OFF:
     # measured LOSS vs the bf16 stem kernel (401 vs 337 us — s8
     # sub-tile im2col stores are masked RMW on (32, 128) tiles and
@@ -135,6 +137,13 @@ def _forward(spec: QuantSpec, p: dict, s: dict, sites: dict | None, x,
     production gates)."""
     from mhentropy_tpu.models import stage1_pallas, stem_pallas
 
+    if spec.pallas_mid not in (False, True, "s8", "fused"):
+        # Tri-state compared by identity below — an unrecognised value
+        # (e.g. a config layer stringifying a bool) would silently run
+        # the default path while claiming a mid-kernel mode.
+        raise ValueError(
+            f"QuantSpec.pallas_mid must be False/True/'s8'/'fused', got "
+            f"{spec.pallas_mid!r}")
     dtype = jnp.dtype(spec.dtype)
     sizes, kind = _ARCH[spec.backbone]
 

@@ -174,8 +174,12 @@ def stage1_forward(x, blocks, eps: float = 1e-5,
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, cin = x.shape
-    assert cin == F1 and h % 8 == 0 and w % 8 == 0 and hw_ok(h, w), (
-        b, h, w, cin)
+    # w <= PAD-2: the dy/dx=-1..1 tap slices index hpad[PAD+d : PAD+d+hw]
+    # with |d| up to w+1 — beyond that the slice start goes negative and
+    # reads from the wrong end of the buffer (supported() gates callers,
+    # but direct calls must fail loudly too).
+    assert cin == F1 and h % 8 == 0 and w % 8 == 0 and w <= PAD - 2 \
+        and hw_ok(h, w), (b, h, w, cin)
     hw = h * w
     xf = x.reshape(b, hw, F1).astype(compute_dtype)
     dt = compute_dtype

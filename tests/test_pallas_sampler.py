@@ -108,6 +108,28 @@ def test_diff_sample_consistency():
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_inv), atol=1e-4)
 
 
+def test_diff_sampler_draws_like_xla_path():
+    """sample_fused_diff must draw base noise exactly like realnvp.sample
+    ((n*b, d) hypothesis-major from the caller's key), so forcing the
+    kernel for TRAINING never changes a seeded run's hypotheses — the
+    same invariant test_fused_matches_xla_forward pins for inference."""
+    cfg = RealNVPConfig(dim=45, cond_dim=16, h_dim=32, num_steps=1)
+    params = realnvp.init_params(jax.random.key(0), cfg)
+    b, n = 4, 8
+    feat = jax.random.normal(jax.random.key(1), (b, 16))
+    key = jax.random.key(7)
+    x, lp = ps.sample_fused_diff(params, cfg, key, feat, n=n,
+                                 images_per_tile=2)
+    cond = realnvp.make_cond(params, cfg, feat)
+    cproj = realnvp.cond_cache(params, cfg, cond)
+    x_ref, lp_ref = realnvp.sample(
+        params, cfg, key, n * b, cproj=jnp.tile(cproj, (1, 1, n, 1)),
+        temp=1.0, return_log_prob=True,
+    )
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref), atol=1e-4)
+
+
 def test_forced_kernel_train_step_under_grad():
     """use_pallas_sampler=True routes training sampling through
     sample_fused_diff (kernel fwd, XLA-remat bwd) and gradients flow

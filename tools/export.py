@@ -116,7 +116,13 @@ def main():
                    help="torch .pth checkpoint (the reference's release "
                         "format, via tools/convert_torch) to export "
                         "instead of fresh-init params")
+    p.add_argument("--mano", default="./mano/",
+                   help="MANO asset dir; a deployable export needs the "
+                        "real MANO_RIGHT.pkl (falls back to the synthetic "
+                        "fixture model with a warning)")
     args = p.parse_args()
+
+    import sys
 
     import jax
 
@@ -125,6 +131,7 @@ def main():
     from mhentropy_tpu.models import mhent
     from mhentropy_tpu.models.encoder import EncoderConfig
     from mhentropy_tpu.models.mhent import MHEntConfig
+    from mhentropy_tpu.train import engine
 
     cfg = MHEntConfig(
         encoder=EncoderConfig(backbone=args.backbone, n_latent=(512, 512)),
@@ -132,7 +139,14 @@ def main():
         feat_dim=512,
         image_size=args.image_size,
     )
-    model = mano.synthetic_mano_model(0)
+    # The MANO model bakes into the artifact as constants — a deployable
+    # export must use the real assets, not the synthetic fixture.
+    model = engine.load_mano_model(args.mano)
+    if not mano.find_mano_assets(args.mano):
+        print(f"WARNING: no MANO assets under {args.mano} — baking the "
+              "SYNTHETIC fixture model; decoded xyz/uv/verts are only "
+              "meaningful against the same fixture (pass --mano)",
+              file=sys.stderr)
     params, batch_stats = mhent.init(jax.random.key(0), cfg)
     if args.pth:
         from tools.convert_torch import load_torch_checkpoint
@@ -142,12 +156,14 @@ def main():
     quant_arg = None
     if args.quantize:
         if not args.pth:
-            import sys
-
             print("WARNING: --quantize without --pth bakes a FRESH-INIT "
                   "int8 backbone into the artifact; call-time params "
                   "cannot replace it (make_sample_fn docstring)",
                   file=sys.stderr)
+        print("WARNING: --quantize calibrates activation scales on random "
+              "uniform images; for a deployable artifact calibrate on real "
+              "batches via quant.quantize_encoder and the library API",
+              file=sys.stderr)
         from mhentropy_tpu.models import quant
 
         calib = jax.random.uniform(
