@@ -634,14 +634,52 @@ class Experiment:
         return self._eval_step[key]
 
     # ------------------------------------------------------------------ loops
+    def _latest_checkpoint(self):
+        """(epoch, path) of the newest per-epoch checkpoint in model_dir,
+        or None. orbax saves atomically (tmp dir + rename), so any dir
+        matching the tag is a complete checkpoint."""
+        import re
+
+        tag = re.escape(f"baseline_{self.cfg.network.decoder_type}_")
+        best = None
+        if not os.path.isdir(self.cfg.model_dir):
+            return None
+        for name in os.listdir(self.cfg.model_dir):
+            m = re.fullmatch(tag + r"(\d+)", name)
+            path = os.path.join(self.cfg.model_dir, name)
+            if m and os.path.isdir(path):
+                e = int(m.group(1))
+                if best is None or e > best[0]:
+                    best = (e, path)
+        return best
+
     def train_baseline(self):
         train_data, eval_data = self.make_datasets()
         bs = self.cfg.training.batch_size
         n_batches = max(1, _num_samples(train_data) // bs)
         self._ensure_state(n_batches, for_training=True)
 
-        self.eval_loop(eval_data, epoch=0)
-        for epoch in range(self.cfg.training.epochs):
+        # Preemption-safe auto-resume (cfg.tpu.autoresume): pick up the
+        # newest per-epoch checkpoint in model_dir — params, Adam moments
+        # and step all restore, so a preempted pod job continues where it
+        # stopped. Off by default: the reference retrains from scratch on
+        # rerun, and model_dir is random per run unless pinned.
+        start_epoch = 0
+        if "tpu" in self.cfg and self.cfg.tpu.get("autoresume"):
+            latest = self._latest_checkpoint()
+            if latest:
+                epoch_done, path = latest
+                self.load_model(path)
+                start_epoch = epoch_done + 1
+                self._step = int(self.state.step)  # TB x-axis continuity
+                self.log.info(
+                    f"autoresume: restored {path} (epoch {epoch_done}), "
+                    f"continuing at epoch {start_epoch}"
+                )
+
+        if start_epoch == 0:
+            self.eval_loop(eval_data, epoch=0)
+        for epoch in range(start_epoch, self.cfg.training.epochs):
             self.train_epoch(train_data, epoch)
             if (epoch + 1) % self.cfg.eval_interval == 0:
                 self.eval_loop(eval_data, epoch=epoch)

@@ -204,6 +204,7 @@ def get_cfg_defaults() -> CfgNode:
     cfg.tpu.mesh_hypo = 1  # hypothesis-axis mesh size for eval sharding
     cfg.tpu.fsdp = False  # ZeRO-3: shard train state over the data axis
     cfg.tpu.tp = 1  # model-axis mesh size (Megatron-style tensor parallel)
+    cfg.tpu.autoresume = False  # resume from the newest epoch ckpt in model_dir
     cfg.tpu.compute_dtype = "bfloat16"  # backbone compute dtype
     cfg.tpu.data_dir = None  # dataset root; None -> synthetic fixture
     # int8 W8A8 encoder on the eval sampling path (models/quant.py):

@@ -104,6 +104,40 @@ def test_eval_name_restores_after_training(tmp_path):
     assert np.isfinite(summary["eucLoss_3d_rgb_sample"])
 
 
+def test_autoresume_continues_from_latest_epoch(tmp_path):
+    """Preemption recovery (cfg.tpu.autoresume): a rerun in the same
+    model_dir restores the newest per-epoch checkpoint — params, Adam
+    moments AND step — and continues at the next epoch instead of
+    retraining from scratch."""
+    from mhentropy_tpu.train.engine import Experiment
+    from mhentropy_tpu.utils.config import update_cfg
+
+    cfg = update_cfg("configs/smoke.yaml")
+    cfg.model_dir = str(tmp_path / "run")
+    cfg.training.epochs = 1  # "preempted" after saving epoch 0
+    cfg.tpu.autoresume = True
+    exp = Experiment(cfg)
+    exp.train_baseline()
+    trained = np.asarray(exp.state.params["det_head"]["l0"]["w"]).copy()
+    step_done = int(exp.state.step)
+    assert step_done > 0
+
+    # The rerun: same dir, 2 epochs total. It must restore epoch 0's
+    # checkpoint (start_epoch 1) and only train ONE more epoch.
+    cfg2 = update_cfg("configs/smoke.yaml")
+    cfg2.model_dir = cfg.model_dir
+    cfg2.training.epochs = 2
+    cfg2.tpu.autoresume = True
+    exp2 = Experiment(cfg2)
+    latest = exp2._latest_checkpoint()
+    assert latest is not None and latest[0] == 0
+    exp2.train_baseline()
+    assert int(exp2.state.step) == 2 * step_done
+    assert not np.allclose(
+        trained, np.asarray(exp2.state.params["det_head"]["l0"]["w"])
+    )
+
+
 def test_experiment_quantized_eval_smoke(tmp_path):
     """cfg.tpu.quantize_encoder drives the int8 W8A8 eval path end to end
     through the Experiment (calibration on the first eval batch, qtree as
