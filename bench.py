@@ -90,7 +90,11 @@ def main():
         acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, steps))
         return acc
 
-    key = jax.random.key(1)
+    # Per-run nonce in the key: the relay serves repeated identical
+    # (program, args) executions from a cache (CLAUDE.md) — inputs vary
+    # per step WITHIN a run via fold_in, and the nonce varies them ACROSS
+    # bench invocations too, in case that cache outlives the process.
+    key = jax.random.key(time.time_ns() % (2**31 - 1))
     image = jax.random.uniform(jax.random.key(2), (batch, img, img, 3)) * 2 - 1
 
     # Warm up / compile both programs.
@@ -116,7 +120,11 @@ def main():
             step_flops += stem_pallas.flops(batch, img)
         if getattr(enc, "pallas_stage1", True) and img == 256:
             step_flops += stage1_pallas.flops(batch, img // 4, img // 4)
-    xyz, uv = step(params, batch_stats, image, key)
+    # Reuse the AOT executable for the per-call loop: a separate step(...)
+    # dispatch would compile the identical program a second time (AOT
+    # executables don't populate the jit dispatch cache) — minutes through
+    # the remote-compile tunnel on a cold cache.
+    xyz, uv = compiled(params, batch_stats, image, key)
     jax.block_until_ready(xyz)
     jax.block_until_ready(scan_steps(params, batch_stats, image, key))
 
@@ -131,7 +139,7 @@ def main():
 
         t0 = time.perf_counter()
         for i in range(steps):
-            xyz, uv = step(
+            xyz, uv = compiled(
                 params, batch_stats, image, jax.random.fold_in(key, 100 + r * steps + i)
             )
         jax.block_until_ready(xyz)

@@ -46,23 +46,32 @@ def heavy_field_tag(heavy):
     return "full" if heavy is None else sorted(heavy)
 
 
+def atomic_publish(path: str, write) -> None:
+    """tmp-write + os.replace cache publication, safe under concurrent
+    collation workers (pid AND thread id in the tmp name: two pool
+    threads computing the same path must not interleave writes into one
+    tmp file — a truncate mid-write can publish a hole-filled file that
+    reads back as corrupt zeros). Best-effort: failures are swallowed,
+    the caller still holds the computed value."""
+    tmp = f"{path}.tmp{os.getpid()}.{threading.get_ident()}"
+    try:
+        with open(tmp, "wb") as f:
+            write(f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
 def read_or_compute_pickle(path: str, compute):
     """Atomic read-through pickle cache: one open+load on a hit; on a
-    miss, compute() then tmp-write + os.replace (safe under concurrent
-    collation workers)."""
+    miss, compute() then `atomic_publish`."""
     try:
         with open(path, "rb") as f:
             return pickle.load(f)
     except (FileNotFoundError, EOFError, pickle.UnpicklingError):
         pass
     item = compute()
-    tmp = f"{path}.tmp{os.getpid()}.{threading.get_ident()}"
-    try:
-        with open(tmp, "wb") as f:
-            pickle.dump(item, f, protocol=5)
-        os.replace(tmp, path)
-    except OSError:
-        pass
+    atomic_publish(path, lambda f: pickle.dump(item, f, protocol=5))
     return item
 
 
@@ -71,6 +80,11 @@ def eval_deterministic(ds) -> bool:
     index (no RNG draws): eval mode, and no RNG-consuming optional field.
     The RHD cloud resample is the one eval-mode RNG consumer across the
     loaders (depth_to_cloud + the 256-point output permutation)."""
+    declared = getattr(ds, "eval_deterministic", None)
+    if declared is not None:
+        # A dataset may declare itself (subclasses and new loaders would
+        # otherwise silently fall through the name switch below to False).
+        return bool(declared)
     if type(ds).__name__ == "MixedDataset":
         # Deterministic iff every member is (the projection is pure).
         # Checked BEFORE the aug probe: MixedDataset has no aug attr.
@@ -112,6 +126,13 @@ def fingerprint(ds) -> str:
         "uv_norm": getattr(ds, "uv_norm", None),
         "vc": getattr(ds, "vc", None),
         "patch_occlude": getattr(ds, "patch_occlude", None),
+        # In-place annotation swaps (same root/mode/count) must miss —
+        # same reason the prefix caches carry (mtime, size)
+        # (rhd.py/ho3d.py _anno_stat).
+        "anno": getattr(ds, "_anno_stat", None),
+        # Bump when a code fix changes item VALUES (the prefix caches'
+        # "v" convention).
+        "v": 1,
     }
     return config_fingerprint(fields)
 

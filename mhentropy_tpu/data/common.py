@@ -81,31 +81,66 @@ def batches(
     the padding.
     """
     if hasattr(dataset, "images"):  # synthetic array container
+        if not to_device:
+            # Host-side batches without device staging (the generic
+            # path's to_device=False contract): numpy slices, same tail
+            # semantics as below.
+            n = dataset.images.shape[0]
+            end = n - batch_size + 1 if (drop_remainder
+                                         and not pad_remainder) else n
+            for start in range(0, end, batch_size):
+                idx = np.arange(start, min(start + batch_size, n))
+                k = idx.shape[0]
+                if pad_remainder and k < batch_size:
+                    idx = np.concatenate(
+                        [idx, np.arange(batch_size - k) % n])
+                tg = {key: np.asarray(v[idx])
+                      for key, v in dataset.targets.items()}
+                if pad_remainder:
+                    tg["valid"] = (np.arange(batch_size) < k).astype(
+                        np.float32)
+                yield np.asarray(dataset.images[idx]), tg
+            return
         # Stage once on device and memoise: per-step H2D through the axon
         # relay costs ~0.5 s — 20x the step itself (see CLAUDE.md). The memo
-        # holds a strong reference to the keying array, so an id can never be
-        # recycled by a different live dataset.
-        key = (id(dataset.images), batch_size, pad_remainder)
+        # holds strong references to the keying arrays, so an id can never
+        # be recycled by a different live dataset; targets key too (a
+        # _replace(targets=...) twin shares the images array).
+        key = (id(dataset.images), id(dataset.targets), batch_size,
+               pad_remainder, drop_remainder)
         entry = _DEVICE_BATCH_MEMO.get(key)
-        if entry is None or entry[0] is not dataset.images:
+        if (entry is None or entry[0] is not dataset.images
+                or entry[1] is not dataset.targets):
+            import jax.numpy as jnp
+
             from mhentropy_tpu.data import synthetic
 
             if len(_DEVICE_BATCH_MEMO) > 8:
                 _DEVICE_BATCH_MEMO.clear()
-            entry = (
-                dataset.images,
-                list(synthetic.batches(dataset, batch_size, pad_remainder)),
-            )
+            staged = list(synthetic.batches(dataset, batch_size,
+                                            pad_remainder))
+            n = dataset.images.shape[0]
+            tail = n % batch_size
+            if not pad_remainder and not drop_remainder and tail:
+                # The generic path yields the short tail batch when asked
+                # to keep it without padding — mirror that here.
+                idx = np.arange(n - tail, n)
+                staged.append((
+                    jnp.asarray(dataset.images[idx]),
+                    {k: jnp.asarray(v[idx])
+                     for k, v in dataset.targets.items()},
+                ))
+            entry = (dataset.images, dataset.targets, staged)
             _DEVICE_BATCH_MEMO[key] = entry
         if shuffle:
             # Inter-epoch mixing without restaging: permute the staged
             # batch ORDER per (seed). Batch composition stays fixed —
             # the acceptable trade for keeping the one-time device
             # staging (per-step H2D costs ~0.5 s through the relay).
-            order = np.random.RandomState(seed).permutation(len(entry[1]))
-            yield from (entry[1][i] for i in order)
+            order = np.random.RandomState(seed).permutation(len(entry[2]))
+            yield from (entry[2][i] for i in order)
             return
-        yield from entry[1]
+        yield from entry[2]
         return
 
     n = len(dataset)
@@ -201,17 +236,10 @@ def imread(path):
         except (FileNotFoundError, ValueError, OSError):
             pass
         arr = _decode(path)
-        # Thread id in the tmp name: batches() decodes on a thread pool
-        # within one pid, and two threads decoding the same path must not
-        # interleave writes into one tmp file (a truncate mid-write can
-        # publish a hole-filled .npy that reads back as corrupt zeros).
-        tmp = cpath + f".tmp{os.getpid()}.{threading.get_ident()}"
-        try:
-            with open(tmp, "wb") as fp:  # np.save(str) would append .npy
-                np.save(fp, arr)
-            os.replace(tmp, cpath)  # atomic vs concurrent workers
-        except OSError:
-            pass
+        from mhentropy_tpu.data.cached import atomic_publish
+
+        # np.save(str) would append .npy — hand it the open fileobj.
+        atomic_publish(cpath, lambda fp: np.save(fp, arr))
         return np.array(arr)  # writable copy — same contract as the hit path
     return _decode(path)
 

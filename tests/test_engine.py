@@ -266,6 +266,30 @@ def test_eval_step_hypo_sharding_matches_unsharded(small_cfg, model):
         assert abs(a - b) <= 1e-4 + 1e-4 * abs(a), (k, a, b)
 
 
+def test_tp_eval_step_matches_replicated(small_cfg, model):
+    """Tensor-parallel eval (params in the Megatron layout, hypotheses
+    over 'hypo') must reproduce the replicated eval metrics."""
+    optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
+    state = engine.init_state(jax.random.key(0), small_cfg, optimizer)
+    data = synthetic.make_dataset(model, n=4, image_size=IMG, seed=2)
+    image, target = next(synthetic.batches(data, 4))
+
+    mesh = mesh_lib.make_mesh(n_devices=8, hypo=2, tp=2)
+    im = mesh_lib.shard_batch(mesh, image)
+    tg = mesh_lib.shard_batch(mesh, target)
+    ref = engine.make_eval_step(model, small_cfg, mesh, n=8, temp=0.8)(
+        state.params, state.batch_stats, im, tg, jax.random.key(3)
+    )
+    got = engine.make_eval_step(model, small_cfg, mesh, n=8, temp=0.8,
+                                tp=True)(
+        state.params, state.batch_stats, im, tg, jax.random.key(3)
+    )
+    for k in ref:
+        a, b = float(ref[k]), float(got[k])
+        assert np.isfinite(b), k
+        assert abs(a - b) <= 1e-4 + 1e-4 * abs(a), (k, a, b)
+
+
 def test_eval_step_quantized_tracks_float(small_cfg, model):
     """cfg.tpu.quantize_encoder path: the int8 eval step runs on the
     sharded mesh and its sample-quality metrics track the float step
