@@ -377,9 +377,10 @@ def sample_and_log_prob_fused(
     return x, jnp.transpose(lp, (1, 0)).reshape(n * b)
 
 
+def structural_ok(cfg: GlowConfig) -> bool:
+    """The kernel's architectural constraints (backend-independent)."""
+    return cfg.num_blocks == 2 and not cfg.use_batch_norm
+
+
 def supported(cfg: GlowConfig) -> bool:
-    return (
-        jax.default_backend() == "tpu"
-        and cfg.num_blocks == 2
-        and not cfg.use_batch_norm
-    )
+    return jax.default_backend() == "tpu" and structural_ok(cfg)

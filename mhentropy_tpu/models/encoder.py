@@ -66,6 +66,32 @@ def init(key: jax.Array, cfg: EncoderConfig, image_size: int = 256):
     return params, variables.get("batch_stats", {})
 
 
+def backbone_features(
+    params: dict,
+    batch_stats: dict,
+    cfg: EncoderConfig,
+    image: jax.Array,
+    train: bool = False,
+):
+    """Raw pooled backbone features (no mu/sd heads): (feats, new_stats).
+
+    The ProHMR engine conditions its flow on these directly
+    (models/prohmr.py) — the reference's `self._feat` cache
+    (network.py:118)."""
+    bb = resnet.make_backbone(cfg.backbone, dtype=jnp.dtype(cfg.dtype),
+                              pallas_stem=getattr(cfg, 'pallas_stem', True),
+                              pallas_stage1=getattr(cfg, 'pallas_stage1',
+                                                    True))
+    variables = {"params": params["backbone"], "batch_stats": batch_stats}
+    if train:
+        feats, mutated = bb.apply(variables, image, train=True, mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        feats = bb.apply(variables, image, train=False)
+        new_stats = batch_stats
+    return feats, new_stats
+
+
 def apply(
     params: dict,
     batch_stats: dict,
@@ -79,17 +105,8 @@ def apply(
 
     image: (B, H, W, 3) NHWC in the dataset's normalisation.
     """
-    bb = resnet.make_backbone(cfg.backbone, dtype=jnp.dtype(cfg.dtype),
-                              pallas_stem=getattr(cfg, 'pallas_stem', True),
-                              pallas_stage1=getattr(cfg, 'pallas_stage1',
-                                                    True))
-    variables = {"params": params["backbone"], "batch_stats": batch_stats}
-    if train:
-        feats, mutated = bb.apply(variables, image, train=True, mutable=["batch_stats"])
-        new_stats = mutated["batch_stats"]
-    else:
-        feats = bb.apply(variables, image, train=False)
-        new_stats = batch_stats
+    feats, new_stats = backbone_features(params, batch_stats, cfg, image,
+                                         train=train)
 
     mn = jnp.dot(feats, params["l1"]["w"], precision=_PREC) + params["l1"]["b"]
     sd = jnp.dot(feats, params["l2"]["w"], precision=_PREC) + params["l2"]["b"]
@@ -98,6 +115,8 @@ def apply(
     elif cfg.sigma_act == "sigmoid":
         sd = jax.nn.sigmoid(sd)
 
+    # mn.shape != sd.shape -> deterministic z is REFERENCE PARITY, not a
+    # silent fallback: BasicEnc does exactly this (network.py:132-134).
     if cfg.deterministic or deterministic or mn.shape != sd.shape or key is None:
         z = mn
     else:

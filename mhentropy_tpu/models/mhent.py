@@ -71,7 +71,7 @@ class MHEntConfig(NamedTuple):
     # via the commented-out p_m_giv_mu (network.py:394) but its renderer was
     # dead; functional here through core/render.
     use_mask_loss: bool = False
-    b_mask: float = 50.0
+    b_mask: float = 0.02  # Laplace scale, like b_2d/b_3d
     # Measured fused-sampler dispatch thresholds (rows = N*B):
     # * inference: the kernel beats the XLA scan at EVERY row count in the
     #   honest full-pipeline sweep (r2, scanned steps with per-step images):
@@ -230,14 +230,15 @@ def sample_q_z(
                 return_log_prob=True,
             )
     elif cfg.regressor == "glow":
-        from mhentropy_tpu.flows import glow as glow_lib
+        from mhentropy_tpu.flows import glow as glow_lib, pallas_glow_sampler
 
         glow_cfg = glow_lib.infer_config(params["flow"])
-        structural = glow_cfg.num_blocks == 2 and not glow_cfg.use_batch_norm
+        # Architectural gate lives with the kernel (structural_ok) so it
+        # cannot drift from the kernel's real constraints.
         use_fused = (
             cfg.use_pallas_sampler is not False
             and not differentiable  # no custom VJP for the glow kernel
-            and structural
+            and pallas_glow_sampler.structural_ok(glow_cfg)
         )
         if cfg.use_pallas_sampler is None:
             use_fused = use_fused and jax.default_backend() == "tpu"
@@ -367,8 +368,11 @@ def forward_log_p(
             ).max((2, 4))
         gt_n = jnp.tile(gt_mask, (n, 1, 1))
         err = (rendered["mask"] - gt_n).reshape(z.shape[0], -1)
+        # b_mask is the Laplace SCALE, same convention as b_2d/b_3d (the
+        # reference's dead sketch passes b_init directly too,
+        # network.py:394); default 0.02 = tight on a [0,1] mask error.
         out["log_p_m_giv_z"] = priors.laplace_deadzone_log_prob(
-            err, jnp.zeros_like(err), 1.0 / cfg.b_mask
+            err, jnp.zeros_like(err), cfg.b_mask
         ) / err.shape[1]  # mean-per-pixel scale
     th3, th45, bt = z[:, :3], z[:, 3:48], z[:, 48:58]
     out["log_p_th3"] = pr["th3_ref"].log_prob(th3)

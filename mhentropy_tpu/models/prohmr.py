@@ -34,8 +34,12 @@ POSE_DIM = 24 * 6  # 6D rotations
 
 
 class ProHMRConfig(NamedTuple):
+    # n_latent=(1, 1): the mu/sd heads are UNUSED here — the flow
+    # conditions on the raw pooled backbone features (ProHMR semantics,
+    # encoder.backbone_features); 2048-wide heads were 4.2M dead params
+    # in every checkpoint and Adam moment.
     encoder: EncoderConfig = EncoderConfig(
-        backbone="resnet50", n_latent=(2048, 2048), sigma_act="exp"
+        backbone="resnet50", n_latent=(1, 1), sigma_act="exp"
     )
     flow: GlowConfig = GlowConfig(
         features=POSE_DIM, hidden=1024, num_layers=4, num_blocks=2,
@@ -70,13 +74,25 @@ def init(key: jax.Array, cfg: ProHMRConfig):
     return params, batch_stats
 
 
+def _context_from_feats(params, cfg: ProHMRConfig, feats):
+    """At the real ProHMR geometry (pooled dim == flow context dim) the
+    raw backbone features ARE the context — a released flow was trained
+    against exactly these, so no randomly-initialised head may sit in
+    between. Mismatched (e.g. tiny test) geometries project through the
+    l1 head, which trains through the flow like any context projection."""
+    if feats.shape[-1] == cfg.flow.context_features:
+        return feats
+    l1 = params["encoder"]["l1"]
+    return jnp.dot(feats, l1["w"], precision=_PREC) + l1["b"]
+
+
 def context_features(params, batch_stats, cfg: ProHMRConfig, image, train=False):
-    """Backbone features are the flow context (ProHMR uses the raw pooled
-    resnet features; the mu head here is identity-sized)."""
-    _, feat, _, new_stats = encoder.apply(
-        params["encoder"], batch_stats, cfg.encoder, image, key=None, train=train
+    """The flow context: raw pooled backbone features (ProHMR semantics;
+    see _context_from_feats for the mismatched-geometry projection)."""
+    feats, new_stats = encoder.backbone_features(
+        params["encoder"], batch_stats, cfg.encoder, image, train=train
     )
-    return feat, new_stats
+    return _context_from_feats(params, cfg, feats), new_stats
 
 
 def heads(params, feat):
@@ -114,29 +130,44 @@ def nll_loss(
     if "betas" in target:
         out["betas_l2"] = jnp.sum((betas - target["betas"]) ** 2, axis=1)
     if "keypoints3d" in target or "keypoints2d" in target:
-        # ProHMR's mode-decode supervision: the z=0 flow sample decodes
-        # through SMPL; 3D keypoints supervise pose/betas, the 2D
-        # reprojection is the ONLY gradient the cam head gets (without
-        # it the camera stayed at random init — review finding).
+        # ProHMR's decode supervision: the z=0 mode PLUS
+        # (n_train_hypotheses - 1) random samples decode through SMPL —
+        # ProHMR applies the keypoint losses to the mode and the samples
+        # alike (its num_samples=2 training scheme). 3D keypoints
+        # supervise pose/betas; the 2D reprojection is the ONLY gradient
+        # the cam head gets (without it the camera stayed at random init
+        # — review finding). Eval-mode calls supervise the mode only.
         from mhentropy_tpu.core import camera
 
         b = image.shape[0]
-        pose_mode, _ = glow_lib.sample_and_log_prob(
-            params["flow"], feat, key, 1, cfg=cfg.flow,
-            noise=jnp.zeros((b, POSE_DIM)), train=train,
+        n_tr = max(1, int(cfg.n_train_hypotheses)) if train else 1
+        noise = jnp.zeros((b, POSE_DIM))
+        if n_tr > 1:
+            key, k_noise = jax.random.split(key)
+            noise = jnp.concatenate(
+                [noise,
+                 jax.random.normal(k_noise, ((n_tr - 1) * b, POSE_DIM))])
+        pose_s, _ = glow_lib.sample_and_log_prob(
+            params["flow"], feat, key, n_tr, cfg=cfg.flow,
+            noise=noise, train=train,
         )
-        _, joints = smpl_lib.smpl_forward_6d(model, pose_mode, betas)
+        _, joints = smpl_lib.smpl_forward_6d(
+            model, pose_s, jnp.tile(betas, (n_tr, 1)))
         if "keypoints3d" in target:
-            gt3 = target["keypoints3d"]
-            out["kp3d_l1"] = jnp.abs(
+            gt3 = jnp.tile(target["keypoints3d"], (n_tr, 1, 1))
+            kp3 = jnp.abs(
                 (joints - joints[:, 0:1]) - (gt3 - gt3[:, 0:1])
             ).mean(axis=(1, 2))
+            out["kp3d_l1"] = kp3.reshape(n_tr, b).mean(0)
         if "keypoints2d" in target:
             uv = camera.orth_project(
-                joints, jnp.exp(cam[:, 0:1]), cam[:, 1:3], inv_norm=False
+                joints, jnp.tile(jnp.exp(cam[:, 0:1]), (n_tr, 1)),
+                jnp.tile(cam[:, 1:3], (n_tr, 1)), inv_norm=False,
             )
-            out["kp2d_l1"] = jnp.abs(uv - target["keypoints2d"]).mean(
-                axis=(1, 2))
+            kp2 = jnp.abs(
+                uv - jnp.tile(target["keypoints2d"], (n_tr, 1, 1))
+            ).mean(axis=(1, 2))
+            out["kp2d_l1"] = kp2.reshape(n_tr, b).mean(0)
     return out, new_stats
 
 
@@ -164,8 +195,10 @@ def sample_hypotheses(
     if quant is not None:
         from mhentropy_tpu.models import quant as quant_mod
 
-        feat = quant_mod.encoder_feat(
-            quant[0], quant[1], params["encoder"], image)
+        feat = _context_from_feats(
+            params, cfg,
+            quant_mod.encoder_feat(quant[0], quant[1], params["encoder"],
+                                   image, head=False))
     else:
         feat, _ = context_features(params, batch_stats, cfg, image,
                                    train=False)

@@ -403,10 +403,14 @@ def quantize_encoder(enc_params: dict, batch_stats: dict, enc_cfg,
 
 
 def encoder_feat(spec: QuantSpec, qtree: dict, enc_params: dict,
-                 images) -> jax.Array:
+                 images, head: bool = True) -> jax.Array:
     """Quantized equivalent of the eval conditioning feature (the
-    encoder's mu head — network.py:779): backbone int8, l1 head f32."""
+    encoder's mu head — network.py:779): backbone int8, l1 head f32.
+    head=False returns the raw pooled backbone features (the ProHMR
+    context, encoder.backbone_features)."""
     feats = backbone_forward(spec, qtree, images)
+    if not head:
+        return feats
     l1 = enc_params["l1"]
     return jnp.dot(feats, l1["w"],
                    precision=lax.Precision.HIGH) + l1["b"]

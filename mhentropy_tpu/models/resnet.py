@@ -249,8 +249,6 @@ class ResNet(nn.Module):
 
             use_pallas = stem_pallas.supported(x, self.num_filters, train)
         if use_pallas:
-            from mhentropy_tpu.models import stem_pallas
-
             w = _StemConvParam(self.num_filters, name="conv1")()
             scale, bias, mean, var = _StemBNParam(
                 self.num_filters, name="bn1"

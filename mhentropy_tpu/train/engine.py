@@ -90,7 +90,7 @@ def build_model_config(cfg) -> MHEntConfig:
         use_chamfer_loss=bool(net.get("use_chamfer_loss", False)),
         w_chamfer=float(net.get("w_chamfer", 10.0)),
         use_mask_loss=bool(net.get("use_mask_loss", False)),
-        b_mask=float(net.get("b_mask", 50.0)),
+        b_mask=float(net.get("b_mask", 0.02)),
     )
 
 

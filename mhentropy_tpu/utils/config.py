@@ -193,7 +193,8 @@ def get_cfg_defaults() -> CfgNode:
     cfg.network.use_chamfer_loss = False
     cfg.network.w_chamfer = 10.0
     cfg.network.use_mask_loss = False
-    cfg.network.b_mask = 50.0
+    cfg.network.b_mask = 0.02  # Laplace scale like b_2d/b_3d (was an
+    # inverse scale pre-r3-fix; 0.02 == the old default's effective value)
 
     cfg.loss = CfgNode()
     cfg.loss.kl = 0.0001
