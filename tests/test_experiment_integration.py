@@ -156,6 +156,24 @@ def test_experiment_quantized_eval_smoke(tmp_path):
     assert any(k[2] is not None for k in exp._eval_step)
 
 
+def test_experiment_tp_mesh_wiring(tmp_path):
+    """cfg.tpu.tp plumbs through fit_devices/make_mesh to a 'model' axis
+    and flags the train/eval steps tensor-parallel (no compile — the
+    numerics are pinned in test_engine)."""
+    from mhentropy_tpu.train.engine import Experiment
+    from mhentropy_tpu.utils.config import update_cfg
+
+    cfg = update_cfg("configs/smoke.yaml")
+    cfg.model_dir = str(tmp_path / "run")
+    cfg.tpu.tp = 2
+    cfg.tpu.mesh_hypo = 2
+    exp = Experiment(cfg)
+    assert exp.mesh.shape["model"] == 2
+    assert exp.mesh.shape["hypo"] == 2
+    assert exp._tp
+    assert exp.mesh.size <= 8
+
+
 def test_experiment_rle_mode_smoke(tmp_path):
     """The non-integrated BasicEnc + p_nf RLE experiment path end to end
     (CrossModalHand.py:86-105, 262-346 dispatch): train an epoch on the
