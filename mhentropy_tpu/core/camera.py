@@ -162,7 +162,15 @@ def crop_to_original_uv(
     resized_size: int,
 ) -> jax.Array:
     """Crop-space uv -> original-image uv, undoing the left-hand flip
-    (utils.py:540-557), branch-free."""
+    (utils.py:540-557), branch-free.
+
+    KNOWN REFERENCE INCONSISTENCY (ported faithfully): the un-flip here is
+    `resized_size - u` (utils.py's convention) while the loaders flip with
+    `(size - 1) - u` (augment.py:44's `255 - uv`, data/transforms.py) — a
+    constant 1 px u offset on every left-hand sample between a crop-space
+    prediction mapped back and the loader's own crop_uv target. Kept so
+    metrics match the reference bit-for-bit; fix BOTH sides together if
+    ever changed."""
     u = jnp.where(hand_side[:, None] > 0.5, resized_size - uv[..., 0], uv[..., 0])
     uv = jnp.stack([u, uv[..., 1]], -1)
     scale = (2.0 * crop_size / resized_size)[:, None, None]

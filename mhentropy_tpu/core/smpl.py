@@ -165,11 +165,17 @@ def smpl_forward(
     return verts, joints_out
 
 
-def smpl_forward_axis_angle(model: SmplModel, pose_aa: jax.Array, betas: jax.Array):
-    """(B, 72) axis-angle pose convenience wrapper."""
+def smpl_forward_axis_angle(model: SmplModel, pose_aa: jax.Array,
+                            betas: jax.Array,
+                            transl: jax.Array | None = None,
+                            pallas_lbs: bool = False):
+    """(B, 72) axis-angle pose convenience wrapper (the standard SMPL
+    ingestion format); same transl/pallas_lbs pass-through as the rotmat
+    and 6D wrappers."""
     b = pose_aa.shape[0]
     rotmats = batch_rodrigues(pose_aa.reshape(b, N_JOINTS, 3))
-    return smpl_forward(model, rotmats, betas)
+    return smpl_forward(model, rotmats, betas, transl=transl,
+                        pallas_lbs=pallas_lbs)
 
 
 def smpl_forward_6d(model: SmplModel, pose_6d: jax.Array, betas: jax.Array,
