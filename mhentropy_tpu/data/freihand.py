@@ -44,8 +44,9 @@ class FreiHANDDataset:
     ):
         del prefix_cache  # interface uniformity; no prefix cache here yet
         del heavy_fields  # accepted for uniformity; nothing to gate
-        # uint8 image transport, eval mode only (training adds f32 pixel
-        # noise); device applies x/255 via _img_scale/_img_bias.
+        # uint8 image transport, both modes (train-mode pixel noise ships
+        # as a `_pixel_noise` target factor applied on device); the device
+        # applies x/255 via _img_scale/_img_bias (engine._prep_image).
         self.image_u8 = image_u8
         # Omit the host (s, t) fit; engine._prep_batch reconstructs it.
         self.device_st = device_st
@@ -95,15 +96,25 @@ class FreiHANDDataset:
         crop_uv = (uv - centre) * (s / (2 * half)) + s // 2
 
         rot_mat = np.eye(2, 3, dtype=np.float32)
+        pixel_noise = None
         if self.aug:
             rng = common.item_rng(self.seed, self.epoch, i)
             params = T.make_aug_params(rng, trans_std=10.0)
             rot_mat = T.aug_rot_mat(params, s)
             pose3d_normed = T.rotate_xy(pose3d_normed, params["angle"])
             crop_uv = T.apply_affine_uv(crop_uv, rot_mat)
-            image_crop = T.warp_image(
-                T.pixel_noise(rng, image_crop.astype(np.float32)), rot_mat, s
-            )
+            if self.image_u8:
+                # Same rng position as the f32 path's pixel_noise draw;
+                # applied on device (engine._prep_image). Exact: the
+                # nearest warp is a pure gather with 0 border fill and
+                # noise(0) == 0, so noise-then-warp == warp-then-noise.
+                pixel_noise = T.pixel_noise_params(rng)
+                image_crop = T.warp_image(image_crop, rot_mat, s)
+            else:
+                image_crop = T.warp_image(
+                    T.pixel_noise(rng, image_crop.astype(np.float32)),
+                    rot_mat, s,
+                )
 
         vis = np.ones(21, np.float32)
         vis = occlusion.demote_out_of_bounds(vis, crop_uv, (s, s), quant=2)
@@ -136,10 +147,13 @@ class FreiHANDDataset:
             del target["st"]  # engine._prep_batch reconstructs it on device
         if self.verts is not None:
             target["verts"] = (self.verts[idx % N_UNIQUE] * 1000.0).reshape(-1)
-        if self.image_u8 and not self.aug:
-            # Eval crop = NEAREST gather of u8 pixels -> exact integers.
+        if self.image_u8:
+            # Crop/warp = NEAREST gather of u8 pixels -> exact integers;
+            # train-mode noise rides the target for device-side apply.
             target["_img_scale"] = np.float32(1.0 / 255.0)
             target["_img_bias"] = np.float32(0.0)
+            if pixel_noise is not None:
+                target["_pixel_noise"] = pixel_noise
             return image_crop.astype(np.uint8), target
         return image_crop.astype(np.float32) / 255.0, target
 

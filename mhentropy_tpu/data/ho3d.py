@@ -87,9 +87,11 @@ class HO3DDataset:
         self.aug = mode == "training"
         self.image_size = image_size
         self.heavy = None if heavy_fields is None else frozenset(heavy_fields)
-        # uint8 image transport (eval mode only: training adds f32 pixel
-        # noise, ho3d_dataloader.py aug). The device applies x*2/255-1
-        # via the target's _img_scale/_img_bias (engine._prep_image).
+        # uint8 image transport, BOTH modes: the crop/warp chain is a
+        # nearest gather of u8 pixels, and the train-mode pixel noise
+        # (ho3d_dataloader.py aug) ships as a `_pixel_noise` target factor
+        # applied on device. The device normalises x*2/255-1 via the
+        # target's _img_scale/_img_bias (engine._prep_image).
         self.image_u8 = image_u8
         # Omit the host (s, t) fit; engine._prep_batch reconstructs it on
         # device from pose3d/crop_uv (core.camera.compute_st).
@@ -290,8 +292,21 @@ class HO3DDataset:
 
         rot_mat = np.eye(2, 3, dtype=np.float32)
         rng = common.item_rng(self.seed, self.epoch, idx)
+        pixel_noise = None
         if self.aug:
-            image_crop = T.pixel_noise(rng, image_crop.astype(np.float32))
+            if self.image_u8:
+                # uint8 transport for TRAINING too: draw the noise factors
+                # at the f32 path's exact rng-stream position but apply
+                # them on DEVICE (engine._prep_image). Valid because the
+                # nearest warp below is a pure gather whose border fill is
+                # 0 and noise(0) == 0, so noise-then-warp (the reference
+                # order, ho3d_dataloader.py:191-198) == warp-then-noise
+                # pointwise — the crop stays exact u8 integers on the wire
+                # (4x less H2D; train epochs are transfer-bound through
+                # the relay, docs/PERF.md).
+                pixel_noise = T.pixel_noise_params(rng)
+            else:
+                image_crop = T.pixel_noise(rng, image_crop.astype(np.float32))
             params = T.make_aug_params(rng, trans_std=10.0)
             rot_mat = T.aug_rot_mat(params, s)
             pose3d_normed = T.rotate_xy(pose3d_normed, params["angle"])
@@ -324,10 +339,10 @@ class HO3DDataset:
             T.compute_st_np(pose3d_normed, uv_norm)
 
         # [-1, 1] image normalisation (ho3d_dataloader.py:404-405).
-        # Eval mode: the crop is a NEAREST gather of u8 pixels (exact u8
-        # integers in f32), so u8 transport is exact; training adds f32
-        # pixel noise and keeps f32.
-        u8 = self.image_u8 and not self.aug
+        # Both modes ship u8 exactly: the crop/warp chain is a NEAREST
+        # gather of u8 pixels, and the train-mode pixel noise rides the
+        # target as `_pixel_noise` for device-side application (above).
+        u8 = self.image_u8
         if u8:
             image_out = image_crop.astype(np.uint8)  # device: x*2/255-1
         else:
@@ -370,6 +385,8 @@ class HO3DDataset:
         if u8:
             target["_img_scale"] = np.float32(2.0 / 255.0)
             target["_img_bias"] = np.float32(-1.0)
+            if pixel_noise is not None:
+                target["_pixel_noise"] = pixel_noise
         if need("depth"):
             target["depth"] = depth_crop.astype(np.float32)
         if need("hand_mask"):

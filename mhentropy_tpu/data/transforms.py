@@ -238,12 +238,21 @@ def warp_image(img: np.ndarray, m: np.ndarray, size: int = 256, border=0.0,
     raise RuntimeError("cv2 or native hostops required for image warping")
 
 
-def pixel_noise(rng: np.random.RandomState, rgb: np.ndarray, factor=0.4):
-    """Channel-wise multiplicative pixel noise (ho3d_dataloader.py:191-198)."""
+def pixel_noise_params(rng: np.random.RandomState, factor=0.4) -> np.ndarray:
+    """The (3,) per-channel multiplicative draw of `pixel_noise`, exposed so
+    uint8-transport loaders can consume the SAME rng-stream position and ship
+    the factors for device-side application (engine._prep_image applies
+    clip(u8 * pn, 0, 255) before normalisation — pointwise, so it commutes
+    exactly with the nearest-gather warp that follows the host-side apply)."""
     # f32 noise: a float64 pn promoted every augmented image to f64 for
     # the rest of the host chain (2x the pixel bytes on the tracked
     # imgs/s/core bottleneck).
-    pn = rng.uniform(1 - factor, 1 + factor, 3).astype(np.float32)
+    return rng.uniform(1 - factor, 1 + factor, 3).astype(np.float32)
+
+
+def pixel_noise(rng: np.random.RandomState, rgb: np.ndarray, factor=0.4):
+    """Channel-wise multiplicative pixel noise (ho3d_dataloader.py:191-198)."""
+    pn = pixel_noise_params(rng, factor)
     return np.clip(rgb * pn[None, None, :], 0.0, 255.0)
 
 

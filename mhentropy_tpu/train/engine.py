@@ -159,6 +159,14 @@ def _prep_image(image, target):
     if image.dtype != jnp.uint8:
         return image
     img = image.astype(jnp.float32)
+    pn = target.get("_pixel_noise")
+    if pn is not None:
+        # Train-mode per-channel multiplicative pixel noise, moved off the
+        # host so augmented batches ship u8 too (ho3d_dataloader.py:191-198
+        # semantics: noise on the 0..255 range, clipped, BEFORE the
+        # normalisation affine below). Pointwise, so it commutes exactly
+        # with the loader's nearest-gather warp.
+        img = jnp.clip(img * pn[:, None, None, :], 0.0, 255.0)
     scale = target.get("_img_scale")
     if scale is None:
         return img / 255.0

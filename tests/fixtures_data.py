@@ -15,6 +15,77 @@ def write_png(path, arr):
     iio.imwrite(path, arr)
 
 
+def build_ho3d(root, n_train=1, n_eval=1, seed=2):
+    """Miniature HO3D_v3-format dataset: n_train frames in sequence ABF10
+    (train split) then n_eval frames in ABF14 (one of the held-out eval
+    sequences, ho3d_dataloader.py:243). Same file formats as the real
+    dump: packed-depth pngs, seg pngs, per-frame meta pickles, chunked
+    GT npy files, a YCB obj."""
+    root = str(root)
+    base = os.path.join(root, "HO3D_v3", "HO3D_v3")
+    gt = os.path.join(root, "HO3D_v3", "HO3D", "data")
+    ycb = os.path.join(root, "HO3D_v3", "models", "003_box")
+    seg_root = os.path.join(root, "HO3D_v3")
+    rng = np.random.RandomState(seed)
+
+    files = [f"ABF10/{i:04d}" for i in range(n_train)] + [
+        f"ABF14/{n_train + i:04d}" for i in range(n_eval)
+    ]
+    os.makedirs(gt, exist_ok=True)
+    os.makedirs(ycb, exist_ok=True)
+    joints, meshes = [], []
+    for seq_frame in files:
+        seq, frame = seq_frame.split("/")
+        # OpenGL coords: hand along -z, ~0.5 m away.
+        j = np.stack(
+            [rng.uniform(-0.04, 0.04, 21), rng.uniform(-0.04, 0.04, 21),
+             -rng.uniform(0.45, 0.55, 21)], 1
+        )
+        joints.append(j)
+        meshes.append(rng.uniform(-0.05, 0.05, (778, 3)) + j.mean(0))
+        img = rng.randint(0, 255, (480, 640, 3), np.uint8)
+        write_png(os.path.join(base, "train", seq, "rgb", frame + ".jpg"), img)
+        # Depth png: channel2 + 256*channel1, scale 0.00012498664727900177.
+        depth_m = np.full((480, 640), 0.5, np.float32)
+        code = (depth_m / 0.00012498664727900177).astype(np.int64)
+        dp = np.zeros((480, 640, 3), np.uint8)
+        dp[..., 2] = (code % 256).astype(np.uint8)
+        dp[..., 1] = (code // 256 % 256).astype(np.uint8)
+        write_png(os.path.join(base, "train", seq, "depth", frame + ".png"), dp)
+        seg = np.zeros((120, 160, 3), np.uint8)
+        seg[40:80, 50:110, 2] = 255  # hand channel
+        seg[20:40, 20:60, 1] = 255  # object channel
+        write_png(os.path.join(seg_root, "train", seq, "seg", frame + ".png"),
+                  seg)
+        meta = {
+            "camMat": CAM.astype(np.float64),
+            "objName": "003_box",
+            "objRot": np.zeros((3, 1)),
+            "objTrans": np.array([0.0, 0.0, -0.5]),
+        }
+        os.makedirs(os.path.join(base, "train", seq, "meta"), exist_ok=True)
+        with open(os.path.join(base, "train", seq, "meta", frame + ".pkl"),
+                  "wb") as f:
+            pickle.dump(meta, f)
+    with open(os.path.join(base, "train.txt"), "w") as f:
+        f.write("\n".join(files) + "\n")
+    joints = np.asarray(joints)
+    meshes = np.asarray(meshes)
+    np.save(os.path.join(gt, "handJoints3D_train_4w.npy"), joints[:n_train])
+    np.save(os.path.join(gt, "handJoints3D_train_8w.npy"), joints[n_train:])
+    np.save(os.path.join(gt, "handJoints3D_train_left.npy"), joints[:0])
+    np.save(os.path.join(gt, "ho3d_mesh_train_4w.npy"), meshes[:n_train])
+    np.save(os.path.join(gt, "ho3d_mesh_train_8w.npy"), meshes[n_train:])
+    np.save(os.path.join(gt, "ho3d_mesh_train_left.npy"), meshes[:0])
+    # Tiny YCB obj.
+    with open(os.path.join(ycb, "textured_simple.obj"), "w") as f:
+        for _ in range(12):
+            v = rng.uniform(-0.05, 0.05, 3)
+            f.write(f"v {v[0]} {v[1]} {v[2] - 0.5}\n")
+            f.write("vn 0 0 1\n")
+    return root
+
+
 def build_rhd(root, n=3, seed=0):
     """Miniature RHD_published_v2-format dataset (training split)."""
     rng = np.random.RandomState(seed)

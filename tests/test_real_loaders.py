@@ -12,6 +12,8 @@ import pytest
 imageio = pytest.importorskip("imageio")
 import imageio.v2 as iio  # noqa: E402
 
+from tests import fixtures_data  # noqa: E402
+
 CAM = np.array([[300.0, 0, 160.0], [0, 300.0, 160.0], [0, 0, 1.0]], np.float32)
 
 
@@ -107,70 +109,37 @@ def test_freihand_loader_end_to_end(freihand_root):
     assert len(evald) == 1
 
 
+def test_freihand_u8_train_transport(freihand_root):
+    """Augmented training ships u8 + a device-side `_pixel_noise` factor;
+    emulating engine._prep_image reproduces the f32 transport exactly
+    (the nearest warp commutes with the pointwise noise)."""
+    from mhentropy_tpu.data import freihand
+
+    u8 = freihand.load(freihand_root, mode="training", image_u8=True)
+    f32 = freihand.load(freihand_root, mode="training")
+    img_u, t_u = u8[1]
+    img_f, t_f = f32[1]
+    assert img_u.dtype == np.uint8
+    pn = t_u["_pixel_noise"]
+    emulated = (
+        np.clip(img_u.astype(np.float32) * pn[None, None, :], 0.0, 255.0)
+        * t_u["_img_scale"] + t_u["_img_bias"]
+    )
+    np.testing.assert_allclose(emulated, img_f, atol=1e-5)
+    np.testing.assert_array_equal(t_u["crop_uv"], t_f["crop_uv"])
+    np.testing.assert_array_equal(t_u["pose3d"], t_f["pose3d"])
+
+
 # ------------------------------------------------------------------- HO3D
 
 
 @pytest.fixture(scope="module")
 def ho3d_root(tmp_path_factory):
-    root = tmp_path_factory.mktemp("ho3d")
-    base = root / "HO3D_v3" / "HO3D_v3"
-    gt = root / "HO3D_v3" / "HO3D" / "data"
-    ycb = root / "HO3D_v3" / "models" / "003_box"
-    seg_root = root / "HO3D_v3"
-    rng = np.random.RandomState(2)
-
-    files = ["ABF10/0000", "ABF14/0001"]  # train + eval-split sequences
-    os.makedirs(gt, exist_ok=True)
-    os.makedirs(ycb, exist_ok=True)
-    joints, meshes = [], []
-    for seq_frame in files:
-        seq, frame = seq_frame.split("/")
-        # OpenGL coords: hand along -z, ~0.5 m away.
-        j = np.stack(
-            [rng.uniform(-0.04, 0.04, 21), rng.uniform(-0.04, 0.04, 21),
-             -rng.uniform(0.45, 0.55, 21)], 1
-        )
-        joints.append(j)
-        meshes.append(rng.uniform(-0.05, 0.05, (778, 3)) + j.mean(0))
-        img = rng.randint(0, 255, (480, 640, 3), np.uint8)
-        _write_png(str(base / "train" / seq / "rgb" / f"{frame}.jpg"), img)
-        # Depth png: channel2 + 256*channel1 scaled by 0.00012498664727900177.
-        depth_m = np.full((480, 640), 0.5, np.float32)
-        code = (depth_m / 0.00012498664727900177).astype(np.int64)
-        dp = np.zeros((480, 640, 3), np.uint8)
-        dp[..., 2] = (code % 256).astype(np.uint8)
-        dp[..., 1] = (code // 256 % 256).astype(np.uint8)
-        _write_png(str(base / "train" / seq / "depth" / f"{frame}.png"), dp)
-        seg = np.zeros((120, 160, 3), np.uint8)
-        seg[40:80, 50:110, 2] = 255  # hand channel
-        seg[20:40, 20:60, 1] = 255  # object channel
-        _write_png(str(seg_root / "train" / seq / "seg" / f"{frame}.png"), seg)
-        meta = {
-            "camMat": CAM.astype(np.float64),
-            "objName": "003_box",
-            "objRot": np.zeros((3, 1)),
-            "objTrans": np.array([0.0, 0.0, -0.5]),
-        }
-        os.makedirs(base / "train" / seq / "meta", exist_ok=True)
-        with open(base / "train" / seq / "meta" / f"{frame}.pkl", "wb") as f:
-            pickle.dump(meta, f)
-    with open(base / "train.txt", "w") as f:
-        f.write("\n".join(files) + "\n")
-    joints = np.asarray(joints)
-    meshes = np.asarray(meshes)
-    np.save(gt / "handJoints3D_train_4w.npy", joints[:1])
-    np.save(gt / "handJoints3D_train_8w.npy", joints[1:])
-    np.save(gt / "handJoints3D_train_left.npy", joints[:0])
-    np.save(gt / "ho3d_mesh_train_4w.npy", meshes[:1])
-    np.save(gt / "ho3d_mesh_train_8w.npy", meshes[1:])
-    np.save(gt / "ho3d_mesh_train_left.npy", meshes[:0])
-    # Tiny YCB obj.
-    with open(ycb / "textured_simple.obj", "w") as f:
-        for _ in range(12):
-            v = rng.uniform(-0.05, 0.05, 3)
-            f.write(f"v {v[0]} {v[1]} {v[2] - 0.5}\n")
-            f.write(f"vn 0 0 1\n")
-    return str(root)
+    # One train frame (ABF10) + one eval-split frame (ABF14); builder
+    # shared with tools/bench_epoch_io.py.
+    return fixtures_data.build_ho3d(
+        tmp_path_factory.mktemp("ho3d"), n_train=1, n_eval=1, seed=2
+    )
 
 
 def test_ho3d_loader_end_to_end(ho3d_root):
@@ -326,9 +295,27 @@ def test_ho3d_u8_transport(ho3d_root):
         img_u.astype(np.float32) * t_u["_img_scale"] + t_u["_img_bias"],
         img_f, atol=1e-6,
     )
-    # Training mode keeps f32 (pixel noise is sub-integer).
-    img_t, t_t = ho3d.load(ho3d_root, mode="training", image_u8=True)[0]
-    assert img_t.dtype == np.float32 and "_img_scale" not in t_t
+    # Training mode ships u8 too: the pixel noise rides the target as
+    # `_pixel_noise` and applies on device (engine._prep_image). Same
+    # (seed, epoch, idx) rng stream in both transports, so every other
+    # target field is bit-identical and the device-side image matches the
+    # host f32 path within normalisation ulps.
+    tr_u8 = ho3d.load(ho3d_root, mode="training", image_u8=True)
+    tr_f32 = ho3d.load(ho3d_root, mode="training")
+    img_t, t_t = tr_u8[0]
+    img_tf, t_tf = tr_f32[0]
+    assert img_t.dtype == np.uint8
+    pn = t_t["_pixel_noise"]
+    assert pn.shape == (3,) and "_pixel_noise" not in t_tf
+    emulated = (
+        np.clip(img_t.astype(np.float32) * pn[None, None, :], 0.0, 255.0)
+        * t_t["_img_scale"] + t_t["_img_bias"]
+    )
+    np.testing.assert_allclose(emulated, img_tf, atol=1e-5)
+    assert set(t_t) - set(t_tf) == {"_img_scale", "_img_bias", "_pixel_noise"}
+    for k in t_tf:
+        if k != "dataset":
+            np.testing.assert_array_equal(t_t[k], t_tf[k], err_msg=k)
 
 
 def test_prep_image_device_normalisation():
@@ -346,6 +333,16 @@ def test_prep_image_device_normalisation():
         np.asarray(out), img.astype(np.float32) * 2.0 / 255.0 - 1.0,
         atol=1e-6,
     )
+    # `_pixel_noise` applies on the 0..255 range, clipped, before the
+    # affine (the host pixel_noise semantics, ho3d_dataloader.py:191-198).
+    pn = np.array([[0.7, 1.3, 1.0], [1.4, 0.6, 1.1]], np.float32)
+    out_n = _prep_image(jnp.asarray(img),
+                        {**tgt, "_pixel_noise": jnp.asarray(pn)})
+    want = (
+        np.clip(img.astype(np.float32) * pn[:, None, None, :], 0.0, 255.0)
+        * (2.0 / 255.0) - 1.0
+    )
+    np.testing.assert_allclose(np.asarray(out_n), want, atol=1e-6)
     # No affine in target -> plain /255; f32 input passes through.
     out2 = _prep_image(jnp.asarray(img), {})
     np.testing.assert_allclose(
