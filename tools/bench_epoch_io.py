@@ -19,10 +19,12 @@ the relay, docs/PERF.md "uint8 image transport") against a 19.9 ms train
 step / ~4 ms eval step — the old transport makes real epochs
 transfer-bound.
 
-Usage: python -m tools.bench_epoch_io [n_samples] [mode]
-(mode = eval | train | both; runs each epoch twice and reports the
-second, warm-jit, wall time. TPU via ambient env; ~2 compiles per
-transport variant on first run.)
+Usage: python -m tools.bench_epoch_io [n_samples] [mode] [dataset]
+(mode = eval | train | both; dataset = rhd | ho3d. Runs each epoch twice
+and reports the second, warm-jit, wall time. TPU via ambient env; ~2
+compiles per transport variant on first run. The ho3d dataset exercises
+the train-mode uint8 transport with the device-side `_pixel_noise`
+factors — the f32 train path was HO3D's last 4x-H2D batch.)
 """
 
 import json
@@ -33,14 +35,14 @@ import time
 
 
 def _make_cfg(data_dir, model_dir, u8: bool, fields: str, bs: int,
-              sample_cache: bool = False):
+              sample_cache: bool = False, dataset: str = "rhd"):
     from mhentropy_tpu.utils.config import get_cfg_defaults
 
     cfg = get_cfg_defaults()
     cfg.merge_from_other_cfg({
         "model_dir": model_dir + "/",
         "info_interval": 10_000,  # per-log D2H fetches would skew the wall
-        "dataset": {"dataset_name": "rhd", "image_size": [256, 256]},
+        "dataset": {"dataset_name": dataset, "image_size": [256, 256]},
         "network": {
             "enc_type": "MHEnt", "input": "image", "num_latent": 64,
             "backbone": "resnet50", "decoder_type": "mano",
@@ -70,13 +72,19 @@ def _make_cfg(data_dir, model_dir, u8: bool, fields: str, bs: int,
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     mode = sys.argv[2] if len(sys.argv) > 2 else "eval"
+    dataset = sys.argv[3] if len(sys.argv) > 3 else "rhd"
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
     import fixtures_data
 
     from mhentropy_tpu.train.engine import Experiment
 
     with tempfile.TemporaryDirectory() as root:
-        fixtures_data.build_rhd(root, n=n, seed=0)
+        if dataset == "ho3d":
+            # n train frames AND n eval frames (the splits are disjoint
+            # sequences), so both loops see n items either way.
+            fixtures_data.build_ho3d(root, n_train=n, n_eval=n, seed=0)
+        else:
+            fixtures_data.build_rhd(root, n=n, seed=0)
         results = {}
         for label, (fields, u8, scache) in (
             ("old_full_f32", ("full", False, False)),
@@ -84,7 +92,8 @@ def main():
             ("new_auto_u8_scache", ("auto", True, True)),
         ):
             cfg = _make_cfg(root, os.path.join(root, f"run_{label}"), u8,
-                            fields, bs=32, sample_cache=scache)
+                            fields, bs=32, sample_cache=scache,
+                            dataset=dataset)
             exp = Experiment(cfg)
             train_data, eval_data = exp.make_datasets()
             if mode in ("eval", "both"):
@@ -102,7 +111,8 @@ def main():
                 wall = time.perf_counter() - t0
                 results[f"train_wall_s_{label}"] = round(wall, 2)
                 results[f"train_imgs_per_s_{label}"] = round(n / wall, 1)
-        out = {"metric": f"real-data RHD epoch wall (n={n}, B=32, TPU)"}
+        out = {"metric":
+               f"real-data {dataset.upper()} epoch wall (n={n}, B=32, TPU)"}
         out.update(results)
         for kind in ("eval", "train"):
             ko, kn = (f"{kind}_wall_s_old_full_f32",
