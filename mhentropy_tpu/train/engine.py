@@ -18,6 +18,8 @@ only).
 
 from __future__ import annotations
 
+import collections
+import functools
 import os
 import time
 from typing import Any, NamedTuple
@@ -146,6 +148,35 @@ def _mesh_jit(fn, mesh, in_shardings, out_shardings, donate=()):
     )
 
 
+# Process-global LRU of step programs and optimizers, shared across
+# Experiment instances. Re-tracing one of the big jitted step programs costs
+# ~20-60 s on a 1-core host; sweep drivers, serving warmup, and the test
+# process all build many identically-shaped Experiments, so cache the built
+# callables across instances. Safe by construction as long as the key covers
+# every closure input of the builder (model constants, model config, mesh
+# layout, optimizer hyperparameters, sharding flags) — the values themselves
+# are pure: optax transforms and jitted callables hold no per-Experiment
+# state (TrainState is always an argument, never captured).
+_SHARED_PROGRAMS: collections.OrderedDict = collections.OrderedDict()
+_SHARED_PROGRAMS_MAX = 16
+
+
+def _shared_program(key, build):
+    if key in _SHARED_PROGRAMS:
+        _SHARED_PROGRAMS.move_to_end(key)
+        return _SHARED_PROGRAMS[key]
+    val = build()
+    _SHARED_PROGRAMS[key] = val
+    while len(_SHARED_PROGRAMS) > _SHARED_PROGRAMS_MAX:
+        _SHARED_PROGRAMS.popitem(last=False)
+    return val
+
+
+def _mesh_fingerprint(mesh) -> tuple:
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+            tuple(mesh.devices.shape))
+
+
 def _prep_image(image, target):
     """Device-side image normalisation for uint8-transport batches.
 
@@ -257,11 +288,19 @@ def _num_samples(data) -> int:
     return data.images.shape[0] if hasattr(data, "images") else len(data)
 
 
-def load_mano_model(mano_dir: str = "./mano/") -> ManoModel:
-    path = mano_lib.find_mano_assets(mano_dir)
+@functools.lru_cache(maxsize=4)
+def _load_mano_cached(path: str | None) -> ManoModel:
     if path:
         return mano_lib.load_mano_pkl(path)
     return mano_lib.synthetic_mano_model(seed=0)
+
+
+def load_mano_model(mano_dir: str = "./mano/") -> ManoModel:
+    # The asset probe runs every call (assets can appear mid-process, e.g.
+    # test fixtures); the load itself is cached so every Experiment on the
+    # same assets shares one constant pytree — which also makes the shared
+    # step-program cache below see one stable model per asset path.
+    return _load_mano_cached(mano_lib.find_mano_assets(mano_dir))
 
 
 def make_optimizer(lr: float, milestones, steps_per_epoch: int, gamma: float = 0.1):
@@ -414,6 +453,9 @@ class Experiment:
                 )
             self.model_cfg = build_rle_config(cfg)
         self.model = load_mano_model(mano_dir)
+        # Stable fingerprint of the model constants for the shared step
+        # cache (the asset path pins the values; id() could be recycled).
+        self._model_key = mano_lib.find_mano_assets(mano_dir) or "synthetic"
         hypo = cfg.tpu.mesh_hypo if "tpu" in cfg else 1
         tp = int(cfg.tpu.get("tp") or 1) if "tpu" in cfg else 1
         # Use as many devices as divide the batch (a 2-image batch cannot
@@ -543,6 +585,42 @@ class Experiment:
             else:
                 self.load_model(pr)
 
+    # ---------------------------------------------- shared-program plumbing
+    @property
+    def _fsdp(self) -> bool:
+        return bool(self.cfg.tpu.fsdp) if "tpu" in self.cfg else False
+
+    def _opt_fingerprint(self, steps_per_epoch: int) -> tuple:
+        t = self.cfg.training
+        return ("opt", float(t.lr), tuple(int(m) for m in t.milestones),
+                int(steps_per_epoch))
+
+    def _get_optimizer(self, steps_per_epoch: int):
+        """The optimizer for this schedule, shared across Experiments with
+        the same hyperparameters — so a shared train step's captured
+        optimizer IS this object and opt_state stays consistent."""
+        t = self.cfg.training
+        return _shared_program(
+            self._opt_fingerprint(steps_per_epoch),
+            lambda: make_optimizer(t.lr, t.milestones, steps_per_epoch),
+        )
+
+    def _get_train_step(self):
+        key = ("train_step", self.integrated, self._model_key,
+               repr(self.model_cfg), _mesh_fingerprint(self.mesh),
+               self._opt_fingerprint(self.steps_per_epoch), self._fsdp,
+               self._tp)
+        if self.integrated:
+            build = lambda: make_train_step(  # noqa: E731
+                self.model, self.model_cfg, self.optimizer, self.mesh,
+                fsdp=self._fsdp, tp=self._tp,
+            )
+        else:
+            build = lambda: make_rle_train_step(  # noqa: E731
+                self.model_cfg, self.optimizer, self.mesh
+            )
+        return _shared_program(key, build)
+
     def _ensure_state(self, steps_per_epoch: int, for_training: bool = False):
         if self.state is not None:
             if for_training and steps_per_epoch != self.steps_per_epoch:
@@ -556,39 +634,18 @@ class Experiment:
                     f"{self.steps_per_epoch} -> {steps_per_epoch}"
                 )
                 self.steps_per_epoch = steps_per_epoch
-                self.optimizer = make_optimizer(
-                    self.cfg.training.lr, self.cfg.training.milestones,
-                    steps_per_epoch,
-                )
+                self.optimizer = self._get_optimizer(steps_per_epoch)
                 self.state = self.state._replace(
                     opt_state=self.optimizer.init(self.state.params)
                 )
-                if self.integrated:
-                    self._train_step = make_train_step(
-                        self.model, self.model_cfg, self.optimizer,
-                        self.mesh,
-                        fsdp=bool(self.cfg.tpu.fsdp)
-                        if "tpu" in self.cfg else False,
-                        tp=self._tp,
-                    )
-                else:
-                    self._train_step = make_rle_train_step(
-                        self.model_cfg, self.optimizer, self.mesh
-                    )
+                self._train_step = self._get_train_step()
             self._apply_pending_restore()
             return
         self.steps_per_epoch = steps_per_epoch
-        self.optimizer = make_optimizer(
-            self.cfg.training.lr, self.cfg.training.milestones, steps_per_epoch
-        )
+        self.optimizer = self._get_optimizer(steps_per_epoch)
         self.key, k_init = jax.random.split(self.key)
         if self.integrated:
             self.state = init_state(k_init, self.model_cfg, self.optimizer)
-            self._train_step = make_train_step(
-                self.model, self.model_cfg, self.optimizer, self.mesh,
-                fsdp=bool(self.cfg.tpu.fsdp) if "tpu" in self.cfg else False,
-                tp=self._tp,
-            )
         else:
             params, stats = rle.init(k_init, self.model_cfg)
             self.state = TrainState(
@@ -596,9 +653,7 @@ class Experiment:
                 opt_state=self.optimizer.init(params),
                 step=jnp.zeros((), jnp.int32),
             )
-            self._train_step = make_rle_train_step(
-                self.model_cfg, self.optimizer, self.mesh
-            )
+        self._train_step = self._get_train_step()
         self._dump_models_txt()
         self._apply_pending_restore()
 
@@ -627,17 +682,25 @@ class Experiment:
         key = (n, temp, quant_spec) if self.integrated else "rle"
         if key not in self._eval_step:
             if self.integrated:
-                n_quant = self.cfg.training.get("test_quant") or n
-                self._eval_step[key] = make_eval_step(
-                    self.model, self.model_cfg, self.mesh, n, temp,
-                    n_quant=min(n_quant, n), quant_spec=quant_spec,
-                    tp=self._tp,
-                    fsdp=bool(self.cfg.tpu.fsdp) if "tpu" in self.cfg
-                    else False,
+                n_quant = min(self.cfg.training.get("test_quant") or n, n)
+                skey = ("eval_step", True, self._model_key,
+                        repr(self.model_cfg), _mesh_fingerprint(self.mesh),
+                        n, float(temp), n_quant, repr(quant_spec),
+                        self._fsdp, self._tp)
+                self._eval_step[key] = _shared_program(
+                    skey,
+                    lambda: make_eval_step(
+                        self.model, self.model_cfg, self.mesh, n, temp,
+                        n_quant=n_quant, quant_spec=quant_spec,
+                        tp=self._tp, fsdp=self._fsdp,
+                    ),
                 )
             else:
-                self._eval_step[key] = make_rle_eval_step(
-                    self.model_cfg, self.mesh
+                skey = ("eval_step", False, repr(self.model_cfg),
+                        _mesh_fingerprint(self.mesh))
+                self._eval_step[key] = _shared_program(
+                    skey,
+                    lambda: make_rle_eval_step(self.model_cfg, self.mesh),
                 )
         return self._eval_step[key]
 

@@ -251,6 +251,41 @@ def test_load_model_before_state_and_train_schedule_rebuild(tmp_path):
     assert exp2.optimizer is opt2
 
 
+def test_shared_step_programs_across_experiments(tmp_path):
+    """Experiments with identical (model, config, mesh, optimizer)
+    fingerprints share one optimizer and one jitted train/eval step
+    (engine._SHARED_PROGRAMS) — re-tracing a step program costs ~20-60 s
+    on a 1-core host, and sweep drivers / test processes build many
+    same-shaped Experiments. Any hyperparameter that shapes a program
+    (here: lr -> LR schedule) must split the cache entry."""
+    from mhentropy_tpu.train.engine import Experiment
+    from mhentropy_tpu.utils.config import update_cfg
+
+    def make(tag, **training):
+        cfg = update_cfg("configs/smoke.yaml")
+        cfg.model_dir = str(tmp_path / tag)
+        for k, v in training.items():
+            setattr(cfg.training, k, v)
+        exp = Experiment(cfg)
+        exp._ensure_state(3)
+        return exp
+
+    e1, e2 = make("a"), make("b")
+    assert e1.optimizer is e2.optimizer
+    assert e1._train_step is e2._train_step
+    assert e1._get_eval_step(4, 0.8) is e2._get_eval_step(4, 0.8)
+    # Different temp -> different eval program; same key again -> cached.
+    assert e1._get_eval_step(4, 1.0) is not e2._get_eval_step(4, 0.8)
+    assert e1._get_eval_step(4, 1.0) is e2._get_eval_step(4, 1.0)
+
+    e3 = make("c", lr=9e-4)
+    assert e3.optimizer is not e1.optimizer
+    assert e3._train_step is not e1._train_step
+
+    # States stay per-Experiment even when programs are shared.
+    assert e1.state.params is not e2.state.params
+
+
 def test_eval_only_skips_train_split(tmp_path, monkeypatch):
     """Experiment.eval() must not construct the training dataset (an
     eval-only run paid train-split construction — annotation indexing,
