@@ -176,11 +176,16 @@ def sample_q_z(
     n: int,
     temp: float = 1.0,
     differentiable: bool = False,
+    flow_q=None,
 ):
     """Draw N hypotheses per image from q(z | I) (network.py:719-758).
 
     Rows are ordered as N blocks of B (hypothesis-major), matching the
     reference's `.repeat(N, 1)` layout.
+
+    flow_q: optional flows/pallas_sampler_int8.FlowQTree — the eval
+    hypothesis draw runs the W8A8 fused kernel (same base-noise key
+    discipline as the other paths; inference only).
 
     Returns:
         z: (N*B, 61), log_q: (N*B,) log density of the flow block (zeros in
@@ -188,7 +193,14 @@ def sample_q_z(
     """
     b = feat.shape[0]
     z_flow, log_q = None, jnp.zeros(n * b)
-    if cfg.regressor == "realnvp":
+    if cfg.regressor == "realnvp" and flow_q is not None and not differentiable:
+        from mhentropy_tpu.flows import pallas_sampler_int8
+
+        z_flow, log_q = pallas_sampler_int8.sample_fused_q(
+            params["flow"], cfg.flow, flow_q, key, feat, n, temp=temp,
+            return_log_prob=True,
+        )
+    elif cfg.regressor == "realnvp":
         # Measured row-count dispatch (see MHEntConfig.pallas_min_rows).
         use_fused = cfg.use_pallas_sampler is not False
         if use_fused and cfg.use_pallas_sampler is None:
@@ -450,16 +462,22 @@ def sample_hypotheses(
 
     quant: optional (QuantSpec, qtree) from models/quant.py — runs the
     conditioning encoder through the int8 W8A8 path (serving option).
+    When the spec sets int8_sampler and the qtree carries a "flow"
+    FlowQTree, the hypothesis draw also runs the int8 fused sampler.
     """
+    flow_q = None
     if quant is not None:
         from mhentropy_tpu.models import quant as quant_mod
 
         feat = quant_mod.encoder_feat(
             quant[0], quant[1], params["encoder"], image)
+        if getattr(quant[0], "int8_sampler", False):
+            flow_q = quant[1].get("flow")
     else:
         feat, _ = extract_feat(params, batch_stats, cfg, image, train=False)
     b = image.shape[0]
-    z, log_q = sample_q_z(params, cfg, feat, key, n, temp=temp)
+    z, log_q = sample_q_z(params, cfg, feat, key, n, temp=temp,
+                          flow_q=flow_q)
     z = z.reshape(n, b, Z_TOTAL)
     if n_quant is not None and n_quant < n:
         # Keep the n_quant most likely hypotheses per image (network.py:866-871).

@@ -68,6 +68,12 @@ class QuantSpec(NamedTuple):
     # sub-tile im2col stores are masked RMW on (32, 128) tiles and
     # cost more than the halved bytes save; see the module docstring).
     int8_stem: bool = False
+    # int8 fused RealNVP sampler (flows/pallas_sampler_int8.py): the
+    # eval hypothesis draw runs the W8A8 coupling kernel, consuming a
+    # qtree["flow"] FlowQTree calibrated per-eval alongside the encoder
+    # sites. The sampler is MXU-bound (~66%), where kernel int8 dots
+    # measured 1.30x over bf16 — unlike the copy-bound stem.
+    int8_sampler: bool = False
 
 
 def _bn_affine(bn_p: dict, bn_s: dict):

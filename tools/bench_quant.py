@@ -8,6 +8,8 @@ Prints one JSON line per side + a summary line.
 Usage: python tools/bench_quant.py [n_hypo] [batch] [steps] [q_from]
 (q_from=0 also quantizes stage 1 — the Pallas stage-1 kernel only runs
 on unquantized stages, so this A/Bs int8 XLA stage 1 vs the kernel.)
+A 5th arg "sampler" adds a third side: int8 encoder + the int8 fused
+RealNVP sampler (flows/pallas_sampler_int8.py).
 """
 import json
 import sys
@@ -93,6 +95,16 @@ def main():
     base = run_side("bf16", None)
     q = run_side(f"int8 W8A8 (q_from={q_from})", qtree)
     print(json.dumps({"metric": "int8 speedup", "value": round(q / base, 4)}))
+    if len(sys.argv) > 5 and sys.argv[5] == "sampler":
+        from mhentropy_tpu.flows import pallas_sampler_int8 as q8
+
+        feat = quant.encoder_feat(spec, qtree, params["encoder"], image)
+        qtree["flow"] = q8.quantize_sampler(
+            params["flow"], cfg.flow, feat, jax.random.key(3), n=16)
+        spec = spec._replace(int8_sampler=True)
+        qs = run_side(f"int8 W8A8 + int8 sampler (q_from={q_from})", qtree)
+        print(json.dumps({"metric": "int8 sampler speedup vs int8 encoder",
+                          "value": round(qs / q, 4)}))
     return 0
 
 
