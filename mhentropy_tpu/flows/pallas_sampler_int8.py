@@ -353,6 +353,12 @@ def _fused_transform_q(ftree: FlowQTree, z0_tiles, cprojq, n_layers: int,
             w_spec((h, dp)), w_spec((1, dp)),
             w_spec((1, dp)),
         ],
+        # The logdet emits per-LANE and is reduced over Dp by XLA right
+        # after — a Dp-times-oversized output (mirrors the bf16 kernel).
+        # Deliberate: the extra write+read is ~2x1.7 MB at the headline
+        # shape, ~4 us of HBM time against the sampler's ~330 us phase
+        # (<0.25% headline), and an in-kernel cross-lane reduction would
+        # need a non-128 trailing output tile. Not worth the churn.
         out_specs=[
             pl.BlockSpec((1, ipt, r, dp), chunk_only, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ipt, r, dp), chunk_only, memory_space=pltpu.VMEM),

@@ -199,6 +199,10 @@ def sample_q_z(
         z_flow, log_q = pallas_sampler_int8.sample_fused_q(
             params["flow"], cfg.flow, flow_q, key, feat, n, temp=temp,
             return_log_prob=True,
+            # The fused-sampler kill switch disables every Pallas kernel
+            # path; the quantized draw still honours it by running the
+            # bit-equivalent XLA emulation instead of the Mosaic kernel.
+            emulate=True if cfg.use_pallas_sampler is False else None,
         )
     elif cfg.regressor == "realnvp":
         # Measured row-count dispatch (see MHEntConfig.pallas_min_rows).
@@ -473,6 +477,13 @@ def sample_hypotheses(
             quant[0], quant[1], params["encoder"], image)
         if getattr(quant[0], "int8_sampler", False):
             flow_q = quant[1].get("flow")
+            if flow_q is None:
+                raise ValueError(
+                    "QuantSpec.int8_sampler is set but the qtree carries "
+                    "no 'flow' FlowQTree — calibrate one with "
+                    "models/quant.quantize_sampler_into (running the "
+                    "float sampler silently would invalidate any int8 A/B)"
+                )
     else:
         feat, _ = extract_feat(params, batch_stats, cfg, image, train=False)
     b = image.shape[0]

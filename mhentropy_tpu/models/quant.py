@@ -71,8 +71,13 @@ class QuantSpec(NamedTuple):
     # int8 fused RealNVP sampler (flows/pallas_sampler_int8.py): the
     # eval hypothesis draw runs the W8A8 coupling kernel, consuming a
     # qtree["flow"] FlowQTree calibrated per-eval alongside the encoder
-    # sites. The sampler is MXU-bound (~66%), where kernel int8 dots
-    # measured 1.30x over bf16 — unlike the copy-bound stem.
+    # sites (`quantize_sampler_into` builds it; the engine/serve
+    # quantized-eval paths do so by default for supported RealNVP
+    # configs — cfg.tpu.quantize_sampler=False opts out). The sampler is
+    # MXU-bound (~66%), where kernel int8 dots measured 1.30x over bf16
+    # — unlike the copy-bound stem. Measured full-pipeline win: 1.225M
+    # -> 1.288M hypos/s (+5.1%) on top of the int8 encoder at the
+    # headline shape (docs/PERF.md).
     int8_sampler: bool = False
 
 
@@ -420,3 +425,41 @@ def encoder_feat(spec: QuantSpec, qtree: dict, enc_params: dict,
     l1 = enc_params["l1"]
     return jnp.dot(feats, l1["w"],
                    precision=lax.Precision.HIGH) + l1["b"]
+
+
+def sampler_supported(model_cfg) -> bool:
+    """True when the int8 fused RealNVP sampler can serve this model: a
+    RealNVP regressor whose dim fits one lane tile, with the fused-sampler
+    kill switch (MHEntConfig.use_pallas_sampler=False) not engaged. Shape
+    gates only — backend-independent, because `sample_fused_q` emulates
+    the identical quantized arithmetic through XLA off-TPU."""
+    from mhentropy_tpu.flows import pallas_sampler_int8 as q8
+
+    return (getattr(model_cfg, "regressor", None) == "realnvp"
+            and model_cfg.flow.dim <= q8.LANE
+            and model_cfg.use_pallas_sampler is not False)
+
+
+def quantize_sampler_into(spec: QuantSpec, qtree: dict, params: dict,
+                          flow_cfg, calib_images, key=None,
+                          temp: float = 0.8) -> tuple:
+    """Extend an encoder (spec, qtree) with the int8 fused RealNVP
+    sampler: calibrates the flow's activation amaxes on the QUANTIZED
+    encoder's features (the distribution the sampler will actually see)
+    and attaches the FlowQTree as qtree["flow"].
+
+    temp must be >= the largest sampling temperature the tree will serve
+    — activation scales are amaxes of a temp-scaled trajectory, so a
+    hotter draw than calibrated saturates the first-layer int8 clip
+    (quality degrades silently). Engine eval calibrates at its exact
+    eval_temp; serving calibrates at max(1, temp) to cover per-request
+    overrides."""
+    from mhentropy_tpu.flows import pallas_sampler_int8 as q8
+
+    feat = encoder_feat(spec, qtree, params["encoder"], calib_images)
+    if key is None:
+        key = jax.random.key(17)  # calibration is deterministic by design
+    qtree = dict(qtree)
+    qtree["flow"] = q8.quantize_sampler(params["flow"], flow_cfg, feat,
+                                        key, temp=temp)
+    return spec._replace(int8_sampler=True), qtree

@@ -288,10 +288,25 @@ def _num_samples(data) -> int:
     return data.images.shape[0] if hasattr(data, "images") else len(data)
 
 
+def _mano_fingerprint(mano_dir: str):
+    """Content fingerprint of the resolved MANO asset: (abspath,
+    mtime_ns, size), or None for the synthetic stand-in. A bare
+    (possibly relative) path is NOT enough to key caches on — a test or
+    tool that swaps the pkl at the same path, or chdirs to another tree
+    with its own ./mano, must not be served the previous model (nor a
+    shared step program compiled around its constants)."""
+    path = mano_lib.find_mano_assets(mano_dir)
+    if not path:
+        return None
+    path = os.path.abspath(path)
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 @functools.lru_cache(maxsize=4)
-def _load_mano_cached(path: str | None) -> ManoModel:
-    if path:
-        return mano_lib.load_mano_pkl(path)
+def _load_mano_cached(fp) -> ManoModel:
+    if fp:
+        return mano_lib.load_mano_pkl(fp[0])
     return mano_lib.synthetic_mano_model(seed=0)
 
 
@@ -299,8 +314,8 @@ def load_mano_model(mano_dir: str = "./mano/") -> ManoModel:
     # The asset probe runs every call (assets can appear mid-process, e.g.
     # test fixtures); the load itself is cached so every Experiment on the
     # same assets shares one constant pytree — which also makes the shared
-    # step-program cache below see one stable model per asset path.
-    return _load_mano_cached(mano_lib.find_mano_assets(mano_dir))
+    # step-program cache below see one stable model per asset fingerprint.
+    return _load_mano_cached(_mano_fingerprint(mano_dir))
 
 
 def make_optimizer(lr: float, milestones, steps_per_epoch: int, gamma: float = 0.1):
@@ -454,8 +469,9 @@ class Experiment:
             self.model_cfg = build_rle_config(cfg)
         self.model = load_mano_model(mano_dir)
         # Stable fingerprint of the model constants for the shared step
-        # cache (the asset path pins the values; id() could be recycled).
-        self._model_key = mano_lib.find_mano_assets(mano_dir) or "synthetic"
+        # cache ((path, mtime, size) pins the values; id() could be
+        # recycled and a bare path survives content swaps).
+        self._model_key = _mano_fingerprint(mano_dir) or "synthetic"
         hypo = cfg.tpu.mesh_hypo if "tpu" in cfg else 1
         tp = int(cfg.tpu.get("tp") or 1) if "tpu" in cfg else 1
         # Use as many devices as divide the batch (a 2-image batch cannot
@@ -804,6 +820,35 @@ class Experiment:
         drain()
         return loss_meter.avg
 
+    def _quant_spec(self, batch_size: int):
+        """The QuantSpec the quantized eval path runs with, or None when
+        cfg.tpu.quantize_encoder is off (or the model is non-integrated).
+        The int8 fused hypothesis sampler is part of the quantized eval
+        by default (measured +5.1% full-pipeline on top of the int8
+        encoder); cfg.tpu.quantize_sampler=False opts out, and
+        unsupported flow shapes / the use_pallas_sampler kill switch
+        gate it off (models/quant.sampler_supported)."""
+        if not (self.integrated and "tpu" in self.cfg
+                and bool(self.cfg.tpu.get("quantize_encoder", False))):
+            return None
+        from mhentropy_tpu.models import quant as quant_mod
+
+        img = self.model_cfg.image_size
+        return quant_mod.QuantSpec(
+            backbone=self.model_cfg.encoder.backbone,
+            q_from=quant_mod.resolve_q_from(
+                self.cfg.tpu.get("quantize_q_from", "auto"),
+                self.model_cfg.encoder.backbone, (batch_size, img, img, 3)),
+            dtype=self.model_cfg.encoder.dtype,
+            pallas_stem=getattr(self.model_cfg.encoder, "pallas_stem",
+                                True),
+            pallas_stage1=getattr(self.model_cfg.encoder,
+                                  "pallas_stage1", True),
+            pallas_mid=getattr(self.model_cfg.encoder, "pallas_mid", False),
+            int8_sampler=(
+                bool(self.cfg.tpu.get("quantize_sampler", True))
+                and quant_mod.sampler_supported(self.model_cfg)))
+
     def eval_loop(self, data, epoch: int = 0, n: int | None = None):
         if self.state is None:
             bs = self.cfg.training.batch_size
@@ -817,24 +862,8 @@ class Experiment:
         # epochs); the qtree is a step argument, so this never recompiles.
         # Calibration happens lazily INSIDE the loop so batch 0 is not
         # decoded twice (and an empty dataset stays a no-op).
-        quant_spec = None
-        if (self.integrated and "tpu" in self.cfg
-                and bool(self.cfg.tpu.get("quantize_encoder", False))):
-            from mhentropy_tpu.models import quant as quant_mod
-
-            img = self.model_cfg.image_size
-            quant_spec = quant_mod.QuantSpec(
-                backbone=self.model_cfg.encoder.backbone,
-                q_from=quant_mod.resolve_q_from(
-                    self.cfg.tpu.get("quantize_q_from", "auto"),
-                    self.model_cfg.encoder.backbone, (bs, img, img, 3)),
-                dtype=self.model_cfg.encoder.dtype,
-                pallas_stem=getattr(self.model_cfg.encoder, "pallas_stem",
-                                    True),
-                pallas_stage1=getattr(self.model_cfg.encoder,
-                                      "pallas_stage1", True),
-                pallas_mid=getattr(self.model_cfg.encoder,
-                                   "pallas_mid", False))
+        quant_spec = self._quant_spec(bs)
+        if quant_spec is not None:
             step = self._get_eval_step(n, temp, quant_spec=quant_spec)
         else:
             step = self._get_eval_step(n, temp)
@@ -850,13 +879,22 @@ class Experiment:
             if quant_spec is not None and qargs is None:
                 from mhentropy_tpu.models import quant as quant_mod
 
+                calib = _prep_image(jnp.asarray(image), target)
                 act = quant_mod.calibrate(
                     quant_spec, self.state.params["encoder"]["backbone"],
-                    self.state.batch_stats,
-                    _prep_image(jnp.asarray(image), target))
-                qargs = (quant_mod.prepare(
+                    self.state.batch_stats, calib)
+                qtree = quant_mod.prepare(
                     quant_spec, self.state.params["encoder"]["backbone"],
-                    self.state.batch_stats, act),)
+                    self.state.batch_stats, act)
+                if quant_spec.int8_sampler:
+                    # Calibrated at this eval's exact temperature: the
+                    # flow's activation scales are amaxes of a
+                    # temp-scaled trajectory, so a hotter draw than
+                    # calibrated would saturate the int8 clip.
+                    _, qtree = quant_mod.quantize_sampler_into(
+                        quant_spec, qtree, self.state.params,
+                        self.model_cfg.flow, calib, temp=temp)
+                qargs = (qtree,)
             mets = step(self.state.params, self.state.batch_stats, image,
                         target, k, *(qargs or ()))
             batch_mets.append(mets)

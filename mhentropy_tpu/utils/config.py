@@ -216,6 +216,11 @@ def get_cfg_defaults() -> CfgNode:
     cfg.tpu.quantize_q_from = "auto"  # first backbone stage to quantize
     # ("auto" = 0 when the fused int8 stage-1 kernel applies, else 1;
     # YAML overrides must quote the stage: "0"/"1" — the schema type is str)
+    # int8 fused RealNVP hypothesis sampler as part of the quantized eval
+    # (flows/pallas_sampler_int8.py, +5.1% measured on top of the int8
+    # encoder). Only active when quantize_encoder is on and the flow
+    # shape/kill-switch gates pass (models/quant.sampler_supported).
+    cfg.tpu.quantize_sampler = True
     # Decoded-image disk cache (data/common.set_decode_cache): the host
     # pipeline is PNG-decode-bound; caching turns ~3-4 ms decodes into
     # ~30 us mmap reads from the second epoch on. Set to a directory path.

@@ -543,3 +543,36 @@ def test_glow_train_step_sharding_matches_single_device(model):
         )
     assert abs(results[1][0] - results[8][0]) / abs(results[1][0]) < 1e-4
     np.testing.assert_allclose(results[1][1], results[8][1], atol=1e-3)
+
+
+def test_mano_cache_invalidates_on_asset_change(tmp_path):
+    """load_mano_model keys its cache on (path, mtime, size), not the bare
+    path — swapping the pkl at the same location must serve the NEW model
+    (and, through _model_key, new shared step programs), not a stale one."""
+    import pickle
+
+    def write(seed):
+        m = mano.synthetic_mano_model(seed)
+        d = {
+            "v_template": np.asarray(m.v_template),
+            "shapedirs": np.asarray(m.shapedirs),
+            "posedirs": np.asarray(m.posedirs),
+            "J_regressor": np.asarray(m.j_regressor),
+            "weights": np.asarray(m.lbs_weights),
+            "hands_mean": np.asarray(m.hands_mean),
+            "hands_components": np.asarray(m.hands_components),
+            "f": np.asarray(m.faces),
+        }
+        with open(tmp_path / "MANO_RIGHT.pkl", "wb") as f:
+            pickle.dump(d, f)
+
+    write(0)
+    m0 = engine.load_mano_model(str(tmp_path))
+    assert engine.load_mano_model(str(tmp_path)) is m0  # cache hit
+    key0 = engine._mano_fingerprint(str(tmp_path))
+    write(1)  # same path, new content
+    m1 = engine.load_mano_model(str(tmp_path))
+    assert engine._mano_fingerprint(str(tmp_path)) != key0
+    assert m1 is not m0
+    assert not np.allclose(np.asarray(m0.v_template),
+                           np.asarray(m1.v_template))

@@ -152,8 +152,35 @@ def test_experiment_quantized_eval_smoke(tmp_path):
     _, eval_data = exp.make_datasets()
     summary = exp.eval_loop(eval_data, epoch=0)
     assert np.isfinite(summary["eucLoss_3d_rgb_sample"])
-    # The cached eval step is the quantized variant.
-    assert any(k[2] is not None for k in exp._eval_step)
+    # The cached eval step is the quantized variant, and the default
+    # quantized path includes the int8 fused sampler (the flow qtree is
+    # calibrated lazily alongside the encoder's — emulated on CPU).
+    specs = [k[2] for k in exp._eval_step if k[2] is not None]
+    assert specs and all(s.int8_sampler for s in specs)
+
+
+def test_experiment_quant_spec_gates(tmp_path):
+    """_quant_spec (what eval_loop runs with): quantize_sampler=False
+    keeps the quantized eval encoder-only; the use_pallas_sampler kill
+    switch gates the sampler off too; quantize_encoder off -> None.
+    (Spec-level — the compiled quantized smoke above covers execution.)"""
+    from mhentropy_tpu.train.engine import Experiment
+    from mhentropy_tpu.utils.config import update_cfg
+
+    cfg = update_cfg("configs/smoke.yaml")
+    cfg.model_dir = str(tmp_path / "run")
+    exp = Experiment(cfg)
+    assert exp._quant_spec(4) is None
+
+    cfg.tpu.quantize_encoder = True
+    assert exp._quant_spec(4).int8_sampler
+
+    cfg.tpu.quantize_sampler = False
+    assert not exp._quant_spec(4).int8_sampler
+
+    cfg.tpu.quantize_sampler = True
+    exp.model_cfg = exp.model_cfg._replace(use_pallas_sampler=False)
+    assert not exp._quant_spec(4).int8_sampler
 
 
 def test_experiment_tp_mesh_wiring(tmp_path):

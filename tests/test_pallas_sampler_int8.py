@@ -149,3 +149,100 @@ def test_sample_hypotheses_int8_sampler_wiring():
     # Near-identity init flow -> quantization barely perturbs hypotheses.
     np.testing.assert_allclose(np.asarray(out_q["xyz"]),
                                np.asarray(out_f["xyz"]), atol=0.05)
+
+
+def test_int8_sampler_missing_flow_raises():
+    """spec.int8_sampler without a calibrated qtree['flow'] must raise,
+    not silently run the float sampler (an int8 A/B would otherwise
+    measure bf16-vs-bf16)."""
+    from mhentropy_tpu.core import mano
+    from mhentropy_tpu.data import synthetic
+    from mhentropy_tpu.models import mhent, quant
+    from mhentropy_tpu.models.encoder import EncoderConfig
+    from mhentropy_tpu.models.mhent import MHEntConfig
+
+    img = 32
+    cfg = MHEntConfig(
+        encoder=EncoderConfig(backbone="resnet18", n_latent=(16, 16),
+                              dtype="float32"),
+        flow=RealNVPConfig(dim=45, cond_dim=16, h_dim=32, num_steps=1),
+        feat_dim=16, image_size=img,
+    )
+    model = mano.synthetic_mano_model(0)
+    params, stats = mhent.init(jax.random.key(0), cfg)
+    data = synthetic.make_dataset(model, n=2, image_size=img, seed=0)
+    image, _ = next(synthetic.batches(data, 2))
+    spec = quant.QuantSpec(backbone="resnet18", q_from=4, dtype="float32",
+                           int8_sampler=True)
+    act = quant.calibrate(spec, params["encoder"]["backbone"], stats, image)
+    qtree = quant.prepare(spec, params["encoder"]["backbone"], stats, act)
+    with pytest.raises(ValueError, match="flow"):
+        mhent.sample_hypotheses(model, params, stats, cfg, image,
+                                jax.random.key(2), n=4, temp=0.8,
+                                quant=(spec, qtree))
+
+
+def test_kill_switch_forces_emulation(monkeypatch):
+    """MHEntConfig.use_pallas_sampler=False must keep the quantized draw
+    off the Mosaic kernel: the bit-equivalent XLA emulation runs instead
+    (same samples), and the kernel entry point is never invoked."""
+    from mhentropy_tpu.core import mano
+    from mhentropy_tpu.data import synthetic
+    from mhentropy_tpu.models import mhent, quant
+    from mhentropy_tpu.models.encoder import EncoderConfig
+    from mhentropy_tpu.models.mhent import MHEntConfig
+
+    img = 32
+    base = dict(
+        encoder=EncoderConfig(backbone="resnet18", n_latent=(16, 16),
+                              dtype="float32"),
+        flow=RealNVPConfig(dim=45, cond_dim=16, h_dim=32, num_steps=1),
+        feat_dim=16, image_size=img,
+    )
+    cfg_on = MHEntConfig(**base)
+    cfg_off = MHEntConfig(**base, use_pallas_sampler=False)
+    model = mano.synthetic_mano_model(0)
+    params, stats = mhent.init(jax.random.key(0), cfg_on)
+    data = synthetic.make_dataset(model, n=2, image_size=img, seed=0)
+    image, _ = next(synthetic.batches(data, 2))
+    spec = quant.QuantSpec(backbone="resnet18", q_from=4, dtype="float32")
+    act = quant.calibrate(spec, params["encoder"]["backbone"], stats, image)
+    qtree = quant.prepare(spec, params["encoder"]["backbone"], stats, act)
+    spec, qtree = quant.quantize_sampler_into(
+        spec, qtree, params, cfg_on.flow, image, temp=0.8)
+
+    key = jax.random.key(2)
+    out_on = mhent.sample_hypotheses(model, params, stats, cfg_on, image,
+                                     key, n=4, temp=0.8,
+                                     quant=(spec, qtree))
+
+    def boom(*a, **k):
+        raise AssertionError("kernel path must not run under the kill switch")
+
+    monkeypatch.setattr(q8, "_fused_transform_q", boom)
+    out_off = mhent.sample_hypotheses(model, params, stats, cfg_off, image,
+                                      key, n=4, temp=0.8,
+                                      quant=(spec, qtree))
+    # Same quantized arithmetic either way (kernel == emulation).
+    np.testing.assert_allclose(np.asarray(out_off["xyz"]),
+                               np.asarray(out_on["xyz"]), atol=2e-5)
+
+
+def test_sampler_supported_gates():
+    from mhentropy_tpu.models import quant
+    from mhentropy_tpu.models.encoder import EncoderConfig
+    from mhentropy_tpu.models.mhent import MHEntConfig
+
+    base = dict(
+        encoder=EncoderConfig(backbone="resnet18", n_latent=(16, 16)),
+        flow=RealNVPConfig(dim=45, cond_dim=16, h_dim=32, num_steps=1),
+        feat_dim=16, image_size=32,
+    )
+    assert quant.sampler_supported(MHEntConfig(**base))
+    assert not quant.sampler_supported(
+        MHEntConfig(**base, use_pallas_sampler=False))
+    assert not quant.sampler_supported(
+        MHEntConfig(**base, regressor="det"))
+    wide = dict(base, flow=RealNVPConfig(dim=200, cond_dim=16, h_dim=32,
+                                         num_steps=1))
+    assert not quant.sampler_supported(MHEntConfig(**wide))

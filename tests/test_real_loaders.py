@@ -10,16 +10,9 @@ import numpy as np
 import pytest
 
 imageio = pytest.importorskip("imageio")
-import imageio.v2 as iio  # noqa: E402
 
 from tests import fixtures_data  # noqa: E402
-
-CAM = np.array([[300.0, 0, 160.0], [0, 300.0, 160.0], [0, 0, 1.0]], np.float32)
-
-
-def _write_png(path, arr):
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    iio.imwrite(path, arr)
+from tests.fixtures_data import CAM, write_png as _write_png  # noqa: E402
 
 
 # ------------------------------------------------------------------- RHD

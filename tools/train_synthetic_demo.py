@@ -125,6 +125,20 @@ def main(epochs: int = 30, lr: float = 2e-4, backbone: str = "resnet18",
              - after["eucLoss_3d_rgb_sample"]) * 1000
     print(f"int8 BH-MPJPE delta {delta:+.3f} mm", flush=True)
 
+    # + int8 fused sampler (the full default quantized path): accuracy of
+    # the quantized hypothesis draw on the trained model.
+    if quant.sampler_supported(cfg):
+        spec_s, qtree_s = quant.quantize_sampler_into(
+            spec, qtree, state.params, cfg.flow,
+            jax.numpy.asarray(evald.images[:bs]), temp=0.8)
+        qsstep = engine.make_eval_step(model, cfg, mesh, n=100, temp=0.8,
+                                       quant_spec=spec_s)
+        after_qs = evaluate(qsstep, (qtree_s,))
+        report("after-int8+sampler", after_qs)
+        delta_s = (after_qs["eucLoss_3d_rgb_sample"]
+                   - after["eucLoss_3d_rgb_sample"]) * 1000
+        print(f"int8+sampler BH-MPJPE delta {delta_s:+.3f} mm", flush=True)
+
     drop = 1.0 - after["eucLoss_3d_rgb_sample"] / before["eucLoss_3d_rgb_sample"]
     improved = drop > 0
     print(f"BH-MPJPE drop {drop * 100:.1f}%  "
