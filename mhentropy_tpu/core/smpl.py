@@ -179,8 +179,10 @@ def smpl_forward_axis_angle(model: SmplModel, pose_aa: jax.Array,
 
 
 def smpl_forward_6d(model: SmplModel, pose_6d: jax.Array, betas: jax.Array,
+                    transl: jax.Array | None = None,
                     pallas_lbs: bool = False):
     """(B, 144) 6D-rotation pose (the ProHMR flow's output space)."""
     b = pose_6d.shape[0]
     rotmats = rotmat_from_6d(pose_6d.reshape(b, N_JOINTS, 6))
-    return smpl_forward(model, rotmats, betas, pallas_lbs=pallas_lbs)
+    return smpl_forward(model, rotmats, betas, transl=transl,
+                        pallas_lbs=pallas_lbs)

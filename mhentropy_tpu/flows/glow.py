@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mhentropy_tpu.flows.priors import std_normal_logp as _std_normal_logp
+
 _PREC = jax.lax.Precision.HIGH
 
 
@@ -305,8 +307,18 @@ def forward(
     return z, logdet
 
 
-def _std_normal_logp(z):
-    return -0.5 * jnp.sum(z * z, -1) - 0.5 * z.shape[-1] * math.log(2 * math.pi)
+def _require_cfg_for_train(cfg, train: bool) -> None:
+    """train=True needs an explicit GlowConfig: `infer_config` cannot
+    recover the dropout rate from params (it returns dropout=0.0), so a
+    train-mode call without cfg would silently skip coupling-net dropout —
+    the exact 'configured but never applied' defect class fixed once
+    already in models/mhent.py (which passes its stored cfg)."""
+    if train and cfg is None:
+        raise ValueError(
+            "glow train-mode call without an explicit GlowConfig: the "
+            "dropout rate is not recoverable from params (infer_config "
+            "returns dropout=0.0) — pass the cfg the params were built with"
+        )
 
 
 def log_prob(
@@ -319,6 +331,7 @@ def log_prob(
 ) -> jax.Array:
     """log q(x | context); context rows aligned with x rows (the fork's
     Flow.log_prob up to its extra returned noise)."""
+    _require_cfg_for_train(cfg, train)
     cfg = cfg or infer_config(params)
     cache = _ctx_cache(params, context)
     z, logdet = inverse(params, cfg, x, cache, train=train, key=key)
@@ -338,6 +351,7 @@ def sample_and_log_prob(
     """Draw n hypotheses per context row, hypothesis-major (n*B, D), with
     their log density from the same pass (network.py:736-742: externally
     scaled base noise, log_prob = base logp(noise) - log|det dx/dz|)."""
+    _require_cfg_for_train(cfg, train)
     b = context.shape[0]
     cfg = cfg or infer_config(params)
     cache = _tile_cache(_ctx_cache(params, context), n)
@@ -360,14 +374,19 @@ def ddi(
     shift = -(x/std).mean(0) of that step's actnorm input, then the step is
     applied with the new values before initialising the next.
 
-    Known limitation (use_batch_norm=True only): the propagation here
+    Known limitations: (a) use_batch_norm=True — the propagation here
     runs the coupling nets in EVAL mode (initial running stats), while
     the fork's first train-mode forward would normalise with batch
     statistics and update the running stats as a side effect — actnorms
     after step 0 initialise from a slightly different activation
-    distribution on BN configs. The shipped glow configs (MHEnt,
-    ProHMR) use use_batch_norm=False, where this is exact
-    (tests/test_glow_parity_torch.py::test_actnorm_ddi_parity)."""
+    distribution on BN configs; (b) dropout>0 — the fork's first
+    train-mode forward applies coupling-net dropout, so its actnorms
+    after step 0 initialise from dropout-perturbed activations, while
+    this propagation is deterministic (dropout-free). Both are
+    deliberate: DDI from deterministic statistics is reproducible. The
+    shipped glow configs use use_batch_norm=False, where (a) is exact
+    (tests/test_glow_parity_torch.py::test_actnorm_ddi_parity); (b)
+    only shifts the *initialisation*, not the converged model."""
     masks = coupling_masks(cfg.features, cfg.num_layers)
     cache = _ctx_cache(params, context)
     new_params = []

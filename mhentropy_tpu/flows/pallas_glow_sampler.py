@@ -36,7 +36,6 @@ interpret mode.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +44,7 @@ import numpy as np
 from mhentropy_tpu.flows import glow
 from mhentropy_tpu.flows.glow import GlowConfig
 from mhentropy_tpu.flows.pallas_common import LANE, VMEM_BYTES, round_up
+from mhentropy_tpu.flows.priors import std_normal_logp
 
 STAGES = 5  # sub-steps per glow layer (see module docstring)
 
@@ -371,9 +371,7 @@ def sample_and_log_prob_fused(
     logdet = logdet.reshape(b_pad, r)[:b, :n]
 
     x = jnp.transpose(x_tiles, (1, 0, 2)).reshape(n * b, d)
-    z = z0[:b, :n, :d]
-    base_lp = -0.5 * jnp.sum(z * z, -1) - 0.5 * d * math.log(2 * math.pi)
-    lp = base_lp + logdet + ld_const
+    lp = std_normal_logp(z0[:b, :n, :d]) + logdet + ld_const
     return x, jnp.transpose(lp, (1, 0)).reshape(n * b)
 
 

@@ -28,13 +28,13 @@ to/from the reference's hypothesis-major layout.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 
 from mhentropy_tpu.flows import realnvp
 from mhentropy_tpu.flows.pallas_common import LANE, VMEM_BYTES, round_up
+from mhentropy_tpu.flows.priors import std_normal_logp
 from mhentropy_tpu.flows.realnvp import RealNVPConfig, RealNVPParams
 
 _round_up = round_up  # shared scaffolding (flows/pallas_common.py)
@@ -249,9 +249,7 @@ def sample_fused(
     # image-major -> (n*B, D) hypothesis-major (the reference layout).
     x = jnp.transpose(x_tiles, (1, 0, 2)).reshape(n * b, d)
     if return_log_prob:
-        z = z0[:b, :n]
-        base_lp = -0.5 * jnp.sum(z * z, -1) - 0.5 * d * math.log(2 * math.pi)
-        lp = base_lp - logdet
+        lp = std_normal_logp(z0[:b, :n]) - logdet
         return x, jnp.transpose(lp, (1, 0)).reshape(n * b)
     return x
 
@@ -354,6 +352,5 @@ def sample_fused_diff(
     z0 = jnp.transpose(z0_rows.reshape(n, b, d), (1, 0, 2))
     x_tiles, logdet = transform_diff(params, cfg, z0, cproj, images_per_tile)
     x = jnp.transpose(x_tiles, (1, 0, 2)).reshape(n * b, d)
-    base_lp = -0.5 * jnp.sum(z0 * z0, -1) - 0.5 * d * math.log(2 * math.pi)
-    lp = jnp.transpose(base_lp - logdet, (1, 0)).reshape(n * b)
+    lp = jnp.transpose(std_normal_logp(z0) - logdet, (1, 0)).reshape(n * b)
     return x, lp

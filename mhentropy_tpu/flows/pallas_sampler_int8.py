@@ -39,7 +39,6 @@ and on-chip parity runs through tools/sampler_tpu_check.py.
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple
 
 import jax
@@ -47,6 +46,7 @@ import jax.numpy as jnp
 
 from mhentropy_tpu.flows import realnvp
 from mhentropy_tpu.flows.pallas_common import LANE, round_up
+from mhentropy_tpu.flows.priors import std_normal_logp
 from mhentropy_tpu.flows.pallas_sampler import auto_images_per_tile
 from mhentropy_tpu.flows.realnvp import RealNVPConfig, RealNVPParams
 
@@ -439,9 +439,7 @@ def sample_fused_q(
 
     x = jnp.transpose(x_tiles, (1, 0, 2)).reshape(n * b, d)
     if return_log_prob:
-        z = z0[:b, :n]
-        base_lp = -0.5 * jnp.sum(z * z, -1) - 0.5 * d * math.log(2 * math.pi)
-        lp = base_lp - logdet
+        lp = std_normal_logp(z0[:b, :n]) - logdet
         return x, jnp.transpose(lp, (1, 0)).reshape(n * b)
     return x
 

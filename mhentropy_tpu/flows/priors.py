@@ -109,6 +109,14 @@ def categorical_log_prob(logits: jax.Array) -> jax.Array:
     return jax.nn.log_softmax(logits, axis=-1)
 
 
+def std_normal_logp(z: jax.Array) -> jax.Array:
+    """Standard-normal log density summed over the LAST axis (the flow base
+    distribution, flows.py:157). One definition shared by both flow
+    families' XLA paths and the fused samplers' epilogues."""
+    d = z.shape[-1]
+    return -0.5 * jnp.sum(z * z, axis=-1) - 0.5 * d * math.log(2.0 * math.pi)
+
+
 def categorical_sample(key: jax.Array, logits: jax.Array, temp: float = 1.0) -> jax.Array:
     return jax.random.categorical(key, logits / (temp + 1e-16), axis=-1)
 

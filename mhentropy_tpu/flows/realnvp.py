@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mhentropy_tpu.flows.priors import std_normal_logp as _std_normal_logp
+
 # The 61-dim flow is parity-critical (log_prob must match the reference to
 # 1e-4): run its contractions at full f32 rather than the bf16 MXU default.
 _PREC = jax.lax.Precision.HIGH
@@ -94,7 +96,8 @@ class RealNVPParams(NamedTuple):
     t_cb0: jax.Array
     t_c1: jax.Array
     t_cb1: jax.Array
-    # kemb MLP (joint-index embedding), zero-size when disabled.
+    # kemb MLP (joint-index embedding), None when disabled (orbax refuses
+    # zero-size arrays — absent param fields are always None in this repo).
     kemb_w0: jax.Array
     kemb_b0: jax.Array
     kemb_w1: jax.Array
@@ -224,10 +227,14 @@ def cond_cache(params: RealNVPParams, cfg: RealNVPConfig, cond: jax.Array) -> ja
         cond: (B, C) output of `make_cond`.
 
     Returns:
-        (L, 4, B, H): layer x (s0, s1, t0, t1) x batch x hidden.
+        (L, 4, B, H): layer x (s0, s1, t0, t1) x batch x hidden. For an
+        unconditional flow the cache is never read (`_st_nets` skips the
+        adds), so the placeholder is a broadcastable (L, 4, B, 1) zeros —
+        the same shape forward/inverse build for cproj=None — instead of
+        a full (L, 4, B, H) allocation.
     """
     if cfg.effective_cond_dim() == 0:
-        return jnp.zeros((cfg.n_layers, 4, cond.shape[0], cfg.h_dim))
+        return jnp.zeros((cfg.n_layers, 4, cond.shape[0], 1))
     proj = jnp.stack(
         [
             jnp.einsum("bc,lch->lbh", cond, params.s_c0, precision=_PREC)
@@ -367,11 +374,6 @@ def inverse(
     return z, logdet
 
 
-def _std_normal_logp(z: jax.Array) -> jax.Array:
-    d = z.shape[-1]
-    return -0.5 * jnp.sum(z * z, axis=-1) - 0.5 * d * math.log(2.0 * math.pi)
-
-
 def _actnorm(x, mu, logvar, reverse: bool):
     """RLE actnorm transform (flows.py:54-72)."""
     if reverse:  # x -> z
@@ -421,14 +423,23 @@ def log_prob(
         if d not in (2, 3):
             # Per-row visibility weighting only makes sense when rows ARE
             # joints (per-joint independent modeling); the reference
-            # refuses anything else too (flows.py:284-285) — silently
+            # refuses anything else too (flows.py:283-284) — silently
             # applying joint-0's visibility to a whole 45-dim pose row
-            # would be a wrong loss.
-            raise NotImplementedError(
-                f"visibility weights need per-joint rows (dim 2/3), "
-                f"got dim={d}"
-            )
-        w_row = weights.reshape(-1, d)[:, 0]
+            # would be a wrong loss. The one value the reference DOES
+            # accept is all-ones (its own `torch.ones_like(x)` default):
+            # mirror that for concrete arrays; traced values can't be
+            # inspected, so they are refused like every other non-default.
+            if isinstance(weights, jax.core.Tracer) or not bool(
+                jnp.all(jnp.asarray(weights) == 1)
+            ):
+                raise NotImplementedError(
+                    f"visibility weights need per-joint rows (dim 2/3), "
+                    f"got dim={d} (only all-ones weights are accepted "
+                    f"there, matching flows.py:283-284)"
+                )
+            w_row = jnp.ones(rows.shape[0], x.dtype)
+        else:
+            w_row = weights.reshape(-1, d)[:, 0]
 
     mu_r = logvar_r = None
     if cfg.tsfm_on in ("x", "z") and mu is not None:

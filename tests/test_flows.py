@@ -82,6 +82,28 @@ def test_visibility_weights_zero_out_rows():
     assert np.all(np.asarray(lp_all) != 0.0)
 
 
+def test_dim_gt3_weights_all_ones_match_none_else_raise():
+    """flows.py:283-284 parity: dim>3 accepts the reference's own all-ones
+    default and refuses anything else (a real visibility pattern cannot be
+    applied to whole-pose rows)."""
+    cfg = small_cfg()  # dim=8
+    params = realnvp.init_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (4, cfg.dim))
+    feat = jax.random.normal(jax.random.key(2), (4, cfg.cond_dim))
+    lp_none = realnvp.log_prob(params, cfg, x, feat=feat)
+    lp_ones = realnvp.log_prob(params, cfg, x, feat=feat,
+                               weights=jnp.ones_like(x))
+    np.testing.assert_allclose(np.asarray(lp_ones), np.asarray(lp_none),
+                               atol=1e-6)
+    with pytest.raises(NotImplementedError):
+        realnvp.log_prob(params, cfg, x, feat=feat,
+                         weights=jnp.ones_like(x).at[0, 0].set(0.0))
+    # Traced weights can't be inspected -> refused even if all-ones.
+    with pytest.raises(NotImplementedError):
+        jax.jit(lambda w: realnvp.log_prob(params, cfg, x, feat=feat,
+                                           weights=w))(jnp.ones_like(x))
+
+
 # ---------------------------------------------------------------------------
 # Parity vs the actual PyTorch reference implementation (CPU torch), weights
 # copied layer by layer. BASELINE north star: log_prob within 1e-4.

@@ -54,6 +54,23 @@ def test_glow_sample_and_log_prob_consistency(glow_setup):
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_inv), atol=1e-3)
 
 
+def test_glow_train_mode_requires_explicit_cfg(glow_setup):
+    """infer_config cannot recover dropout from params, so a train-mode
+    call without cfg would silently skip coupling-net dropout — refuse it
+    (the 'configured but never applied' defect class)."""
+    cfg, params, ctx = glow_setup
+    x = jax.random.normal(jax.random.key(6), (5, cfg.features))
+    with pytest.raises(ValueError, match="GlowConfig"):
+        glow.log_prob(params, x, ctx, train=True, key=jax.random.key(0))
+    with pytest.raises(ValueError, match="GlowConfig"):
+        glow.sample_and_log_prob(params, ctx, jax.random.key(0), 2,
+                                 train=True)
+    # With an explicit cfg the train path still runs.
+    lp = glow.log_prob(params, x, ctx, cfg=cfg, train=True,
+                       key=jax.random.key(0))
+    assert np.all(np.isfinite(np.asarray(lp)))
+
+
 def test_glow_context_changes_density(glow_setup):
     cfg, params, ctx = glow_setup
     x = jax.random.normal(jax.random.key(5), (5, cfg.features))

@@ -66,6 +66,12 @@ def test_smpl_6d_matches_axis_angle(model):
     v_6d, j_6d = smpl_lib.smpl_forward_6d(model, jnp.asarray(p6d), jnp.zeros((2, 10)))
     np.testing.assert_allclose(np.asarray(j_aa), np.asarray(j_6d), atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_aa), np.asarray(v_6d), atol=1e-4)
+    # transl passes through like the rotmat/axis-angle wrappers.
+    t = jnp.asarray(rng.randn(2, 3).astype(np.float32))
+    v_t, j_t = smpl_lib.smpl_forward_6d(model, jnp.asarray(p6d),
+                                        jnp.zeros((2, 10)), transl=t)
+    np.testing.assert_allclose(np.asarray(j_t), np.asarray(j_6d + t[:, None]),
+                               atol=1e-4)
 
 
 @pytest.fixture(scope="module")
