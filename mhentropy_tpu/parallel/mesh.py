@@ -24,7 +24,7 @@ the collectives.
 
 from __future__ import annotations
 
-import math
+import warnings
 
 import jax
 import numpy as np
@@ -68,7 +68,16 @@ def make_mesh(n_devices: int | None = None, hypo: int = 1, tp: int = 1,
         from jax.experimental import mesh_utils
 
         grid = mesh_utils.create_device_mesh(shape, devices=devices)
-    except Exception:
+    except Exception as e:
+        if jax.default_backend() != "cpu":
+            # Expected only on CPU hosts; on a real slice the fallback IS
+            # the non-topology-aware layout the comment above warns about,
+            # so make the bandwidth regression visible.
+            warnings.warn(
+                f"create_device_mesh failed on backend "
+                f"{jax.default_backend()!r} ({e!r}); falling back to "
+                "enumeration-order reshape — collectives may cross "
+                "non-adjacent ICI links.")
         grid = np.asarray(devices).reshape(shape)
     return Mesh(grid, (DATA_AXIS, HYPO_AXIS, MODEL_AXIS, PIPE_AXIS))
 
@@ -125,9 +134,13 @@ def _tp_spec(path: str, shape, n: int) -> P | None:
       (L, in, out) kernels): `*_w0`/`*_c0` column-parallel into the hidden
       (+ their biases), `*_w1` row-parallel out of it; `*_w2` (H→45) and
       the layer-1 cond fusions stay replicated — their outputs are tiny.
-    * Glow ResidualNet blocks (flows/glow.py): `l0`/`ctx` column-parallel
-      (both feed the hidden add), `l1` row-parallel back to the residual
-      stream; actnorm/LULinear/initial/final replicated (45-dim).
+    * Glow ResidualNet blocks (flows/glow.py): `l0` column-parallel into
+      the hidden, `l1` row-parallel back toward the residual stream; the
+      per-block `ctx` projection is the GLU gate multiplied onto l1's
+      OUTPUT (glow.py ~:200), so sharding it over 'model' costs one
+      collective per block to align the gate with the post-psum stream
+      (correct, but not psum-free — measured fine at these tiny dims);
+      actnorm/LULinear/initial/final replicated (45-dim).
     * ResNet residual blocks (flax dicts, HWIO kernels): `conv1`
       output-channel-parallel with its `bn1` scale/bias sharded to match,
       `conv2` input-channel-parallel (the contraction is over channels, so
@@ -193,15 +206,11 @@ def tp_sharding(mesh: Mesh, tree):
     the 'model' axis (see `_tp_spec` for the layout). Leaves the rules
     don't claim stay replicated. Matching is by key-path suffix, so the
     same rules cover a bare params tree, a TrainState, and the optax
-    moment mirrors inside it."""
-    n = mesh.shape[MODEL_AXIS]
+    moment mirrors inside it.
 
-    def leaf(path, x):
-        shape = getattr(x, "shape", ())
-        spec = _tp_spec(jax.tree_util.keystr(path), shape, n) if n > 1 else None
-        return NamedSharding(mesh, spec if spec is not None else P())
-
-    return jax.tree_util.tree_map_with_path(leaf, tree)
+    (Thin alias of `state_sharding(tp=True)` — one copy of the leaf
+    rule, same as fsdp_sharding.)"""
+    return state_sharding(mesh, tree, tp=True)
 
 
 def state_sharding(mesh: Mesh, tree, fsdp: bool = False, tp: bool = False,
@@ -240,18 +249,18 @@ def shard_tree(tree, shardings):
     )
 
 
-def pad_batch(batch_size: int, n_devices: int) -> int:
-    """Round the batch up so it divides the data axis."""
-    return int(math.ceil(batch_size / n_devices) * n_devices)
-
-
 def fit_devices(batch_size: int, hypo: int = 1, tp: int = 1,
                 n_available: int | None = None) -> int:
     """Largest usable device count: a multiple of `hypo*tp` whose data axis
-    divides the batch."""
+    divides the batch. Never exceeds n_available — an over-subscribed
+    hypo*tp is reported here, not as a confusing make_mesh reshape error."""
     if n_available is None:
         n_available = len(jax.devices())
     grp = hypo * tp
+    if grp > n_available:
+        raise ValueError(
+            f"fit_devices: hypo*tp = {hypo}*{tp} = {grp} exceeds the "
+            f"{n_available} available device(s)")
     for n in range(n_available, 0, -1):
         if n % grp == 0 and batch_size % (n // grp) == 0:
             return n

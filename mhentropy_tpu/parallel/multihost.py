@@ -44,9 +44,11 @@ def initialize(coordinator_address: str | None = None,
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
-        if coordinator_address or num_processes or process_id:
+        if (coordinator_address is not None or num_processes is not None
+                or process_id is not None):
             # Explicit multi-host bring-up must not silently degrade to
-            # a single-process run.
+            # a single-process run. `is not None`, NOT truthiness:
+            # process_id=0 (host 0 of every pod) is falsy.
             raise
         # Auto-detect on a single-process dev box: run undistributed.
 
@@ -125,24 +127,28 @@ def multihost_batches(
     pos = 0
     for batch in data_common.batches(
         view, local_bs, shuffle=False, pad_remainder=pad_remainder,
-        to_device=False,
+        drop_remainder=not pad_remainder, to_device=False,
     ):
         image, target = batch[0], batch[1]
-        if pad_remainder:
-            # Fold the cross-host wrap padding (host_shard_valid) into
-            # the intra-host final-batch 'valid' mask, so pod eval never
-            # counts the shape-parity duplicates. batches() iterates the
-            # view sequentially, so batch rows are view positions
-            # [pos, pos + B) (its own tail padding is already valid=0).
-            rows = np.arange(pos, pos + image.shape[0])
-            in_range = rows < len(local_valid)
-            vrow = np.where(
-                in_range,
-                local_valid[np.minimum(rows, len(local_valid) - 1)],
-                False,
-            )
+        # Fold the cross-host wrap padding (host_shard_valid) into the
+        # per-batch 'valid' mask, so pod eval never counts the
+        # shape-parity duplicates. batches() iterates the view
+        # sequentially, so batch rows are view positions [pos, pos + B)
+        # (its own tail padding is already valid=0). Applied in BOTH
+        # pad_remainder modes: when per_host divides local_bs the wrap
+        # duplicates land in full (never-dropped) batches, so
+        # pad_remainder=False still needs the mask.
+        rows = np.arange(pos, pos + image.shape[0])
+        in_range = rows < len(local_valid)
+        vrow = np.where(
+            in_range,
+            local_valid[np.minimum(rows, len(local_valid) - 1)],
+            False,
+        ).astype(np.float32)
+        if "valid" in target or not vrow.all():
             target = dict(target)
-            target["valid"] = target["valid"] * vrow.astype(np.float32)
+            target["valid"] = (
+                np.asarray(target.get("valid", 1.0), np.float32) * vrow)
         pos += image.shape[0]
         yield global_batch_from_local(mesh, (image, target))
 

@@ -28,14 +28,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-try:  # jax >= 0.4.35 exports it at the top level (check_vma kwarg)
+try:  # jax >= 0.4.35 exports it at the top level
     from jax import shard_map
-
-    _NO_REP_CHECK = {"check_vma": False}
-except ImportError:  # pragma: no cover - older jax spells it check_rep
+except ImportError:  # pragma: no cover - older jax nests it
     from jax.experimental.shard_map import shard_map
 
-    _NO_REP_CHECK = {"check_rep": False}
+# The check_rep -> check_vma rename (~jax 0.7) is independent of where
+# shard_map is exported, so probe the signature, not the import path:
+# jax in [0.4.35, 0.7) has the top-level export but only check_rep.
+import inspect as _inspect
+
+_NO_REP_CHECK = (
+    {"check_vma": False}
+    if "check_vma" in _inspect.signature(shard_map).parameters
+    else {"check_rep": False}
+)
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mhentropy_tpu.flows import realnvp

@@ -423,7 +423,7 @@ def make_eval_step(
             n=n, n_quant=n_quant if n_quant is not None else n, temp=temp,
             quant=(quant_spec, qtree[0]) if quant_spec is not None else None,
         )
-        hypo_spec = P(mesh_lib.HYPO_AXIS, mesh_lib.DATA_AXIS)
+        hypo_spec = mesh_lib.hypo_batch_spec()
         for k in ("xyz", "uv", "verts"):
             if k in samples:
                 samples[k] = jax.lax.with_sharding_constraint(

@@ -515,6 +515,61 @@ def test_host_shard_indices_cover_and_balance():
     assert sorted(valid_idx.tolist()) == list(range(n))
 
 
+def test_multihost_initialize_explicit_host0_must_raise(monkeypatch):
+    """initialize(process_id=0) is an EXPLICIT multi-host bring-up even
+    though 0 is falsy: a failed jax.distributed.initialize must raise, not
+    silently degrade host 0 of a pod to a single-process run (regression:
+    the guard used truthiness)."""
+    from mhentropy_tpu.parallel import multihost
+
+    monkeypatch.setattr(
+        jax.distributed, "is_initialized", lambda: False, raising=False)
+
+    def boom(**kw):
+        raise RuntimeError("no coordinator reachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError):
+        multihost.initialize(process_id=0)
+    # Pure auto-detect on a dev box still degrades gracefully.
+    multihost.initialize()
+
+
+def test_multihost_batches_masks_wrap_duplicates_without_pad(
+        model, monkeypatch):
+    """Cross-host wrap duplicates must be masked in pad_remainder=False
+    mode too: when per_host divides the local batch size the duplicates
+    land in full (never-dropped) batches (regression: the mask fold was
+    gated on pad_remainder)."""
+    from mhentropy_tpu.parallel import multihost
+
+    data = synthetic.make_dataset(model, n=10, image_size=IMG, seed=5)
+    # Simulate a host whose 12-slot shard wraps twice over the 10 samples
+    # (process_count stays 1 so global assembly takes the identity path).
+    monkeypatch.setattr(
+        multihost, "_host_slice",
+        lambda n, pi, pc: (np.arange(12) % n, np.arange(12) < n))
+    mesh = mesh_lib.make_mesh(n_devices=4, hypo=1)
+    got = list(multihost.multihost_batches(
+        data, 4, mesh, pad_remainder=False))
+    assert len(got) == 3  # 12 slots / B=4, nothing dropped
+    # Batches 0-1 are all real samples; batch 2 rows 2-3 are the wraps.
+    for _, t in got[:2]:
+        if "valid" in t:
+            np.testing.assert_array_equal(np.asarray(t["valid"]), 1.0)
+    np.testing.assert_array_equal(
+        np.asarray(got[2][1]["valid"]), [1.0, 1.0, 0.0, 0.0])
+
+
+def test_fit_devices_rejects_oversubscribed_group():
+    """hypo*tp beyond the available devices is an explicit error here, not
+    a confusing make_mesh failure downstream (regression: the fallback
+    returned hypo*tp > n_available)."""
+    with pytest.raises(ValueError, match="exceeds"):
+        mesh_lib.fit_devices(32, hypo=2, tp=2, n_available=2)
+    assert mesh_lib.fit_devices(32, hypo=2, tp=1, n_available=8) == 8
+
+
 def test_glow_train_step_sharding_matches_single_device(model):
     """MHEnt with the ConditionalGlow posterior: data-parallel step equals
     one device (covers the glow sampler under pjit, third compute path)."""
