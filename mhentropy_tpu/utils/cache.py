@@ -7,13 +7,40 @@ start instantly. Call once before building jitted functions.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import re
+
+
+def cpu_fingerprint() -> str:
+    """Short hash of this host's CPU model + feature flags.
+
+    XLA:CPU serialises AOT executables compiled for the EXACT feature set
+    of the compiling host; loading them on a host with different features
+    logs `cpu_aot_loader ... machine type mismatch` and can SIGSEGV/SIGILL
+    at execution (observed in anger: a fleet-machine swap segfaulted the
+    test suite mid-run from a cache written by the previous host). Key
+    every persistent cache directory on this fingerprint so a host change
+    degrades to a cold cache, never to loading incompatible code.
+    """
+    try:
+        txt = open("/proc/cpuinfo").read()
+        model = re.search(r"model name\s*:\s*(.*)", txt)
+        flags = re.search(r"flags\s*:\s*(.*)", txt)
+        key = "%s|%s" % (model.group(1) if model else "",
+                         flags.group(1) if flags else "")
+    except OSError:  # non-Linux fallback: coarse but stable
+        import platform
+
+        key = platform.platform() + platform.processor()
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
 
 
 def enable_compilation_cache(path: str = "/root/.jax_compile_cache") -> None:
     try:
         import jax
 
+        path = f"{path}-{cpu_fingerprint()}"
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -29,7 +29,13 @@ jax.config.update("jax_platforms", "cpu")
 # box; caching XLA executables across runs cuts repeat wall time sharply.
 # (CPU executables only serialise with xla_caches="all"; min_compile_time 0
 # is required for entries to be written on the CPU backend.)
-_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_test_cache")
+# The dir is keyed on the host CPU fingerprint: loading AOT CPU executables
+# cached by a different fleet machine SIGSEGVs (see utils/cache.py).
+from mhentropy_tpu.utils.cache import cpu_fingerprint  # noqa: E402
+
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), os.pardir,
+    f".jax_test_cache-{cpu_fingerprint()}")
 try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
