@@ -22,6 +22,7 @@ import collections
 import functools
 import os
 import time
+import weakref
 from typing import Any, NamedTuple
 
 import jax
@@ -452,7 +453,17 @@ def make_eval_step(
 
 
 class Experiment:
-    """The experiment driver (CrossModalHand equivalent)."""
+    """The experiment driver (CrossModalHand equivalent).
+
+    Owns a ScalarWriter (tensorboardX spawns an event-writer thread + a
+    multiprocessing queue per instance) and a file logger; call close()
+    (or use as a context manager) when done — leaked writer threads
+    accumulated across a long-lived process were implicated in a
+    full-test-suite crash (17 live TB threads at the fault point).
+    Instances register in a weak set so test harnesses can sweep
+    stragglers (close_all_experiments)."""
+
+    _live: "weakref.WeakSet[Experiment]" = None  # initialised below
 
     def __init__(self, cfg, mano_dir: str = "./mano/"):
         self.cfg = cfg
@@ -504,6 +515,37 @@ class Experiment:
             self._pending_restore = cfg.training.pth
         else:
             self._pending_restore = None
+
+        self._closed = False
+        Experiment._live.add(self)
+
+    # ------------------------------------------------------------ lifecycle
+    def close(self):
+        """Release the TB writer thread, queue, and log file handles.
+
+        Idempotent. The Experiment remains usable for pure compute after
+        close() — only logging sinks are gone (writes to a closed writer
+        would raise, so eval/train after close() is not supported)."""
+        if self._closed:
+            return
+        self._closed = True
+        try:
+            self.writer.close()
+        except Exception:
+            pass
+        for h in list(self.log.handlers):
+            try:
+                h.close()
+            except Exception:
+                pass
+            self.log.removeHandler(h)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     # ------------------------------------------------------------------ data
     def make_datasets(self, which=("train", "eval")):
@@ -981,3 +1023,12 @@ class Experiment:
             if v is not None:
                 params[k] = v
         self.state = self.state._replace(params=params)
+
+
+Experiment._live = weakref.WeakSet()
+
+
+def close_all_experiments():
+    """Close every live Experiment's logging sinks (test-harness sweep)."""
+    for exp in list(Experiment._live):
+        exp.close()

@@ -12,8 +12,45 @@ import os
 import re
 
 
+def _machine_key() -> str:
+    """The raw identity string hashed by cpu_fingerprint (separate for
+    testability)."""
+    parts = []
+    # Host identity first: /proc/cpuinfo model+flags proved INSUFFICIENT
+    # in round 3 — two fleet machines shared a cpuinfo fingerprint while
+    # their XLA target configs differed (e.g. +prefer-no-gather), so the
+    # loader rejected every entry with `cpu_aot_loader ... machine type
+    # mismatch` warnings that it may SIGILL. /etc/machine-id is unique
+    # per installed host and catches exactly the machine swap cpuinfo
+    # missed.
+    try:
+        parts.append(open("/etc/machine-id").read().strip())
+    except OSError:
+        pass
+    try:
+        txt = open("/proc/cpuinfo").read()
+        model = re.search(r"model name\s*:\s*(.*)", txt)
+        flags = re.search(r"flags\s*:\s*(.*)", txt)
+        parts.append("%s|%s" % (model.group(1) if model else "",
+                                flags.group(1) if flags else ""))
+    except OSError:  # non-Linux fallback: coarse but stable
+        import platform
+
+        parts.append(platform.platform() + platform.processor())
+    # Serialized-executable format is a jax/jaxlib implementation detail;
+    # version bumps must also roll the cache.
+    try:
+        import jax
+        import jaxlib
+
+        parts.append(f"jax={jax.__version__}|jaxlib={jaxlib.__version__}")
+    except Exception:
+        pass
+    return "\n".join(parts)
+
+
 def cpu_fingerprint() -> str:
-    """Short hash of this host's CPU model + feature flags.
+    """Short hash identifying (machine, CPU, jax version) for cache keying.
 
     XLA:CPU serialises AOT executables compiled for the EXACT feature set
     of the compiling host; loading them on a host with different features
@@ -23,17 +60,7 @@ def cpu_fingerprint() -> str:
     every persistent cache directory on this fingerprint so a host change
     degrades to a cold cache, never to loading incompatible code.
     """
-    try:
-        txt = open("/proc/cpuinfo").read()
-        model = re.search(r"model name\s*:\s*(.*)", txt)
-        flags = re.search(r"flags\s*:\s*(.*)", txt)
-        key = "%s|%s" % (model.group(1) if model else "",
-                         flags.group(1) if flags else "")
-    except OSError:  # non-Linux fallback: coarse but stable
-        import platform
-
-        key = platform.platform() + platform.processor()
-    return hashlib.sha1(key.encode()).hexdigest()[:10]
+    return hashlib.sha1(_machine_key().encode()).hexdigest()[:10]
 
 
 def enable_compilation_cache(path: str = "/root/.jax_compile_cache") -> None:

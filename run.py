@@ -18,12 +18,15 @@ def main(argv=None):
 
     cfg, _ = parse_args(argv)
     exp = Experiment(cfg)
-    if cfg.training.mode == "baseline_VAE":
-        exp.train_baseline()
-    elif cfg.training.mode == "eval":
-        exp.eval(name=cfg.training.pth)
-    else:
-        raise NotImplementedError(cfg.training.mode)
+    try:
+        if cfg.training.mode == "baseline_VAE":
+            exp.train_baseline()
+        elif cfg.training.mode == "eval":
+            exp.eval(name=cfg.training.pth)
+        else:
+            raise NotImplementedError(cfg.training.mode)
+    finally:
+        exp.close()
     return exp
 
 

@@ -33,7 +33,7 @@ jax.config.update("jax_platforms", "cpu")
 # cached by a different fleet machine SIGSEGVs (see utils/cache.py).
 from mhentropy_tpu.utils.cache import cpu_fingerprint  # noqa: E402
 
-_cache_dir = os.path.join(
+_cache_dir = os.environ.get("MHENT_TEST_CACHE_DIR") or os.path.join(
     os.path.dirname(__file__), os.pardir,
     f".jax_test_cache-{cpu_fingerprint()}")
 try:
@@ -45,5 +45,55 @@ try:
 except Exception:
     pass  # older jax: compile as usual
 
+# Bound how many executables ONE process serialises into the cache. The r3
+# full suite segfaulted inside XLA's `executable.serialize()` (3/3 runs on
+# the driver machine, always after ~6,000 cold-cache writes at 94% of the
+# suite; the same test serialises fine solo). Cap writes per process well
+# under that: a cold run caches the first CAP programs and merely skips
+# caching the rest, so the next run warms further — self-healing across
+# runs, zero cost once warm.
+try:
+    import jax._src.compilation_cache as _cc
+
+    _CACHE_WRITE_CAP = int(os.environ.get("MHENT_CACHE_WRITE_CAP", "2500"))
+    _orig_put = _cc.put_executable_and_time
+    _n_writes = [0]
+
+    def _bounded_put(*args, **kwargs):
+        _n_writes[0] += 1
+        if _n_writes[0] > _CACHE_WRITE_CAP:
+            if _n_writes[0] == _CACHE_WRITE_CAP + 1:
+                print(f"\n[conftest] persistent-cache write cap "
+                      f"({_CACHE_WRITE_CAP}) reached; later compiles run "
+                      f"uncached this process (next run warms them)")
+            return None
+        return _orig_put(*args, **kwargs)
+
+    _cc.put_executable_and_time = _bounded_put
+except Exception:
+    pass
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.devices()
+
+
+import sys  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _close_leaked_experiments():
+    """Sweep Experiment logging sinks after every test.
+
+    Each Experiment holds a tensorboardX writer (one thread + one
+    multiprocessing queue) and a FileHandler; tests that build experiments
+    and drop them leaked those across the whole suite process — 17 live
+    TB event-writer threads were present at the point the r3 suite
+    segfaulted inside XLA executable serialization. Import lazily: most
+    tests never touch the engine and should not pay its import.
+    """
+    yield
+    eng = sys.modules.get("mhentropy_tpu.train.engine")
+    if eng is not None:
+        eng.close_all_experiments()

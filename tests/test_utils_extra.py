@@ -123,3 +123,30 @@ def test_viewer_and_argutils(tmp_path):
     save_args({"lr": 1e-4}, str(tmp_path / "run"), verbose=False)
     assert (tmp_path / "run" / "opt.txt").exists()
     assert (tmp_path / "run" / "opt.pkl").exists()
+
+
+def test_cache_fingerprint_keys_on_machine_and_jax():
+    """The persistent-cache key must roll when the HOST or jax changes.
+
+    r3 post-mortem: two fleet machines shared a /proc/cpuinfo fingerprint
+    while their XLA target configs differed — the stale cache's AOT
+    executables were rejected with `cpu_aot_loader ... machine type
+    mismatch` (which the loader warns may SIGILL). The key now includes
+    /etc/machine-id and the jax/jaxlib versions so a machine swap or a
+    jax upgrade degrades to a cold cache, never to loading alien code.
+    """
+    import hashlib
+
+    import jax
+    import jaxlib
+
+    from mhentropy_tpu.utils import cache
+
+    key = cache._machine_key()
+    fp = cache.cpu_fingerprint()
+    assert fp == hashlib.sha1(key.encode()).hexdigest()[:10]
+    assert jax.__version__ in key and jaxlib.__version__ in key
+    if os.path.exists("/etc/machine-id"):
+        assert open("/etc/machine-id").read().strip() in key
+    # Stable across calls (directory names must not drift within a run).
+    assert cache.cpu_fingerprint() == fp
