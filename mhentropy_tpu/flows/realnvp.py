@@ -310,20 +310,32 @@ def forward(
     def body(carry, inp):
         x, logdet = carry
         layer, cp = inp
-        # Masks are structural constants (a registered buffer in the
-        # reference, flows.py:188) — never trained.
-        mask = jax.lax.stop_gradient(layer.masks)
-        x_masked = x * mask
-        s, t = _st_nets(layer, x_masked, cp, conditional)
-        s = s * (1.0 - mask)
-        t = t * (1.0 - mask)
-        x = x_masked + (1.0 - mask) * (x * jnp.exp(s) + t)
-        return (x, logdet + jnp.sum(s, axis=1)), None
+        return forward_layer(layer, cp, x, logdet, conditional), None
 
     (x, logdet), _ = jax.lax.scan(
         body, (z, jnp.zeros(z.shape[0], z.dtype)), (layers, cproj)
     )
     return x, logdet
+
+
+def forward_layer(layer, cp, x, logdet, conditional: bool):
+    """One coupling layer of the base->data direction (the body of
+    `forward`'s scan, exposed for the pipeline-parallel runner in
+    parallel/pipeline.py — the mirror of `inverse_layer`).
+
+    Args:
+        layer: this layer's weight pytree (leading L axis already indexed).
+        cp: (4, R, H) conditioning projections for this layer.
+    """
+    # Masks are structural constants (a registered buffer in the
+    # reference, flows.py:188) — never trained.
+    mask = jax.lax.stop_gradient(layer.masks)
+    x_masked = x * mask
+    s, t = _st_nets(layer, x_masked, cp, conditional)
+    s = s * (1.0 - mask)
+    t = t * (1.0 - mask)
+    x = x_masked + (1.0 - mask) * (x * jnp.exp(s) + t)
+    return x, logdet + jnp.sum(s, axis=1)
 
 
 def inverse_layer(layer, cp, z, logdet, conditional: bool):

@@ -177,6 +177,7 @@ def sample_q_z(
     temp: float = 1.0,
     differentiable: bool = False,
     flow_q=None,
+    pipeline=None,
 ):
     """Draw N hypotheses per image from q(z | I) (network.py:719-758).
 
@@ -186,6 +187,12 @@ def sample_q_z(
     flow_q: optional flows/pallas_sampler_int8.FlowQTree — the eval
     hypothesis draw runs the W8A8 fused kernel (same base-noise key
     discipline as the other paths; inference only).
+
+    pipeline: optional (mesh, n_micro) — run the realnvp flow draw through
+    the GPipe schedule over the mesh's 'pipe' axis
+    (parallel/pipeline.sample_pipelined; same base-noise key discipline,
+    differentiable). Composes with TP/FSDP state shardings in
+    engine.make_train_step(pipe=True).
 
     Returns:
         z: (N*B, 61), log_q: (N*B,) log density of the flow block (zeros in
@@ -203,6 +210,17 @@ def sample_q_z(
             # path; the quantized draw still honours it by running the
             # bit-equivalent XLA emulation instead of the Mosaic kernel.
             emulate=True if cfg.use_pallas_sampler is False else None,
+        )
+    elif cfg.regressor == "realnvp" and pipeline is not None:
+        # GPipe over the coupling stack ('pipe' mesh axis). Same base-noise
+        # draw as realnvp.sample (one normal at the same key over the same
+        # rows), so seeded pipelined runs ≡ the sequential scan exactly.
+        from mhentropy_tpu.parallel import pipeline as pipe_lib
+
+        p_mesh, n_micro = pipeline
+        z_flow, log_q = pipe_lib.sample_pipelined(
+            params["flow"], cfg.flow, key, n * b, feat, p_mesh, n_micro,
+            temp=temp, n_per_image=n, return_log_prob=True,
         )
     elif cfg.regressor == "realnvp":
         # Measured row-count dispatch (see MHEntConfig.pallas_min_rows).
@@ -408,14 +426,16 @@ def reverse_kld(
     key: jax.Array,
     train: bool = True,
     mods=("uv",),
+    pipeline=None,
 ) -> tuple[dict, dict]:
     """The training objective: -KL(q(z|I) || p(y|z) p̃(z)) up to a constant
     (network.py:760-831). Returns (output dict incl. per-image log_p,
-    new batch stats)."""
+    new batch stats). pipeline: see sample_q_z."""
     feat, new_stats = extract_feat(params, batch_stats, cfg, image, train=train)
     n = cfg.n_train_hypotheses
     b = feat.shape[0]
-    z, log_q = sample_q_z(params, cfg, feat, key, n, temp=1.0, differentiable=True)
+    z, log_q = sample_q_z(params, cfg, feat, key, n, temp=1.0,
+                          differentiable=True, pipeline=pipeline)
 
     out = {}
     th_bt = z[:, :TH_BT]

@@ -264,4 +264,4 @@ def fit_devices(batch_size: int, hypo: int = 1, tp: int = 1,
     for n in range(n_available, 0, -1):
         if n % grp == 0 and batch_size % (n // grp) == 0:
             return n
-    return grp
+    raise AssertionError("unreachable: n=grp always satisfies the loop")

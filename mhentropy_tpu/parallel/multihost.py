@@ -145,7 +145,11 @@ def multihost_batches(
             local_valid[np.minimum(rows, len(local_valid) - 1)],
             False,
         ).astype(np.float32)
-        if "valid" in target or not vrow.all():
+        # Key-presence is decided ONCE per stream (any wrap duplicate
+        # anywhere -> every batch carries 'valid'): a mid-epoch pytree
+        # structure change would retrace the jitted eval step — minutes
+        # through the remote-compile relay on a real pod.
+        if "valid" in target or not local_valid.all():
             target = dict(target)
             target["valid"] = (
                 np.asarray(target.get("valid", 1.0), np.float32) * vrow)

@@ -69,6 +69,33 @@ def inverse_pipelined(
         (z, logdet), identical to `realnvp.inverse(params, cfg, x, cproj)`
         up to float reassociation.
     """
+    # inverse applies layers last-to-first: flip the stack so stage 0 runs
+    # the last layers and activations flow in increasing stage order.
+    return _run_pipelined(
+        params, cfg, x, cproj, mesh, n_micro,
+        layer_fn=realnvp.inverse_layer, flip=True,
+    )
+
+
+def forward_pipelined(
+    params: realnvp.RealNVPParams,
+    cfg: realnvp.RealNVPConfig,
+    z: jax.Array,
+    cproj: jax.Array,
+    mesh,
+    n_micro: int,
+):
+    """`realnvp.forward` (base -> data, the sampling direction) with the
+    layer stack pipelined over 'pipe' — the stack runs first-to-last, so no
+    flip. Returns (x, logdet), identical to `realnvp.forward` up to float
+    reassociation."""
+    return _run_pipelined(
+        params, cfg, z, cproj, mesh, n_micro,
+        layer_fn=realnvp.forward_layer, flip=False,
+    )
+
+
+def _run_pipelined(params, cfg, x, cproj, mesh, n_micro, layer_fn, flip):
     n_pipe = mesh.shape[PIPE_AXIS]
     layers_per = cfg.n_layers // n_pipe
     assert layers_per * n_pipe == cfg.n_layers, (cfg.n_layers, n_pipe)
@@ -77,14 +104,13 @@ def inverse_pipelined(
     rows_m = rows // n_micro
     conditional = cfg.effective_cond_dim() > 0
 
-    # inverse applies layers last-to-first: flip the stack so stage 0 runs
-    # the last layers and activations flow in increasing stage order.
     def stage_stack(a):
-        return jnp.flip(a, 0).reshape(n_pipe, layers_per, *a.shape[1:])
+        a = jnp.flip(a, 0) if flip else a
+        return a.reshape(n_pipe, layers_per, *a.shape[1:])
 
     layers = jax.tree_util.tree_map(stage_stack, realnvp._layer_tree(params))
-    # (L, 4, R, H) -> flipped, staged, microbatched: (P, Ls, 4, M, Rm, H).
-    cp = jnp.flip(cproj, 0).reshape(
+    # (L, 4, R, H) -> (flipped,) staged, microbatched: (P, Ls, 4, M, Rm, H).
+    cp = (jnp.flip(cproj, 0) if flip else cproj).reshape(
         n_pipe, layers_per, 4, n_micro, rows_m, cproj.shape[-1]
     )
     x_m = x.reshape(n_micro, rows_m, dim)
@@ -100,7 +126,7 @@ def inverse_pipelined(
         def layer_body(carry, inp):
             z, ld = carry
             layer, c = inp
-            return realnvp.inverse_layer(layer, c, z, ld, conditional), None
+            return layer_fn(layer, c, z, ld, conditional), None
 
         def tick(carry, t):
             recv, out = carry
@@ -185,3 +211,46 @@ def log_prob_pipelined(
     cproj = realnvp.cond_cache(params, cfg, cond)
     z, logdet = inverse_pipelined(params, cfg, x, cproj, mesh, n_micro)
     return realnvp._std_normal_logp(z) + logdet
+
+
+def sample_pipelined(
+    params: realnvp.RealNVPParams,
+    cfg: realnvp.RealNVPConfig,
+    key,
+    batch_rows: int,
+    feat: jax.Array,
+    mesh,
+    n_micro: int,
+    temp: float = 0.7,
+    n_per_image: int = 1,
+    return_log_prob: bool = False,
+):
+    """`realnvp.sample` (standard-conditional path) with the coupling stack
+    pipelined over 'pipe' — the training draw of reverse_kld, so it must be
+    differentiable: the whole schedule is one lax.scan of ppermutes, whose
+    transpose is the reverse-order pipeline (gradients ≡ sequential,
+    tested). The tsfm/actnorm variants stay sequential, as in
+    log_prob_pipelined.
+
+    n_per_image: hypotheses per feat row; conditioning projections are
+    computed once per image and tiled, like mhent.sample_q_z does.
+    """
+    if cfg.tsfm_on in ("x", "z"):
+        raise NotImplementedError(
+            "sample_pipelined covers the standard-conditional flow; "
+            "actnorm-wrapped variants use realnvp.sample."
+        )
+    d = cfg.dim
+    z0 = jax.random.normal(key, (batch_rows, d)) * temp
+    cproj = None
+    if cfg.effective_cond_dim() > 0:
+        cond = realnvp.make_cond(params, cfg, feat)
+        cproj = realnvp.cond_cache(params, cfg, cond)
+        if n_per_image > 1:
+            cproj = jnp.tile(cproj, (1, 1, n_per_image, 1))
+    else:
+        cproj = jnp.zeros((cfg.n_layers, 4, batch_rows, 1))
+    x, fwd_logdet = forward_pipelined(params, cfg, z0, cproj, mesh, n_micro)
+    if return_log_prob:
+        return x, realnvp._std_normal_logp(z0) - fwd_logdet
+    return x

@@ -341,7 +341,8 @@ def init_state(key, model_cfg: MHEntConfig, optimizer) -> TrainState:
 
 
 def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer,
-                    mesh, fsdp: bool = False, tp: bool = False):
+                    mesh, fsdp: bool = False, tp: bool = False,
+                    pipe: bool = False, n_micro: int = 2):
     """One pjit-compiled optimisation step; batch sharded over 'data'.
 
     fsdp=True additionally shards the TrainState itself (params, optimizer
@@ -352,7 +353,16 @@ def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer,
 
     tp=True shards the model itself over the mesh's 'model' axis
     (Megatron-style column/row-parallel pairs, `mesh_lib.tp_sharding`);
-    composes with fsdp (TP-sharded leaves pick up a second 'data' axis)."""
+    composes with fsdp (TP-sharded leaves pick up a second 'data' axis).
+
+    pipe=True routes the training flow draw through the GPipe schedule
+    over the mesh's 'pipe' axis (parallel/pipeline.sample_pipelined,
+    n_micro microbatches) — composes with tp/fsdp, so all four mesh axes
+    can be live in one step. Requires n_train_hypotheses*batch rows per
+    microbatch to divide the 'data' axis."""
+    pipeline = None
+    if pipe and mesh.shape[mesh_lib.PIPE_AXIS] > 1:
+        pipeline = (mesh, n_micro)
 
     def step_fn(state: TrainState, image, target, key):
         image, target = _prep_batch(image, target)
@@ -360,7 +370,7 @@ def make_train_step(model: ManoModel, model_cfg: MHEntConfig, optimizer,
         def loss_fn(params):
             out, new_stats = mhent.reverse_kld(
                 model, params, state.batch_stats, model_cfg, target, image,
-                key, train=True,
+                key, train=True, pipeline=pipeline,
             )
             lp = out["log_p"]  # criteria.py:55,173
             if "valid" in target:  # padded tail batch: mask padding out

@@ -162,6 +162,16 @@ def mhent_metrics(output: dict, target: dict,
             if attr == "vis":
                 metrics[f"{key}_mean"] = _group_stats(euc[sup].mean(0), weight)
 
+            # Relative Diversity (the README table's "RD" column,
+            # hand/README.md:48-58 — the shipped reference code never
+            # computes it; the paper derives it offline). Definition used
+            # here: PJD over the mean-over-hypotheses EPE of the SAME
+            # joint group and dimension — a unit-free diversity/error
+            # ratio (0 = collapsed hypotheses, ~1 = spread comparable to
+            # the error itself).
+            mh = _group_stats(euc[sup].mean(0), weight)
+            metrics[f"{key}_rd"] = metrics[f"{key}_std"] / (mh + 1e-16)
+
     if valid is None:
         total = sum(v.mean() for v in losses.values())
     else:

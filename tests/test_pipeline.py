@@ -64,3 +64,57 @@ def test_pipelined_gradients_match_sequential(setup):
         g0, g1,
     )
     assert max(jax.tree_util.tree_leaves(errs)) < 1e-5
+
+
+def test_pipelined_forward_and_sample_match_sequential(setup):
+    """The sampling direction (base -> data, the TRAIN-step draw): the
+    pipelined forward runs the same dots in the same order — only XLA's
+    fusion choices differ between the jitted schedule and the op-by-op
+    reference (measured ~5e-7 abs on O(1) values), and sample_pipelined at
+    the same key draws the identical base noise."""
+    cfg, params, mesh, x, feat, cproj = setup
+    x0, ld0 = realnvp.forward(params, cfg, x, cproj)
+    with mesh:
+        x1, ld1 = jax.jit(
+            lambda p, xx, c: pipeline.forward_pipelined(p, cfg, xx, c, mesh, 2)
+        )(params, x, cproj)
+    assert float(jnp.max(jnp.abs(x1 - x0))) < 1e-6
+    assert float(jnp.max(jnp.abs(ld1 - ld0))) < 1e-6
+
+    key = jax.random.key(5)
+    s0, lp0 = realnvp.sample(
+        params, cfg, key, 8, feat=feat, temp=0.8, return_log_prob=True)
+    with mesh:
+        s1, lp1 = pipeline.sample_pipelined(
+            params, cfg, key, 8, feat, mesh, 2, temp=0.8,
+            return_log_prob=True)
+    assert float(jnp.max(jnp.abs(s1 - s0))) < 1e-6
+    assert float(jnp.max(jnp.abs(lp1 - lp0))) < 1e-6
+
+
+def test_pipelined_sample_gradients_match_sequential(setup):
+    """reverse_kld differentiates through the draw: grads of the pipelined
+    sampling schedule must match the sequential scan."""
+    cfg, params, mesh, x, feat, cproj = setup
+    key = jax.random.key(6)
+
+    def loss_seq(p):
+        s, lp = realnvp.sample(
+            p, cfg, key, 8, feat=feat, temp=1.0, return_log_prob=True)
+        return jnp.sum(s**2) + jnp.sum(lp**2)
+
+    def loss_pipe(p):
+        s, lp = pipeline.sample_pipelined(
+            p, cfg, key, 8, feat, mesh, 2, temp=1.0, return_log_prob=True)
+        return jnp.sum(s**2) + jnp.sum(lp**2)
+
+    g0 = jax.grad(loss_seq)(params)
+    with mesh:
+        g1 = jax.jit(jax.grad(loss_pipe))(params)
+    errs = jax.tree_util.tree_map(
+        lambda a, b: float(
+            jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9)
+        ),
+        g0, g1,
+    )
+    assert max(jax.tree_util.tree_leaves(errs)) < 1e-5

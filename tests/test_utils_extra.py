@@ -150,3 +150,40 @@ def test_cache_fingerprint_keys_on_machine_and_jax():
         assert open("/etc/machine-id").read().strip() in key
     # Stable across calls (directory names must not drift within a run).
     assert cache.cpu_fingerprint() == fp
+
+
+def test_relative_diversity_metric():
+    """RD = PJD / mean-over-hypotheses EPE of the same group (the README
+    table's derived "RD" column — the reference ships no formula, see
+    hand/README.md:48-58). Pin the ratio on a constructed case and the
+    collapsed-hypotheses limit."""
+    import jax
+
+    from mhentropy_tpu.train import metrics as m
+
+    n, b, k = 4, 2, 3
+    key = jax.random.key(0)
+    xyz = jax.random.normal(key, (n, b, k * 3)) * 0.05
+    target = {
+        "pose3d": np.zeros((b, k * 3), np.float32),
+        "scale": np.ones((b,), np.float32),
+        "crop_uv": np.zeros((b, k * 2), np.float32),
+        "st": np.tile(np.array([1.0, 0.0, 0.0], np.float32), (b, 1)),
+        "vis": jnp.ones((b, k), jnp.float32),
+    }
+    out = {"xyz": jnp.asarray(xyz), "log_p": jnp.zeros(b)}
+    _, _, mets = m.mhent_metrics(out, target, image_size=64)
+    # RD is exactly std/mean of the already-pinned parity metrics.
+    np.testing.assert_allclose(
+        np.asarray(mets["eucLoss_3d_rgb_vis_rd"]),
+        np.asarray(mets["eucLoss_3d_rgb_vis_std"])
+        / (np.asarray(mets["eucLoss_3d_rgb_vis_mean"]) + 1e-16),
+        rtol=1e-6,
+    )
+    assert float(mets["eucLoss_3d_rgb_sample_rd"].mean()) > 0.0
+
+    # Collapsed hypotheses (all N identical) -> zero diversity -> RD 0.
+    out_c = {"xyz": jnp.tile(xyz[:1], (n, 1, 1)), "log_p": jnp.zeros(b)}
+    _, _, mets_c = m.mhent_metrics(out_c, target, image_size=64)
+    np.testing.assert_allclose(
+        np.asarray(mets_c["eucLoss_3d_rgb_sample_rd"]), 0.0, atol=1e-7)
