@@ -3,14 +3,23 @@
 orthographic reprojection, i.e. everything network.py:846-883 does per
 hypothesis).
 
-Two measurements:
-  - pipelined (headline): 250 steps inside one jitted lax.scan — sustained
-    device throughput, the number an eval loop with pipelined dispatch sees.
-  - per_call: one dispatch per step from Python. On this 1-core host the
-    per-call number includes ~3 ms of host dispatch overhead per step, which
-    understates chip throughput by ~45% (measured r2: 438k vs 789k).
+Budgeted sections (r3 post-mortem: the driver's run timed out at rc=124
+because three big remote-tunnel compiles ran before ANY output — 17 min
+cold): the headline scan compiles and measures FIRST, then each further
+section runs only if the wall-clock budget (MHENT_BENCH_BUDGET_S, default
+480 s) can afford another compile of the measured cold-compile magnitude.
+Skipped sections are recorded in the JSON as null + a "skipped" list —
+the line always prints.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Sections, in value order after the headline:
+  - int8: the quantized serving path (encoder + fused sampler PTQ).
+  - eval_shape: N=200, B=64 — the README-table eval configuration.
+  - train: ms/step for the scanned train step (tools/bench_train.py math).
+  - per_call: one dispatch per step from Python; includes ~3 ms host
+    dispatch overhead per step and understates chip throughput ~45%
+    (measured r2: 438k vs 789k) — least informative, so last.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is against the BASELINE.json target of 20k hypotheses/sec/chip.
 """
 
@@ -21,6 +30,12 @@ import time
 
 
 def main():
+    budget_s = float(os.environ.get("MHENT_BENCH_BUDGET_S", "480"))
+    t_start = time.monotonic()
+
+    def remaining():
+        return budget_s - (time.monotonic() - t_start)
+
     from mhentropy_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -70,25 +85,28 @@ def main():
         )
         return out["xyz"], out["uv"]
 
-    step = jax.jit(one_step)
+    def make_scan(n, fn):
+        @jax.jit
+        def scan_steps(params, batch_stats, image, key):
+            def body(carry, k):
+                # Derive a per-step image from the key: without this, the
+                # image is loop-invariant and XLA hoists the WHOLE ENCODER
+                # out of the scan (verified in a profile — conv ops
+                # appeared x1, not x STEPS), inflating the rate ~1.6x.
+                img_k = image + jax.random.uniform(k, (1,)) * 1e-6
+                xyz, uv = fn(params, batch_stats, img_k, k)
+                # Full reductions in the carry: a single-element dependency
+                # (xyz[0,0,0]) lets XLA prune most of the decode out of the
+                # loop (verified — a [0,0] carry made a scanned resnet50
+                # report an impossible 0.03 ms/step).
+                return carry + (xyz.sum() + uv.sum()) * 1e-20, None
 
-    @jax.jit
-    def scan_steps(params, batch_stats, image, key):
-        def body(carry, k):
-            # Derive a per-step image from the key: without this, the image
-            # is loop-invariant and XLA hoists the WHOLE ENCODER out of the
-            # scan (verified in a profile — conv ops appeared x1, not
-            # x STEPS), inflating the rate ~1.6x.
-            img_k = image + jax.random.uniform(k, (1,)) * 1e-6
-            xyz, uv = one_step(params, batch_stats, img_k, k)
-            # Full reductions in the carry: a single-element dependency
-            # (xyz[0,0,0]) lets XLA prune most of the decode out of the
-            # loop (verified — a [0,0] carry made a scanned resnet50 report
-            # an impossible 0.03 ms/step).
-            return carry + (xyz.sum() + uv.sum()) * 1e-20, None
+            acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, n))
+            return acc
 
-        acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, steps))
-        return acc
+        return scan_steps
+
+    scan_steps = make_scan(steps, one_step)
 
     # Per-run nonce in the key: the relay serves repeated identical
     # (program, args) executions from a cache (CLAUDE.md) — inputs vary
@@ -97,13 +115,20 @@ def main():
     key = jax.random.key(time.time_ns() % (2**31 - 1))
     image = jax.random.uniform(jax.random.key(2), (batch, img, img, 3)) * 2 - 1
 
-    # Warm up / compile both programs.
-    compiled = step.lower(params, batch_stats, image, key).compile()
-    # XLA's own FLOP count for one step (all hypotheses, full decode) —
-    # basis for the MFU field so rounds track efficiency, not just
-    # throughput (VERDICT r2 item 9).
+    # ---------------------------------------------------------- headline
+    # Compile the HEADLINE program first and alone — everything else is
+    # gated on what this compile costs on this machine today.
+    t0 = time.monotonic()
+    scan_c = scan_steps.lower(params, batch_stats, image, key).compile()
+    compile_s = time.monotonic() - t0
+
+    # XLA's own FLOP count (basis for the MFU field so rounds track
+    # efficiency, not just throughput). cost_analysis counts a while/scan
+    # BODY once, not trip_count times (verified on-chip r4: the scan
+    # program reports the same ~270 GF as the single per-call step), so
+    # the scan program's count IS the per-step count.
     try:
-        ca = compiled.cost_analysis()
+        ca = scan_c.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         step_flops = float(ca.get("flops", 0.0)) or None
@@ -120,38 +145,39 @@ def main():
             step_flops += stem_pallas.flops(batch, img)
         if getattr(enc, "pallas_stage1", True) and img == 256:
             step_flops += stage1_pallas.flops(batch, img // 4, img // 4)
-    # Reuse the AOT executable for the per-call loop: a separate step(...)
-    # dispatch would compile the identical program a second time (AOT
-    # executables don't populate the jit dispatch cache) — minutes through
-    # the remote-compile tunnel on a cold cache.
-    xyz, uv = compiled(params, batch_stats, image, key)
-    jax.block_until_ready(xyz)
-    jax.block_until_ready(scan_steps(params, batch_stats, image, key))
+
+    jax.block_until_ready(scan_c(params, batch_stats, image, key))
 
     # Best-of-3 with a variance field: relay-latency noise on this box is
     # large; the recorded spread lets future rounds tell drift from noise.
-    pipelined, per_call = [], []
+    pipelined = []
     for r in range(3):
         t0 = time.perf_counter()
-        acc = scan_steps(params, batch_stats, image, jax.random.fold_in(key, r))
+        acc = scan_c(params, batch_stats, image, jax.random.fold_in(key, r))
         jax.block_until_ready(acc)
         pipelined.append(n_hypo * batch * steps / (time.perf_counter() - t0))
-
-        t0 = time.perf_counter()
-        for i in range(steps):
-            xyz, uv = compiled(
-                params, batch_stats, image, jax.random.fold_in(key, 100 + r * steps + i)
-            )
-        jax.block_until_ready(xyz)
-        per_call.append(n_hypo * batch * steps / (time.perf_counter() - t0))
-
     rate = max(pipelined)
+
+    # ------------------------------------------------------ gated sections
+    # A further section costs roughly one more compile of the headline's
+    # magnitude (the programs are siblings); the train section about two
+    # (fwd+bwd). Only start one if the budget affords it plus margin.
+    skipped = []
+
+    def afford(name, scale=1.0, margin=45.0):
+        est = max(30.0, compile_s) * scale + margin
+        if remaining() > est:
+            return True
+        skipped.append(name)
+        return False
 
     # int8 W8A8 serving option (models/quant.py; opt-out MHENT_BENCH_INT8=0):
     # measured with the same scanned methodology, calibrated on the bench
     # image. Recorded as extra fields — "value" stays the exact bf16 path.
     int8_rate, int8_error = None, None
-    if os.environ.get("MHENT_BENCH_INT8", "1") == "1":
+    if os.environ.get("MHENT_BENCH_INT8", "1") != "1":
+        pass
+    elif afford("int8"):
         try:
             from mhentropy_tpu.models import quant
 
@@ -188,11 +214,129 @@ def main():
         except Exception as e:  # record, never mask as an opt-out
             int8_error = repr(e)[:200]
             print(f"int8 bench failed: {int8_error}", file=sys.stderr)
+
+    # Eval-table shape (N=200, B=64 — README/PERF numbers lived only in
+    # builder notes until r4): same program at the bigger shape. Skip when
+    # this IS the eval-shape invocation.
+    eval_rate = None
+    if (n_hypo, batch) != (200, 64) and afford("eval_shape"):
+        try:
+            ev_img = jax.random.uniform(
+                jax.random.key(3), (64, img, img, 3)) * 2 - 1
+
+            def ev_step(params, batch_stats, image, key):
+                out = mhent.sample_hypotheses(
+                    model, params, batch_stats, cfg, image, key, n=200,
+                    temp=0.8, mods=("xyz", "uv"))
+                return out["xyz"], out["uv"]
+
+            ev_scan = make_scan(steps, ev_step)
+            jax.block_until_ready(ev_scan(params, batch_stats, ev_img, key))
+            best = []
+            for r in range(3):
+                t0 = time.perf_counter()
+                acc = ev_scan(params, batch_stats, ev_img,
+                              jax.random.fold_in(key, 80 + r))
+                jax.block_until_ready(acc)
+                best.append(200 * 64 * steps / (time.perf_counter() - t0))
+            eval_rate = max(best)
+        except Exception as e:
+            print(f"eval_shape bench failed: {e!r:.200}", file=sys.stderr)
+
+    # Train step (tools/bench_train.py methodology: state threaded through
+    # the scan carry, per-step perturbed images). Roughly a double-size
+    # compile (fwd+bwd).
+    train_ms = None
+    if afford("train", scale=2.0):
+        try:
+            import optax
+
+            from mhentropy_tpu.data import synthetic
+            from mhentropy_tpu.train import engine
+
+            tr_cfg = cfg._replace(n_train_hypotheses=10)
+            optimizer = optax.chain(
+                optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+            state = engine.init_state(jax.random.key(0), tr_cfg, optimizer)
+            data = synthetic.make_dataset(
+                model, n=batch, image_size=img, seed=0)
+            tr_image, target = next(synthetic.batches(data, batch))
+            tr_image = jnp.asarray(tr_image)
+            target = {k: jnp.asarray(v) for k, v in target.items()}
+            TR_STEPS = 50
+
+            def tr_one(state, image, target, key):
+                def loss_fn(p):
+                    out, new_stats = mhent.reverse_kld(
+                        model, p, state.batch_stats, tr_cfg, target, image,
+                        key, train=True)
+                    return -out["log_p"].mean(), new_stats
+
+                (_, new_stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                updates, opt_state = optimizer.update(
+                    grads, state.opt_state, state.params)
+                p = optax.apply_updates(state.params, updates)
+                return engine.TrainState(
+                    p, new_stats, opt_state, state.step + 1)
+
+            @jax.jit
+            def tr_scan(state, image, target, key):
+                def body(st, k):
+                    img_k = image + jax.random.uniform(k, (1,)) * 1e-6
+                    return tr_one(st, img_k, target, k), 0.0
+
+                st, _ = jax.lax.scan(
+                    body, state, jax.random.split(key, TR_STEPS))
+                return st
+
+            jax.block_until_ready(
+                tr_scan(state, tr_image, target, key).step)
+            best = 1e9
+            for r in range(2):
+                t0 = time.perf_counter()
+                st = tr_scan(state, tr_image, target,
+                             jax.random.fold_in(key, 70 + r))
+                jax.block_until_ready(st.step)
+                best = min(best, (time.perf_counter() - t0) / TR_STEPS)
+            train_ms = best * 1e3
+        except Exception as e:
+            print(f"train bench failed: {e!r:.200}", file=sys.stderr)
+
+    # Per-call dispatch (AOT executable reused across calls — a plain
+    # step(...) dispatch would compile the identical program a second time;
+    # AOT executables don't populate the jit dispatch cache).
+    per_call = None
+    if afford("per_call"):
+        try:
+            step_c = jax.jit(one_step).lower(
+                params, batch_stats, image, key).compile()
+            xyz, uv = step_c(params, batch_stats, image, key)
+            jax.block_until_ready(xyz)
+            best = []
+            for r in range(2):
+                t0 = time.perf_counter()
+                for i in range(steps):
+                    xyz, uv = step_c(
+                        params, batch_stats, image,
+                        jax.random.fold_in(key, 100 + r * steps + i))
+                jax.block_until_ready(xyz)
+                best.append(
+                    n_hypo * batch * steps / (time.perf_counter() - t0))
+            per_call = max(best)
+        except Exception as e:
+            print(f"per_call bench failed: {e!r:.200}", file=sys.stderr)
+
     # MFU vs the chip's bf16 matmul peak (v5e: 197 TFLOP/s; other chips
     # would need their own entry — the device kind is recorded alongside).
     peak_flops = 197e12
     mfu = None
     if step_flops:
+        # Guard against an XLA version that starts multiplying the scan
+        # body by trip_count: an MFU > 1 is impossible, so fall back to
+        # the per-step interpretation.
+        if step_flops * rate / (n_hypo * batch) > peak_flops:
+            step_flops /= steps
         achieved = step_flops * rate / (n_hypo * batch)
         mfu = round(achieved / peak_flops, 4)
     print(
@@ -200,13 +344,12 @@ def main():
             {
                 "metric": (
                     f"hypotheses/sec/chip (N={n_hypo}, B={batch}, full "
-                    "pipeline, pipelined dispatch)"
+                    f"pipeline, pipelined dispatch, {steps}-step scan)"
                 ),
                 "value": round(rate, 1),
                 "unit": "hypos/s",
                 "vs_baseline": round(rate / 20000.0, 3),
                 "rounds": [round(r, 1) for r in pipelined],
-                "per_call": round(max(per_call), 1),
                 "spread_pct": round(
                     100.0 * (max(pipelined) - min(pipelined)) / max(pipelined), 2
                 ),
@@ -215,6 +358,12 @@ def main():
                 "int8_serving": round(int8_rate, 1) if int8_rate else None,
                 "int8_speedup": round(int8_rate / rate, 4) if int8_rate else None,
                 **({"int8_error": int8_error} if int8_error else {}),
+                "eval_shape_n200_b64": round(eval_rate, 1) if eval_rate else None,
+                "train_ms_per_step": round(train_ms, 3) if train_ms else None,
+                "per_call": round(per_call, 1) if per_call else None,
+                "skipped": skipped,
+                "compile_s": round(compile_s, 1),
+                "budget_s": budget_s,
                 "device_kind": jax.devices()[0].device_kind,
             }
         )
