@@ -631,3 +631,39 @@ def test_mano_cache_invalidates_on_asset_change(tmp_path):
     assert m1 is not m0
     assert not np.allclose(np.asarray(m0.v_template),
                            np.asarray(m1.v_template))
+
+
+def test_composed_tp_pp_train_step_matches_single_device(small_cfg, model):
+    """All four mesh axes live in ONE train step — (data=2, hypo=1,
+    model=2, pipe=2): Megatron-TP state sharding composed with the GPipe'd
+    flow draw (make_train_step(tp=True, pipe=True)). First-step loss and
+    updates must match the replicated single-device step (the pipelined
+    draw uses the identical base-noise key; the dryrun proves the same
+    composition driver-side, this pins it in the suite)."""
+    optimizer = engine.make_optimizer(1e-3, [100], steps_per_epoch=10)
+    data = synthetic.make_dataset(model, n=8, image_size=IMG, seed=2)
+    image, target = next(synthetic.batches(data, 8))
+
+    mesh1 = mesh_lib.make_mesh(n_devices=1)
+    state1 = engine.init_state(jax.random.key(0), small_cfg, optimizer)
+    step1 = engine.make_train_step(model, small_cfg, optimizer, mesh1)
+    state1, aux1 = step1(state1, image, target, jax.random.key(7))
+
+    mesh_c = mesh_lib.make_mesh(n_devices=8, hypo=1, tp=2, pp=2)
+    assert dict(mesh_c.shape) == {"data": 2, "hypo": 1, "model": 2,
+                                  "pipe": 2}
+    state_c = engine.init_state(jax.random.key(0), small_cfg, optimizer)
+    im = mesh_lib.shard_batch(mesh_c, image)
+    tg = mesh_lib.shard_batch(mesh_c, target)
+    step_c = engine.make_train_step(model, small_cfg, optimizer, mesh_c,
+                                    tp=True, pipe=True)
+    state_c, aux_c = step_c(state_c, im, tg, jax.random.key(7))
+
+    rel = abs(float(aux_c["loss"]) - float(aux1["loss"])) / abs(
+        float(aux1["loss"]))
+    assert rel < 1e-3, (float(aux_c["loss"]), float(aux1["loss"]))
+    np.testing.assert_allclose(
+        np.asarray(state1.params["det_head"]["l0"]["w"]),
+        np.asarray(state_c.params["det_head"]["l0"]["w"]), atol=1e-4)
+    # TP actually sharded the flow weights.
+    assert not state_c.params["flow"].s_w0.sharding.is_fully_replicated
