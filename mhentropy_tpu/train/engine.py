@@ -470,10 +470,16 @@ class Experiment:
     (or use as a context manager) when done — leaked writer threads
     accumulated across a long-lived process were implicated in a
     full-test-suite crash (17 live TB threads at the fault point).
-    Instances register in a weak set so test harnesses can sweep
-    stragglers (close_all_experiments)."""
+    Cleanup is two-layered because a sweep alone provably misses
+    instances: a WeakSet registry feeds close_all_experiments (test
+    harness sweep of still-referenced instances), and a
+    weakref.finalize closes the sinks the moment a dropped instance is
+    refcount-collected — a test-local Experiment is collected when the
+    test function returns, BEFORE any teardown sweep runs (observed: 17
+    leaked tensorboardX threads at the r4 cold-suite crash with a
+    sweep-only design)."""
 
-    _live: "weakref.WeakSet[Experiment]" = None  # initialised below
+    _live: "weakref.WeakSet" = None  # initialised below
 
     def __init__(self, cfg, mano_dir: str = "./mano/"):
         self.cfg = cfg
@@ -526,29 +532,20 @@ class Experiment:
         else:
             self._pending_restore = None
 
-        self._closed = False
         Experiment._live.add(self)
+        # The finalizer must not capture self (it would never fire);
+        # it owns the sink objects directly.
+        self._finalizer = weakref.finalize(
+            self, _close_sinks, self.writer, self.log)
 
     # ------------------------------------------------------------ lifecycle
     def close(self):
         """Release the TB writer thread, queue, and log file handles.
 
-        Idempotent. The Experiment remains usable for pure compute after
-        close() — only logging sinks are gone (writes to a closed writer
-        would raise, so eval/train after close() is not supported)."""
-        if self._closed:
-            return
-        self._closed = True
-        try:
-            self.writer.close()
-        except Exception:
-            pass
-        for h in list(self.log.handlers):
-            try:
-                h.close()
-            except Exception:
-                pass
-            self.log.removeHandler(h)
+        Idempotent (weakref.finalize runs at most once). The Experiment
+        remains constructed after close(), but logging sinks are gone —
+        eval/train after close() is not supported."""
+        self._finalizer()
 
     def __enter__(self):
         return self
@@ -1036,6 +1033,19 @@ class Experiment:
 
 
 Experiment._live = weakref.WeakSet()
+
+
+def _close_sinks(writer, log):
+    try:
+        writer.close()
+    except Exception:
+        pass
+    for h in list(log.handlers):
+        try:
+            h.close()
+        except Exception:
+            pass
+        log.removeHandler(h)
 
 
 def close_all_experiments():
