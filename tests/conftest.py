@@ -83,6 +83,36 @@ import pytest  # noqa: E402
 
 
 @pytest.fixture(autouse=True)
+def _bound_process_mmap_count():
+    """Clear jax's executable caches when the process nears the kernel's
+    vm.max_map_count limit (65,530 here).
+
+    Root cause of the r3/r4 full-suite segfaults (4 crashed runs, three
+    distinct victims — a cache-write serialize, two compiles): every live
+    XLA:CPU executable holds ~3 mmaps (measured), the suite compiles or
+    deserializes ~6,400 programs plus thousands of interpret-mode Pallas
+    subprograms, and once the process map table is near the limit the
+    next native allocation inside LLVM/XLA dies with SIGSEGV instead of
+    a clean error. jax.clear_caches() releases the maps (verified:
+    1364 -> 467 after 300 compiles). Clearing is triggered by the live
+    map count, not a schedule, because a clear also drops TRACED
+    lowerings — retracing the big step programs costs 20-60 s each on
+    this 1-core box, so we only pay it when actually approaching the
+    cliff (~1-3 times per full cold suite)."""
+    yield
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            n = sum(1 for _ in f)
+    except OSError:  # non-Linux: nothing to bound
+        return
+    if n > 40000:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+
+
+@pytest.fixture(autouse=True)
 def _close_leaked_experiments():
     """Sweep Experiment logging sinks after every test.
 
