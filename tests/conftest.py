@@ -98,14 +98,17 @@ def _bound_process_mmap_count():
     map count, not a schedule, because a clear also drops TRACED
     lowerings — retracing the big step programs costs 20-60 s each on
     this 1-core box, so we only pay it when actually approaching the
-    cliff (~1-3 times per full cold suite)."""
+    cliff. Threshold 50k: observed single-test bursts stay under ~8k
+    (kernel-module setups), so 50k + burst < 65,530, while a 40k
+    threshold cleared ~4x per suite and the retrace storms added ~10
+    min of warm wall."""
     yield
     try:
         with open("/proc/self/maps", "rb") as f:
             n = sum(1 for _ in f)
     except OSError:  # non-Linux: nothing to bound
         return
-    if n > 40000:
+    if n > 50000:
         import gc
 
         jax.clear_caches()

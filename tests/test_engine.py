@@ -375,6 +375,11 @@ def test_graft_dryrun_multichip_under_ambient_axon_env():
             pp.append(tok)
     env["PYTHONPATH"] = os.pathsep.join(pp)
     env.pop("_MHENT_DRYRUN_CHILD", None)
+    # In-suite we test the hostile-env re-exec machinery, not every mesh
+    # composition: the composed TP+PP step is pinned in-suite by
+    # test_composed_tp_pp_train_step_matches_single_device, and the
+    # driver's real dryrun_multichip call runs it in full.
+    env["MHENT_DRYRUN_FAST"] = "1"
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],

@@ -77,38 +77,17 @@ def test_experiment_trains_on_real_format_rhd(tmp_path):
     assert a.shape == b.shape
 
 
-def test_eval_name_restores_after_training(tmp_path):
-    """Regression (VERDICT r2 weak #5): eval(name=...) on an Experiment whose
-    state is already initialised must restore the named checkpoint, not
-    silently evaluate the current params. Train, snapshot, train more (params
-    diverge), then eval(snapshot) — params must be back at the snapshot."""
-    from mhentropy_tpu.train.engine import Experiment
-    from mhentropy_tpu.utils.config import update_cfg
+def test_eval_restore_and_autoresume(tmp_path):
+    """Two regressions in one trained model_dir (merged r4 — each used to
+    pay its own full train_baseline; the suite-wall budget is per-test
+    tracing, VERDICT r3 item 9):
 
-    cfg = update_cfg("configs/smoke.yaml")
-    cfg.model_dir = str(tmp_path / "run")
-    exp = Experiment(cfg)
-    train_data, _ = exp.make_datasets()
-    exp._ensure_state(1)
-    exp.train_epoch(train_data, 0)
-    exp.save_model("snap")
-    saved = np.asarray(exp.state.params["det_head"]["l0"]["w"]).copy()
-    exp.train_epoch(train_data, 1)
-    assert not np.allclose(
-        saved, np.asarray(exp.state.params["det_head"]["l0"]["w"])
-    )
-    summary = exp.eval(os.path.join(cfg.model_dir, "snap"))
-    np.testing.assert_array_equal(
-        saved, np.asarray(exp.state.params["det_head"]["l0"]["w"])
-    )
-    assert np.isfinite(summary["eucLoss_3d_rgb_sample"])
-
-
-def test_autoresume_continues_from_latest_epoch(tmp_path):
-    """Preemption recovery (cfg.tpu.autoresume): a rerun in the same
-    model_dir restores the newest per-epoch checkpoint — params, Adam
-    moments AND step — and continues at the next epoch instead of
-    retraining from scratch."""
+    (a) eval(name=...) on an Experiment whose state is already
+    initialised must restore the named checkpoint, not silently evaluate
+    the current params (VERDICT r2 weak #5).
+    (b) cfg.tpu.autoresume: a rerun in the same model_dir restores the
+    newest per-epoch checkpoint — params, Adam moments AND step — and
+    continues at the next epoch instead of retraining from scratch."""
     from mhentropy_tpu.train.engine import Experiment
     from mhentropy_tpu.utils.config import update_cfg
 
@@ -122,8 +101,22 @@ def test_autoresume_continues_from_latest_epoch(tmp_path):
     step_done = int(exp.state.step)
     assert step_done > 0
 
-    # The rerun: same dir, 2 epochs total. It must restore epoch 0's
-    # checkpoint (start_epoch 1) and only train ONE more epoch.
+    # (a) snapshot, diverge, eval(snapshot) -> params restored.
+    exp.save_model("snap")
+    train_data, _ = exp.make_datasets(which=("train",))
+    exp.train_epoch(train_data, 1)
+    assert not np.allclose(
+        trained, np.asarray(exp.state.params["det_head"]["l0"]["w"])
+    )
+    summary = exp.eval(os.path.join(cfg.model_dir, "snap"))
+    np.testing.assert_array_equal(
+        trained, np.asarray(exp.state.params["det_head"]["l0"]["w"])
+    )
+    assert np.isfinite(summary["eucLoss_3d_rgb_sample"])
+
+    # (b) the rerun: same dir, 2 epochs total. The manual epoch above
+    # saved no per-epoch checkpoint, so the newest is still epoch 0 —
+    # restore it (start_epoch 1) and train exactly ONE more epoch.
     cfg2 = update_cfg("configs/smoke.yaml")
     cfg2.model_dir = cfg.model_dir
     cfg2.training.epochs = 2
@@ -226,6 +219,11 @@ def test_experiment_glow_regressor_smoke(tmp_path):
     cfg = update_cfg("configs/smoke.yaml")
     cfg.network.regressor = "glow"
     cfg.model_dir = str(tmp_path / "run")
+    # Skip the in-loop eval: tracing the glow N-hypothesis eval program
+    # costs ~70 s on this 1-core host, and glow sampling/eval numerics
+    # are pinned by test_glow_rle + test_pallas_glow_sampler — this
+    # smoke is about the Experiment TRAIN dispatch with regressor=glow.
+    cfg.eval_interval = 99
     exp = Experiment(cfg)
     exp.train_baseline()
     assert os.path.exists(os.path.join(cfg.model_dir, "models.txt"))
