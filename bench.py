@@ -131,20 +131,23 @@ def main():
         ca = scan_c.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        step_flops = float(ca.get("flops", 0.0)) or None
+        xla_step_flops = float(ca.get("flops", 0.0)) or None
     except Exception:
-        step_flops = None
+        xla_step_flops = None
     # XLA's count cannot see inside Pallas custom calls — add the fused
     # kernels' conv-semantics FLOPs when their runtime gates are active, so
-    # MFU stays comparable as more of the model moves into kernels.
-    if step_flops and jax.default_backend() == "tpu":
+    # MFU stays comparable as more of the model moves into kernels. Kept
+    # SEPARATE from the XLA count: the trip-count fallback below must
+    # rescale only XLA's number, never the per-step kernel FLOPs.
+    kernel_flops = 0.0
+    if xla_step_flops and jax.default_backend() == "tpu":
         from mhentropy_tpu.models import stage1_pallas, stem_pallas
 
         enc = cfg.encoder
         if getattr(enc, "pallas_stem", True) and img == 256:
-            step_flops += stem_pallas.flops(batch, img)
+            kernel_flops += stem_pallas.flops(batch, img)
         if getattr(enc, "pallas_stage1", True) and img == 256:
-            step_flops += stage1_pallas.flops(batch, img // 4, img // 4)
+            kernel_flops += stage1_pallas.flops(batch, img // 4, img // 4)
 
     jax.block_until_ready(scan_c(params, batch_stats, image, key))
 
@@ -330,13 +333,15 @@ def main():
     # MFU vs the chip's bf16 matmul peak (v5e: 197 TFLOP/s; other chips
     # would need their own entry — the device kind is recorded alongside).
     peak_flops = 197e12
-    mfu = None
-    if step_flops:
+    mfu, step_flops = None, None
+    if xla_step_flops:
         # Guard against an XLA version that starts multiplying the scan
         # body by trip_count: an MFU > 1 is impossible, so fall back to
-        # the per-step interpretation.
-        if step_flops * rate / (n_hypo * batch) > peak_flops:
-            step_flops /= steps
+        # the per-step interpretation (XLA's count only — the kernel
+        # FLOPs are per-step by construction).
+        if xla_step_flops * rate / (n_hypo * batch) > peak_flops:
+            xla_step_flops /= steps
+        step_flops = xla_step_flops + kernel_flops
         achieved = step_flops * rate / (n_hypo * batch)
         mfu = round(achieved / peak_flops, 4)
     print(

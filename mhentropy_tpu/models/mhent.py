@@ -199,6 +199,15 @@ def sample_q_z(
         'det' mode).
     """
     b = feat.shape[0]
+    if pipeline is not None and cfg.regressor != "realnvp":
+        # Loudly, not silently: a 'pipe' mesh axis with a non-realnvp
+        # regressor would otherwise run the sequential draw and let the
+        # caller attribute sequential numbers to GPipe (the silent-no-op
+        # class this repo keeps stamping out).
+        raise NotImplementedError(
+            f"pipeline parallelism covers the realnvp regressor; got "
+            f"{cfg.regressor!r}"
+        )
     z_flow, log_q = None, jnp.zeros(n * b)
     if cfg.regressor == "realnvp" and flow_q is not None and not differentiable:
         from mhentropy_tpu.flows import pallas_sampler_int8

@@ -159,9 +159,6 @@ def mhent_metrics(output: dict, target: dict,
             spspe = spspe ** (1.0 / d) * (d**0.5)
             metrics[f"{key}_std"] = _group_stats(spspe, weight)
 
-            if attr == "vis":
-                metrics[f"{key}_mean"] = _group_stats(euc[sup].mean(0), weight)
-
             # Relative Diversity (the README table's "RD" column,
             # hand/README.md:48-58 — the shipped reference code never
             # computes it; the paper derives it offline). Definition used
@@ -170,6 +167,8 @@ def mhent_metrics(output: dict, target: dict,
             # ratio (0 = collapsed hypotheses, ~1 = spread comparable to
             # the error itself).
             mh = _group_stats(euc[sup].mean(0), weight)
+            if attr == "vis":
+                metrics[f"{key}_mean"] = mh
             metrics[f"{key}_rd"] = metrics[f"{key}_std"] / (mh + 1e-16)
 
     if valid is None:

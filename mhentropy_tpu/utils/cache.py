@@ -64,10 +64,22 @@ def cpu_fingerprint() -> str:
 
 
 def enable_compilation_cache(path: str = "/root/.jax_compile_cache") -> None:
+    """Point jax's persistent compile cache at a per-(machine, backend)
+    directory.
+
+    The BACKEND split is load-bearing, not cosmetic: under the axon TPU
+    plugin, compilation goes through the remote relay, and entries
+    written in an axon process carry the RELAY server's CPU feature set
+    (+prefer-no-gather, amx-avx512, ...). A later CPU-backend process
+    (the multichip dryrun child) sharing the same directory then loads
+    alien AOT code that `cpu_aot_loader` warns may SIGILL — this, not a
+    fleet-machine swap, is where the r3 MULTICHIP tail's aot errors came
+    from (reproduced r4: a bench.py axon run re-polluted a freshly wiped
+    dir within the same machine)."""
     try:
         import jax
 
-        path = f"{path}-{cpu_fingerprint()}"
+        path = f"{path}-{cpu_fingerprint()}-{jax.default_backend()}"
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

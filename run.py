@@ -25,10 +25,13 @@ def main(argv=None):
             exp.eval(name=cfg.training.pth)
         else:
             raise NotImplementedError(cfg.training.mode)
-    finally:
+    except BaseException:
         exp.close()
+        raise
+    # Returned OPEN: programmatic callers may keep training/evaluating
+    # (close() releases the TB writer + log handlers — caller's job now).
     return exp
 
 
 if __name__ == "__main__":
-    main()
+    main().close()

@@ -118,3 +118,20 @@ def test_pipelined_sample_gradients_match_sequential(setup):
         g0, g1,
     )
     assert max(jax.tree_util.tree_leaves(errs)) < 1e-5
+
+
+def test_pipeline_with_non_realnvp_regressor_raises(setup):
+    """A 'pipe' mesh request on a non-realnvp regressor must fail loudly —
+    a silent sequential fallback would let GPipe benchmarks measure the
+    wrong path (the silent-config-no-op class)."""
+    from mhentropy_tpu.models import mhent as mhent_lib
+    from mhentropy_tpu.models.encoder import EncoderConfig
+    from mhentropy_tpu.models.mhent import MHEntConfig
+
+    cfg, params, mesh, x, feat, cproj = setup
+    mcfg = MHEntConfig(
+        encoder=EncoderConfig(backbone="resnet18", n_latent=(32, 32)),
+        flow=cfg, feat_dim=32, image_size=32, regressor="glow")
+    with pytest.raises(NotImplementedError, match="glow"):
+        mhent_lib.sample_q_z({}, mcfg, feat, jax.random.key(0), 2,
+                             differentiable=True, pipeline=(mesh, 2))

@@ -187,3 +187,22 @@ def test_relative_diversity_metric():
     _, _, mets_c = m.mhent_metrics(out_c, target, image_size=64)
     np.testing.assert_allclose(
         np.asarray(mets_c["eucLoss_3d_rgb_sample_rd"]), 0.0, atol=1e-7)
+
+
+def test_compilation_cache_dir_splits_by_backend(monkeypatch, tmp_path):
+    """enable_compilation_cache must key the dir on the jax backend too:
+    axon-relay processes write AOT entries with the RELAY server's CPU
+    features, and a CPU process sharing the dir loads may-SIGILL code
+    (the r3 MULTICHIP aot-error tail, reproduced r4)."""
+    import jax
+
+    from mhentropy_tpu.utils import cache
+
+    seen = {}
+    monkeypatch.setattr(
+        jax.config, "update",
+        lambda k, v: seen.__setitem__(k, v))
+    cache.enable_compilation_cache(str(tmp_path / "c"))
+    d = seen["jax_compilation_cache_dir"]
+    assert d.endswith(f"-{jax.default_backend()}")
+    assert cache.cpu_fingerprint() in d
