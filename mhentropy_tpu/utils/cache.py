@@ -84,5 +84,19 @@ def enable_compilation_cache(path: str = "/root/.jax_compile_cache") -> None:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # Same serialization config as tests/conftest.py ("all" is what
+        # makes CPU executables serialize at all). KNOWN RESIDUE, r4:
+        # programs containing gather/scatter ops are AOT-compiled with
+        # XLA's +prefer-no-gather/scatter TUNING pseudo-features baked
+        # into the target, and the loader then rejects exactly those
+        # entries in any later process with a `cpu_aot_loader ...
+        # machine type mismatch ... may SIGILL` ERROR line — an XLA
+        # self-inconsistency (same machine, same backend, same config;
+        # 14 such lines per warm dryrun, everything else loads, warm is
+        # still ~2x faster than cold). Graceful: a rejected entry is
+        # recompiled, never executed. Distinguish this benign residue
+        # from the r3 cross-machine/cross-backend hazards, which the
+        # fingerprint + backend-split DO eliminate.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
     except Exception:
         pass  # older jax or read-only fs: compile as usual
