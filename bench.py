@@ -178,6 +178,7 @@ def main():
     # measured with the same scanned methodology, calibrated on the bench
     # image. Recorded as extra fields — "value" stays the exact bf16 path.
     int8_rate, int8_error = None, None
+    int8_quant = None  # (spec, qtree, scan_q) kept for the eval-shape rerun
     if os.environ.get("MHENT_BENCH_INT8", "1") != "1":
         pass
     elif afford("int8"):
@@ -214,6 +215,7 @@ def main():
                 jax.block_until_ready(acc)
                 best.append(n_hypo * batch * steps / (time.perf_counter() - t0))
             int8_rate = max(best)
+            int8_quant = (spec, qtree, scan_q)
         except Exception as e:  # record, never mask as an opt-out
             int8_error = repr(e)[:200]
             print(f"int8 bench failed: {int8_error}", file=sys.stderr)
@@ -245,6 +247,44 @@ def main():
             eval_rate = max(best)
         except Exception as e:
             print(f"eval_shape bench failed: {e!r:.200}", file=sys.stderr)
+
+    # int8 eval-table shape (the 1.93M claim lived only in builder notes
+    # until r5): the quantized scan retraced at (N=200, B=64), reusing the
+    # calibration from the int8 section above (activation scales are
+    # shape-independent; engine/serve reuse calibrations the same way).
+    int8_eval_rate = None
+    if int8_quant is None:
+        skipped.append("int8_eval_shape")
+    elif (n_hypo, batch) != (200, 64) and afford("int8_eval_shape"):
+        try:
+            spec, qtree, scan_q = int8_quant
+            qev_img = jax.random.uniform(
+                jax.random.key(4), (64, img, img, 3)) * 2 - 1
+
+            @jax.jit
+            def scan_q_ev(params, batch_stats, qtree, image, key):
+                def body(carry, k):
+                    img_k = image + jax.random.uniform(k, (1,)) * 1e-6
+                    out = mhent.sample_hypotheses(
+                        model, params, batch_stats, cfg, img_k, k, n=200,
+                        temp=0.8, mods=("xyz", "uv"), quant=(spec, qtree))
+                    return carry + (out["xyz"].sum() + out["uv"].sum()) * 1e-20, None
+
+                acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, steps))
+                return acc
+
+            jax.block_until_ready(
+                scan_q_ev(params, batch_stats, qtree, qev_img, key))
+            best = []
+            for r in range(3):
+                t0 = time.perf_counter()
+                acc = scan_q_ev(params, batch_stats, qtree, qev_img,
+                                jax.random.fold_in(key, 90 + r))
+                jax.block_until_ready(acc)
+                best.append(200 * 64 * steps / (time.perf_counter() - t0))
+            int8_eval_rate = max(best)
+        except Exception as e:
+            print(f"int8_eval_shape bench failed: {e!r:.200}", file=sys.stderr)
 
     # Train step (tools/bench_train.py methodology: state threaded through
     # the scan carry, per-step perturbed images). Roughly a double-size
@@ -310,10 +350,18 @@ def main():
     # step(...) dispatch would compile the identical program a second time;
     # AOT executables don't populate the jit dispatch cache).
     per_call = None
+    single_step_flops = None
     if afford("per_call"):
         try:
             step_c = jax.jit(one_step).lower(
                 params, batch_stats, image, key).compile()
+            try:
+                sca = step_c.cost_analysis()
+                if isinstance(sca, (list, tuple)):
+                    sca = sca[0]
+                single_step_flops = float(sca.get("flops", 0.0)) or None
+            except Exception:
+                pass
             xyz, uv = step_c(params, batch_stats, image, key)
             jax.block_until_ready(xyz)
             best = []
@@ -330,17 +378,58 @@ def main():
         except Exception as e:
             print(f"per_call bench failed: {e!r:.200}", file=sys.stderr)
 
+    # B=1 serving latency (bf16 — serve.py's quantize_min_batch=8 default
+    # keeps B=1 unquantized), N=200: device ms/frame via the scanned
+    # methodology (per-step varied input, full-output carry). This is the
+    # device-side cost serve.py pays per frame; wall latency through the
+    # relay adds transport (~64 ms measured, docs/PERF.md).
+    serve_b1_ms = None
+    if afford("serve_b1"):
+        try:
+            b1_img = jax.random.uniform(
+                jax.random.key(5), (1, img, img, 3)) * 2 - 1
+
+            def b1_step(params, batch_stats, image, key):
+                out = mhent.sample_hypotheses(
+                    model, params, batch_stats, cfg, image, key, n=200,
+                    temp=0.8, mods=("xyz", "uv"))
+                return out["xyz"], out["uv"]
+
+            b1_scan = make_scan(steps, b1_step)
+            jax.block_until_ready(b1_scan(params, batch_stats, b1_img, key))
+            best = 1e9
+            for r in range(2):
+                t0 = time.perf_counter()
+                acc = b1_scan(params, batch_stats, b1_img,
+                              jax.random.fold_in(key, 120 + r))
+                jax.block_until_ready(acc)
+                best = min(best, (time.perf_counter() - t0) / steps)
+            serve_b1_ms = best * 1e3
+        except Exception as e:
+            print(f"serve_b1 bench failed: {e!r:.200}", file=sys.stderr)
+
     # MFU vs the chip's bf16 matmul peak (v5e: 197 TFLOP/s; other chips
     # would need their own entry — the device kind is recorded alongside).
     peak_flops = 197e12
     mfu, step_flops = None, None
+    flops_rescaled = False
     if xla_step_flops:
         # Guard against an XLA version that starts multiplying the scan
-        # body by trip_count: an MFU > 1 is impossible, so fall back to
-        # the per-step interpretation (XLA's count only — the kernel
-        # FLOPs are per-step by construction).
-        if xla_step_flops * rate / (n_hypo * batch) > peak_flops:
+        # body by trip_count. Primary check: the single-step program's own
+        # count (already compiled for per_call) — if the scan count is
+        # ~trip_count times it, the semantics changed, regardless of how
+        # slow the chip happens to be today (an MFU<=1 inflated count
+        # would otherwise slip the impossibility check below).
+        if (single_step_flops
+                and xla_step_flops > 2.0 * single_step_flops):
+            xla_step_flops = single_step_flops
+            flops_rescaled = True
+        # Backstop when per_call was skipped: an MFU > 1 is impossible,
+        # so fall back to the per-step interpretation (XLA's count only —
+        # the kernel FLOPs are per-step by construction).
+        elif xla_step_flops * rate / (n_hypo * batch) > peak_flops:
             xla_step_flops /= steps
+            flops_rescaled = True
         step_flops = xla_step_flops + kernel_flops
         achieved = step_flops * rate / (n_hypo * batch)
         mfu = round(achieved / peak_flops, 4)
@@ -364,8 +453,13 @@ def main():
                 "int8_speedup": round(int8_rate / rate, 4) if int8_rate else None,
                 **({"int8_error": int8_error} if int8_error else {}),
                 "eval_shape_n200_b64": round(eval_rate, 1) if eval_rate else None,
+                "int8_eval_shape_n200_b64": (
+                    round(int8_eval_rate, 1) if int8_eval_rate else None),
                 "train_ms_per_step": round(train_ms, 3) if train_ms else None,
                 "per_call": round(per_call, 1) if per_call else None,
+                "serve_b1_ms": (
+                    round(serve_b1_ms, 3) if serve_b1_ms else None),
+                **({"flops_rescaled": True} if flops_rescaled else {}),
                 "skipped": skipped,
                 "compile_s": round(compile_s, 1),
                 "budget_s": budget_s,

@@ -210,6 +210,14 @@ def sample_q_z(
         )
     z_flow, log_q = None, jnp.zeros(n * b)
     if cfg.regressor == "realnvp" and flow_q is not None and not differentiable:
+        if pipeline is not None:
+            # Same silent-no-op class as the non-realnvp guard above: the
+            # int8 fused eval branch would win here and the caller would
+            # attribute fused-sampler numbers to GPipe.
+            raise NotImplementedError(
+                "pipeline= and flow_q= are mutually exclusive: the int8 "
+                "fused eval draw is not pipelined"
+            )
         from mhentropy_tpu.flows import pallas_sampler_int8
 
         z_flow, log_q = pallas_sampler_int8.sample_fused_q(

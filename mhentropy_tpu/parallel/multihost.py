@@ -145,10 +145,14 @@ def multihost_batches(
             local_valid[np.minimum(rows, len(local_valid) - 1)],
             False,
         ).astype(np.float32)
-        # Key-presence is decided ONCE per stream (any wrap duplicate
-        # anywhere -> every batch carries 'valid'): a mid-epoch pytree
-        # structure change would retrace the jitted eval step — minutes
-        # through the remote-compile relay on a real pod.
+        # Key-presence is decided up front for the wrap-duplicate case
+        # (any wrap duplicate anywhere -> every batch carries 'valid'),
+        # because a mid-epoch pytree structure change would retrace the
+        # jitted eval step — minutes through the remote-compile relay on
+        # a real pod. Caveat: when local_valid.all() is True and the
+        # underlying loader's pad_remainder path adds 'valid' only to its
+        # own final padded batch, that tail batch still introduces the
+        # key once (one retrace, at most once per stream).
         if "valid" in target or not local_valid.all():
             target = dict(target)
             target["valid"] = (

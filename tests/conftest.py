@@ -42,8 +42,14 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
-except Exception:
-    pass  # older jax: compile as usual
+except Exception as e:
+    # Loud, not silent: without the persistent cache every run is a cold
+    # run (~43 min vs ~17 on this box). Keep running, but say why.
+    import sys as _sys
+
+    print(f"\n[conftest] WARNING: persistent compile cache NOT configured "
+          f"({e!r}) — this jax dropped a config knob; expect cold-run "
+          f"wall times", file=_sys.stderr)
 
 # Bound how many executables ONE process serialises into the cache. The r3
 # full suite segfaulted inside XLA's `executable.serialize()` (3/3 runs on
@@ -52,26 +58,39 @@ except Exception:
 # under that: a cold run caches the first CAP programs and merely skips
 # caching the rest, so the next run warms further — self-healing across
 # runs, zero cost once warm.
+# Observable patch state, pinned by tests/test_conftest_guards.py so a jax
+# upgrade that drops the private hook fails VISIBLY instead of silently
+# walking the suite back toward the mmap cliff.
+CACHE_WRITE_GUARD = {
+    "patched": False,
+    "writes": 0,
+    "cap": int(os.environ.get("MHENT_CACHE_WRITE_CAP", "2500")),
+}
 try:
     import jax._src.compilation_cache as _cc
 
-    _CACHE_WRITE_CAP = int(os.environ.get("MHENT_CACHE_WRITE_CAP", "2500"))
     _orig_put = _cc.put_executable_and_time
-    _n_writes = [0]
 
     def _bounded_put(*args, **kwargs):
-        _n_writes[0] += 1
-        if _n_writes[0] > _CACHE_WRITE_CAP:
-            if _n_writes[0] == _CACHE_WRITE_CAP + 1:
+        CACHE_WRITE_GUARD["writes"] += 1
+        if CACHE_WRITE_GUARD["writes"] > CACHE_WRITE_GUARD["cap"]:
+            if CACHE_WRITE_GUARD["writes"] == CACHE_WRITE_GUARD["cap"] + 1:
                 print(f"\n[conftest] persistent-cache write cap "
-                      f"({_CACHE_WRITE_CAP}) reached; later compiles run "
-                      f"uncached this process (next run warms them)")
+                      f"({CACHE_WRITE_GUARD['cap']}) reached; later compiles "
+                      f"run uncached this process (next run warms them)")
             return None
         return _orig_put(*args, **kwargs)
 
     _cc.put_executable_and_time = _bounded_put
-except Exception:
-    pass
+    CACHE_WRITE_GUARD["patched"] = True
+except Exception as e:
+    import sys as _sys
+
+    print(f"\n[conftest] WARNING: cache write cap NOT installed ({e!r}) — "
+          f"jax moved jax._src.compilation_cache.put_executable_and_time; "
+          f"an unbounded cold run previously segfaulted in native "
+          f"serialize at ~6,000 writes (see CLAUDE.md r3/r4 notes)",
+          file=_sys.stderr)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.devices()
