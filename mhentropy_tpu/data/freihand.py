@@ -42,8 +42,15 @@ class FreiHANDDataset:
         device_st: bool = False,
         prefix_cache: str | None = None,
     ):
-        del prefix_cache  # interface uniformity; no prefix cache here yet
-        del heavy_fields  # accepted for uniformity; nothing to gate
+        # FreiHAND has no per-pixel extras (HEAVY_FIELDS is empty), so the
+        # request only lands in the cache fingerprint. Foreign keys (e.g.
+        # "hand_mask" for HO3D) are tolerated by the engine contract —
+        # each loader gates on its own field names.
+        self.heavy = None if heavy_fields is None else frozenset(heavy_fields)
+        # Deterministic-prefix cache, same contract as RHD/HO3D: the jpg
+        # decode + projection + crop (everything before the aug RNG) is a
+        # pure function of idx, so items are bit-identical cached or not.
+        self.prefix_cache = prefix_cache
         # uint8 image transport, both modes (train-mode pixel noise ships
         # as a `_pixel_noise` target factor applied on device); the device
         # applies x/255 via _img_scale/_img_bias (engine._prep_image).
@@ -56,15 +63,24 @@ class FreiHANDDataset:
         self.aug = mode == "training"
         self.seed = seed
         self.epoch = 0  # advanced by set_epoch (engine.train_epoch)
-        with open(os.path.join(data_root, "training_K.json")) as f:
+        k_path = os.path.join(data_root, "training_K.json")
+        xyz_path = os.path.join(data_root, "training_xyz.json")
+        with open(k_path) as f:
             self.k_mats = np.asarray(json.load(f), np.float32)
-        with open(os.path.join(data_root, "training_xyz.json")) as f:
+        with open(xyz_path) as f:
             self.xyz = np.asarray(json.load(f), np.float32)
         verts_path = os.path.join(data_root, "training_verts.json")
         self.verts = None
         if os.path.exists(verts_path):
             with open(verts_path) as f:
                 self.verts = np.asarray(json.load(f), np.float32)
+        # In-place annotation swaps (same root/count) must miss both the
+        # prefix cache and SampleCache (cached.fingerprint reads this).
+        self._anno_stat = tuple(
+            (os.path.getmtime(p), os.path.getsize(p))
+            for p in (k_path, xyz_path)
+            if os.path.exists(p)
+        )
         n = len(self.xyz)
         split = int(n * (1.0 - eval_fraction))
         self.indices = (
@@ -78,8 +94,47 @@ class FreiHANDDataset:
         """Advance the augmentation RNG stream (common.item_rng)."""
         self.epoch = int(epoch)
 
-    def __getitem__(self, i: int):
-        idx = int(self.indices[i])
+    @property
+    def _prefix_cacheable(self) -> bool:
+        # The whole prefix is RNG-free for FreiHAND (no cloud resample),
+        # so a configured cache dir is the only condition.
+        return self.prefix_cache is not None
+
+    def _prefix_dir(self):
+        d = getattr(self, "_prefix_dir_memo", None)
+        if d is not None:
+            return d
+        from mhentropy_tpu.data import cached
+
+        # mode deliberately absent: the prefix (decode -> crop) is
+        # mode-independent, so train and eval share one cache.
+        fp = cached.config_fingerprint({
+            "cls": "FreiHANDDataset.prefix",
+            "root": os.path.abspath(self.root),
+            "size": self.size,
+            "anno": self._anno_stat,
+            "v": 1,
+        })
+        d = os.path.join(self.prefix_cache, fp)
+        os.makedirs(d, exist_ok=True)
+        self._prefix_dir_memo = d
+        return d
+
+    def _prefix(self, idx: int) -> dict:
+        if self._prefix_cacheable:
+            from mhentropy_tpu.data import cached
+
+            return cached.read_or_compute_pickle(
+                os.path.join(self._prefix_dir(), f"{idx}.pkl"),
+                lambda: self._compute_prefix(idx),
+            )
+        return self._compute_prefix(idx)
+
+    def _compute_prefix(self, idx: int) -> dict:
+        """Deterministic item prefix keyed on the RAW dataset index: jpg
+        decode (the dominant host cost), projection, pose normalisation,
+        crop/resize. The image ships as the decoded u8 crop — exact for
+        both transports (the f32 path normalises after the aug suffix)."""
         image = common.imread(
             os.path.join(self.root, "training", "rgb", f"{idx:08d}.jpg")
         )
@@ -87,13 +142,36 @@ class FreiHANDDataset:
         xyz = self.xyz[idx]  # metres, camera coords
         uv = T.xyz2uvd_cv(xyz, cam)[:, :2]
 
-        pose3d_normed, root, bone = T.normalize_pose3d_np(xyz, ROOT_IDX_FH, NORM_IDX_FH)
+        pose3d_normed, root, bone = T.normalize_pose3d_np(
+            xyz, ROOT_IDX_FH, NORM_IDX_FH)
 
         centre = uv[ROOT_IDX_FH].astype(np.float64)
         half = float(np.max(np.abs(uv - centre))) * 1.3
         s = self.size
-        image_crop = T.resize_nearest(T.crop_with_padding(image, centre, half), s)
+        image_crop = T.resize_nearest(
+            T.crop_with_padding(image, centre, half), s)
         crop_uv = (uv - centre) * (s / (2 * half)) + s // 2
+        return {
+            "image_crop": image_crop.astype(np.uint8),
+            "crop_uv": crop_uv,
+            "pose3d_normed": pose3d_normed,
+            "root": root,
+            "bone": bone,
+            "cam": cam,
+            "centre": centre,
+            "half": half,
+            "xyz": xyz,
+        }
+
+    def __getitem__(self, i: int):
+        idx = int(self.indices[i])
+        pre = self._prefix(idx)
+        cam, xyz = pre["cam"], pre["xyz"]
+        pose3d_normed, root, bone = (
+            pre["pose3d_normed"], pre["root"], pre["bone"])
+        centre, half = pre["centre"], pre["half"]
+        image_crop, crop_uv = pre["image_crop"], pre["crop_uv"]
+        s = self.size
 
         rot_mat = np.eye(2, 3, dtype=np.float32)
         pixel_noise = None

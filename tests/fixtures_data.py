@@ -132,3 +132,26 @@ def build_rhd(root, n=3, seed=0):
     with open(os.path.join(root, "evaluation", "anno_evaluation.pickle"), "wb") as f:
         pickle.dump(annos, f)
     return root
+
+
+def build_freihand(root, n=4, seed=1, image_size=224):
+    """Miniature FreiHAND-format dataset (training_K/xyz.json + rgb jpgs)."""
+    import json
+
+    rng = np.random.RandomState(seed)
+    ks, xyzs = [], []
+    for idx in range(n):
+        xyz = np.stack(
+            [rng.uniform(-0.05, 0.05, 21), rng.uniform(-0.05, 0.05, 21),
+             rng.uniform(0.4, 0.5, 21)], 1
+        )
+        ks.append(CAM.tolist())
+        xyzs.append(xyz.tolist())
+        img = rng.randint(0, 255, (image_size, image_size, 3), np.uint8)
+        write_png(
+            os.path.join(root, "training", "rgb", f"{idx:08d}.jpg"), img)
+    with open(os.path.join(root, "training_K.json"), "w") as f:
+        json.dump(ks, f)
+    with open(os.path.join(root, "training_xyz.json"), "w") as f:
+        json.dump(xyzs, f)
+    return root

@@ -2,7 +2,6 @@
 fabricated on-disk datasets (same file formats), so the IO + preprocessing
 paths are exercised without the 100+GB downloads."""
 
-import json
 import os
 import pickle
 
@@ -12,7 +11,6 @@ import pytest
 imageio = pytest.importorskip("imageio")
 
 from tests import fixtures_data  # noqa: E402
-from tests.fixtures_data import CAM, write_png as _write_png  # noqa: E402
 
 
 # ------------------------------------------------------------------- RHD
@@ -68,24 +66,8 @@ def test_rhd_collation(rhd_root):
 
 @pytest.fixture(scope="module")
 def freihand_root(tmp_path_factory):
-    root = tmp_path_factory.mktemp("freihand")
-    rng = np.random.RandomState(1)
-    n = 4
-    ks, xyzs = [], []
-    for idx in range(n):
-        xyz = np.stack(
-            [rng.uniform(-0.05, 0.05, 21), rng.uniform(-0.05, 0.05, 21),
-             rng.uniform(0.4, 0.5, 21)], 1
-        )
-        ks.append(CAM.tolist())
-        xyzs.append(xyz.tolist())
-        img = rng.randint(0, 255, (224, 224, 3), np.uint8)
-        _write_png(str(root / "training" / "rgb" / f"{idx:08d}.jpg"), img)
-    with open(root / "training_K.json", "w") as f:
-        json.dump(ks, f)
-    with open(root / "training_xyz.json", "w") as f:
-        json.dump(xyzs, f)
-    return str(root)
+    return str(fixtures_data.build_freihand(
+        str(tmp_path_factory.mktemp("freihand")), n=4, seed=1))
 
 
 def test_freihand_loader_end_to_end(freihand_root):
@@ -121,6 +103,37 @@ def test_freihand_u8_train_transport(freihand_root):
     np.testing.assert_allclose(emulated, img_f, atol=1e-5)
     np.testing.assert_array_equal(t_u["crop_uv"], t_f["crop_uv"])
     np.testing.assert_array_equal(t_u["pose3d"], t_f["pose3d"])
+
+
+def test_freihand_prefix_cache_bit_identical(freihand_root, tmp_path):
+    """FreiHAND's whole deterministic prefix (jpg decode -> crop) is
+    RNG-free, so prefix-cached items must be bit-identical to uncached
+    ones in BOTH modes, and the cache dir must be shared between them
+    (the prefix is mode-independent)."""
+    from mhentropy_tpu.data import freihand
+
+    pc = str(tmp_path / "pc")
+    for mode in ("training", "evaluation"):
+        kw = dict(mode=mode, seed=5, image_u8=True, device_st=True,
+                  eval_fraction=0.25)
+        a = freihand.load(freihand_root, **kw)
+        b = freihand.load(freihand_root, prefix_cache=pc, **kw)
+        assert b._prefix_cacheable
+        for epoch in range(2):  # epoch 0 populates, epoch 1 reads
+            for i in range(len(a)):
+                ia, ta = a[i]
+                ib, tb = b[i]
+                np.testing.assert_array_equal(ia, ib)
+                assert set(ta) == set(tb)
+                for k in ta:
+                    if k == "dataset":
+                        continue
+                    np.testing.assert_array_equal(
+                        np.asarray(ta[k]), np.asarray(tb[k]), err_msg=k)
+    # One shared fingerprint dir across modes: 4 unique raw indices total.
+    subdirs = list((tmp_path / "pc").iterdir())
+    assert len(subdirs) == 1
+    assert len(list(subdirs[0].iterdir())) == 4
 
 
 # ------------------------------------------------------------------- HO3D

@@ -20,11 +20,13 @@ step / ~4 ms eval step — the old transport makes real epochs
 transfer-bound.
 
 Usage: python -m tools.bench_epoch_io [n_samples] [mode] [dataset]
-(mode = eval | train | both; dataset = rhd | ho3d. Runs each epoch twice
-and reports the second, warm-jit, wall time. TPU via ambient env; ~2
-compiles per transport variant on first run. The ho3d dataset exercises
-the train-mode uint8 transport with the device-side `_pixel_noise`
-factors — the f32 train path was HO3D's last 4x-H2D batch.)
+(mode = eval | train | both; dataset = rhd | ho3d | freihand. Runs each
+epoch twice and reports the second, warm-jit, wall time. TPU via ambient
+env; ~2 compiles per transport variant on first run. The ho3d dataset
+exercises the train-mode uint8 transport with the device-side
+`_pixel_noise` factors — the f32 train path was HO3D's last 4x-H2D
+batch. freihand exercises the r5 prefix cache; its eval split is
+eval_fraction=0.1 of n, so rates are reported per actual split length.)
 """
 
 import json
@@ -39,10 +41,11 @@ def _make_cfg(data_dir, model_dir, u8: bool, fields: str, bs: int,
     from mhentropy_tpu.utils.config import get_cfg_defaults
 
     cfg = get_cfg_defaults()
+    img = 224 if dataset == "freihand" else 256  # loaders' native sizes
     cfg.merge_from_other_cfg({
         "model_dir": model_dir + "/",
         "info_interval": 10_000,  # per-log D2H fetches would skew the wall
-        "dataset": {"dataset_name": dataset, "image_size": [256, 256]},
+        "dataset": {"dataset_name": dataset, "image_size": [img, img]},
         "network": {
             "enc_type": "MHEnt", "input": "image", "num_latent": 64,
             "backbone": "resnet50", "decoder_type": "mano",
@@ -83,6 +86,8 @@ def main():
             # n train frames AND n eval frames (the splits are disjoint
             # sequences), so both loops see n items either way.
             fixtures_data.build_ho3d(root, n_train=n, n_eval=n, seed=0)
+        elif dataset == "freihand":
+            fixtures_data.build_freihand(root, n=n, seed=0)
         else:
             fixtures_data.build_rhd(root, n=n, seed=0)
         results = {}
@@ -97,20 +102,22 @@ def main():
             exp = Experiment(cfg)
             train_data, eval_data = exp.make_datasets()
             if mode in ("eval", "both"):
+                n_ev = len(eval_data)  # freihand: eval_fraction of n
                 exp.eval_loop(eval_data)  # compile + cache warm
                 t0 = time.perf_counter()
                 exp.eval_loop(eval_data)
                 wall = time.perf_counter() - t0
                 results[f"eval_wall_s_{label}"] = round(wall, 2)
-                results[f"eval_imgs_per_s_{label}"] = round(n / wall, 1)
+                results[f"eval_imgs_per_s_{label}"] = round(n_ev / wall, 1)
             if mode in ("train", "both"):
-                exp._ensure_state(max(1, n // 32))
+                n_tr = len(train_data)
+                exp._ensure_state(max(1, n_tr // 32))
                 exp.train_epoch(train_data, 0)  # compile + cache warm
                 t0 = time.perf_counter()
                 exp.train_epoch(train_data, 1)
                 wall = time.perf_counter() - t0
                 results[f"train_wall_s_{label}"] = round(wall, 2)
-                results[f"train_imgs_per_s_{label}"] = round(n / wall, 1)
+                results[f"train_imgs_per_s_{label}"] = round(n_tr / wall, 1)
         out = {"metric":
                f"real-data {dataset.upper()} epoch wall (n={n}, B=32, TPU)"}
         out.update(results)
