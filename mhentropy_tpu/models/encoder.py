@@ -34,6 +34,10 @@ class EncoderConfig(NamedTuple):
     # eval path — see models/stage1_pallas.py. Full-pipeline A/B r3:
     # +6.3% headline (B=32), +14.5% eval shape (B=64); default ON.
     pallas_stage1: bool = True
+    # Train-mode BN stats/grad reductions as Pallas kernels
+    # (models/bn_pallas.py; r5 on-chip A/B in docs/PERF.md). Eval paths
+    # are unaffected (eval BN math is unchanged either way).
+    fused_train_bn: bool = False
 
     def resolved_feat_dim(self) -> int:
         return self.feat_dim or resnet.FEAT_DIMS[self.backbone]
@@ -45,7 +49,9 @@ def init(key: jax.Array, cfg: EncoderConfig, image_size: int = 256):
     bb = resnet.make_backbone(cfg.backbone, dtype=jnp.dtype(cfg.dtype),
                               pallas_stem=getattr(cfg, 'pallas_stem', True),
                               pallas_stage1=getattr(cfg, 'pallas_stage1',
-                                                    True))
+                                                    True),
+                              fused_train_bn=getattr(cfg, 'fused_train_bn',
+                                                     False))
     dummy = jnp.zeros((1, image_size, image_size, 3))
     variables = bb.init(k_bb, dummy, train=False)
     f = cfg.resolved_feat_dim()
@@ -81,7 +87,9 @@ def backbone_features(
     bb = resnet.make_backbone(cfg.backbone, dtype=jnp.dtype(cfg.dtype),
                               pallas_stem=getattr(cfg, 'pallas_stem', True),
                               pallas_stage1=getattr(cfg, 'pallas_stage1',
-                                                    True))
+                                                    True),
+                              fused_train_bn=getattr(cfg, 'fused_train_bn',
+                                                     False))
     variables = {"params": params["backbone"], "batch_stats": batch_stats}
     if train:
         feats, mutated = bb.apply(variables, image, train=True, mutable=["batch_stats"])

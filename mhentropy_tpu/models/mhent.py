@@ -65,6 +65,14 @@ class MHEntConfig(NamedTuple):
     n_train_hypotheses: int = 10  # N (network.py:780)
     use_pallas_sampler: bool | None = None  # None -> auto (TPU backend only)
     glow_dropout: float = 0.2  # ConditionalGlow coupling-net dropout
+    # ConditionalGlow(45, 512, 4, 2, ...) is the reference's hardcoded
+    # posterior shape (network.py:343-344) — these defaults ARE parity.
+    # Overridable so smoke/CI runs can trace a smaller glow (the sampling
+    # path reads the size back from the params via glow.infer_config, so
+    # everything downstream adapts).
+    glow_hidden: int = 512
+    glow_layers: int = 4
+    glow_blocks: int = 2
     use_chamfer_loss: bool = False  # hand-object chamfer term (network.py:821-826)
     w_chamfer: float = 10.0
     # Mask-reconstruction likelihood p(m | z) — the reference sketched this
@@ -118,9 +126,11 @@ def init(key: jax.Array, cfg: MHEntConfig):
         from mhentropy_tpu.flows import glow as glow_lib
 
         # ConditionalGlow(45, 512, 4, 2, context=512, dropout=0.2)
-        # (network.py:343-344).
+        # (network.py:343-344); size fields default to exactly that.
         params["flow"] = glow_lib.init_params(k_flow, glow_lib.GlowConfig(
-            features=45, hidden=512, context_features=cfg.feat_dim,
+            features=45, hidden=cfg.glow_hidden,
+            num_layers=cfg.glow_layers, num_blocks=cfg.glow_blocks,
+            context_features=cfg.feat_dim,
             dropout=cfg.glow_dropout))
     f, h, o = cfg.feat_dim, cfg.feat_dim, cfg.det_dims()
 

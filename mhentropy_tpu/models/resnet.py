@@ -231,12 +231,24 @@ class ResNet(nn.Module):
     # Fused Pallas stage-1 (all three bottleneck blocks VMEM-resident) on
     # the TPU inference path — see models/stage1_pallas.py and docs/PERF.md.
     pallas_stage1: bool = False
+    # Train-mode BN stats/grad reductions as Pallas kernels (one DMA-rate
+    # pass instead of XLA's VPU-shuffle-bound convert_reduce fusions) —
+    # see models/bn_pallas.py and the docs/PERF.md train-step roofline.
+    # Param/stat paths are identical to nn.BatchNorm, so checkpoints and
+    # init streams are oblivious to the flag.
+    fused_train_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        if self.fused_train_bn:
+            from mhentropy_tpu.models import bn_pallas
+
+            norm_cls = bn_pallas.FusedTrainBN
+        else:
+            norm_cls = nn.BatchNorm
         norm = partial(
-            nn.BatchNorm,
+            norm_cls,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -310,16 +322,19 @@ class ResNet(nn.Module):
 
 
 def resnet18(dtype=jnp.bfloat16, pallas_stem: bool = False,
-             pallas_stage1: bool = False) -> ResNet:
+             pallas_stage1: bool = False,
+             fused_train_bn: bool = False) -> ResNet:
     # pallas_stage1 is Bottleneck-only; accepted and ignored for symmetry.
     return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, dtype=dtype,
-                  pallas_stem=pallas_stem)
+                  pallas_stem=pallas_stem, fused_train_bn=fused_train_bn)
 
 
 def resnet50(dtype=jnp.bfloat16, pallas_stem: bool = False,
-             pallas_stage1: bool = False) -> ResNet:
+             pallas_stage1: bool = False,
+             fused_train_bn: bool = False) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, dtype=dtype,
-                  pallas_stem=pallas_stem, pallas_stage1=pallas_stage1)
+                  pallas_stem=pallas_stem, pallas_stage1=pallas_stage1,
+                  fused_train_bn=fused_train_bn)
 
 
 FEAT_DIMS = {"resnet18": 512, "resnet50": 2048}
@@ -327,9 +342,10 @@ FEAT_DIMS = {"resnet18": 512, "resnet50": 2048}
 
 def make_backbone(name: str, dtype=jnp.bfloat16,
                   pallas_stem: bool = False,
-                  pallas_stage1: bool = False) -> ResNet:
+                  pallas_stage1: bool = False,
+                  fused_train_bn: bool = False) -> ResNet:
     if name == "resnet18":
-        return resnet18(dtype, pallas_stem, pallas_stage1)
+        return resnet18(dtype, pallas_stem, pallas_stage1, fused_train_bn)
     if name == "resnet50":
-        return resnet50(dtype, pallas_stem, pallas_stage1)
+        return resnet50(dtype, pallas_stem, pallas_stage1, fused_train_bn)
     raise NotImplementedError(name)

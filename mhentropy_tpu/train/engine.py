@@ -63,6 +63,8 @@ def build_model_config(cfg) -> MHEntConfig:
         sigma_act=net.acts,
         deterministic=net.deterministic,
         dtype=cfg.tpu.compute_dtype if "tpu" in cfg else "bfloat16",
+        fused_train_bn=bool(cfg.tpu.get("fused_train_bn", False))
+        if "tpu" in cfg else False,
     )
     flow = RealNVPConfig(
         dim=45,
@@ -94,6 +96,11 @@ def build_model_config(cfg) -> MHEntConfig:
         w_chamfer=float(net.get("w_chamfer", 10.0)),
         use_mask_loss=bool(net.get("use_mask_loss", False)),
         b_mask=float(net.get("b_mask", 0.02)),
+        # Reference-hardcoded glow shape (network.py:343-344) unless the
+        # config overrides it (smoke/CI runs trace a smaller posterior).
+        glow_hidden=int(net.get("glow_hidden", 512)),
+        glow_layers=int(net.get("glow_layers", 4)),
+        glow_blocks=int(net.get("glow_blocks", 2)),
     )
 
 
@@ -123,6 +130,8 @@ def build_rle_config(cfg) -> RLEConfig:
         sigma_act=net.acts,
         deterministic=net.deterministic,
         dtype=cfg.tpu.compute_dtype if "tpu" in cfg else "bfloat16",
+        fused_train_bn=bool(cfg.tpu.get("fused_train_bn", False))
+        if "tpu" in cfg else False,
     )
     return RLEConfig(
         encoder=enc,

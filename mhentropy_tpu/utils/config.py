@@ -183,6 +183,12 @@ def get_cfg_defaults() -> CfgNode:
     # (CrossModalHand.py:85, network.py:392,429-435,441-442), surfaced with
     # the reference's values as defaults:
     cfg.network.b_3d = 0.03  # _Laplace b for p(xyz|z) (network.py:392)
+    # ConditionalGlow posterior shape; defaults = the reference's hardcoded
+    # ConditionalGlow(45, 512, 4, 2, ...) (network.py:343-344). Smoke/CI
+    # configs shrink these to keep 1-core trace walls down.
+    cfg.network.glow_hidden = 512
+    cfg.network.glow_layers = 4
+    cfg.network.glow_blocks = 2
     cfg.network.T = 1.0  # log_p temperature divisor (special_cfg T)
     cfg.network.kld_w = 1.0
     cfg.network.kld_w_annealing = [1.0, 24000]  # [1, 20*1200]
@@ -221,6 +227,12 @@ def get_cfg_defaults() -> CfgNode:
     # encoder). Only active when quantize_encoder is on and the flow
     # shape/kill-switch gates pass (models/quant.sampler_supported).
     cfg.tpu.quantize_sampler = True
+    # Train-mode BN stats/grad reductions as Pallas kernels
+    # (models/bn_pallas.py): one DMA-rate pass per reduction instead of
+    # XLA's VPU-shuffle-bound convert_reduce fusions. Train-only; eval BN
+    # math is identical either way. Default set by the r5 on-chip A/B
+    # (docs/PERF.md "train-mode BN kernels").
+    cfg.tpu.fused_train_bn = False
     # Decoded-image disk cache (data/common.set_decode_cache): the host
     # pipeline is PNG-decode-bound; caching turns ~3-4 ms decodes into
     # ~30 us mmap reads from the second epoch on. Set to a directory path.

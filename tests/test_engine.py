@@ -380,6 +380,7 @@ def test_graft_dryrun_multichip_under_ambient_axon_env():
     # test_composed_tp_pp_train_step_matches_single_device, and the
     # driver's real dryrun_multichip call runs it in full.
     env["MHENT_DRYRUN_FAST"] = "1"
+    env["MHENT_DRYRUN_SMOKE"] = "1"  # re-exec machinery + one sharded step
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],

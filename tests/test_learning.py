@@ -23,6 +23,9 @@ from mhentropy_tpu.models.mhent import MHEntConfig
 from mhentropy_tpu.parallel import mesh as mesh_lib
 from mhentropy_tpu.train import engine
 
+# 200 steps is LOAD-BEARING: an r5 trim to 160 dropped the unsupervised
+# BH-3D improvement to 3.1% (vs 10% at 200) under the 4% floor — the 3D
+# metric improves late. ~66 s on the 1-core box; documented straggler.
 IMG, BS, N_TRAIN, STEPS = 32, 8, 32, 200
 
 

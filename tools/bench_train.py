@@ -21,9 +21,15 @@ from mhentropy_tpu.models.mhent import MHEntConfig
 from mhentropy_tpu.train import engine
 import optax
 
+import os
+
 batch, img, STEPS = 32, 256, 50
+# A/B switch for the r5 fused train-mode BN kernels (models/bn_pallas.py):
+# MHENT_FUSED_BN=1 routes every BN stats/grad reduction through Pallas.
+FUSED_BN = os.environ.get("MHENT_FUSED_BN", "0") == "1"
 cfg = MHEntConfig(
-    encoder=EncoderConfig(backbone="resnet50", n_latent=(512, 512)),
+    encoder=EncoderConfig(backbone="resnet50", n_latent=(512, 512),
+                          fused_train_bn=FUSED_BN),
     flow=RealNVPConfig(dim=45, cond_dim=512, h_dim=512, num_steps=6),
     feat_dim=512, image_size=img, n_train_hypotheses=10,
 )
@@ -72,4 +78,6 @@ for r in range(3):
     jax.block_until_ready(losses)
     best = min(best, (time.perf_counter() - t0) / STEPS)
 print(json.dumps({"train_step_ms": round(best * 1e3, 3),
-                  "imgs_per_sec": round(batch / best, 1)}))
+                  "imgs_per_sec": round(batch / best, 1),
+                  "fused_bn": FUSED_BN,
+                  "loss_last": float(losses[-1])}))
