@@ -215,7 +215,7 @@ def main():
                 jax.block_until_ready(acc)
                 best.append(n_hypo * batch * steps / (time.perf_counter() - t0))
             int8_rate = max(best)
-            int8_quant = (spec, qtree, scan_q)
+            int8_quant = (spec, qtree)
         except Exception as e:  # record, never mask as an opt-out
             int8_error = repr(e)[:200]
             print(f"int8 bench failed: {int8_error}", file=sys.stderr)
@@ -223,19 +223,21 @@ def main():
     # Eval-table shape (N=200, B=64 — README/PERF numbers lived only in
     # builder notes until r4): same program at the bigger shape. Skip when
     # this IS the eval-shape invocation.
+    # One N=200 step function shared by the eval-shape (B=64) and B=1
+    # serving sections — batch comes from the argument shape.
+    def n200_step(params, batch_stats, image, key):
+        out = mhent.sample_hypotheses(
+            model, params, batch_stats, cfg, image, key, n=200,
+            temp=0.8, mods=("xyz", "uv"))
+        return out["xyz"], out["uv"]
+
     eval_rate = None
     if (n_hypo, batch) != (200, 64) and afford("eval_shape"):
         try:
             ev_img = jax.random.uniform(
                 jax.random.key(3), (64, img, img, 3)) * 2 - 1
 
-            def ev_step(params, batch_stats, image, key):
-                out = mhent.sample_hypotheses(
-                    model, params, batch_stats, cfg, image, key, n=200,
-                    temp=0.8, mods=("xyz", "uv"))
-                return out["xyz"], out["uv"]
-
-            ev_scan = make_scan(steps, ev_step)
+            ev_scan = make_scan(steps, n200_step)
             jax.block_until_ready(ev_scan(params, batch_stats, ev_img, key))
             best = []
             for r in range(3):
@@ -257,7 +259,7 @@ def main():
         skipped.append("int8_eval_shape")
     elif (n_hypo, batch) != (200, 64) and afford("int8_eval_shape"):
         try:
-            spec, qtree, scan_q = int8_quant
+            spec, qtree = int8_quant
             qev_img = jax.random.uniform(
                 jax.random.key(4), (64, img, img, 3)) * 2 - 1
 
@@ -359,7 +361,10 @@ def main():
                 sca = step_c.cost_analysis()
                 if isinstance(sca, (list, tuple)):
                     sca = sca[0]
-                single_step_flops = float(sca.get("flops", 0.0)) or None
+                sf = float(sca.get("flops", 0.0))
+                # Strictly positive only: a -1 "unknown" sentinel would
+                # pass truthiness and poison the MFU rescale cross-check.
+                single_step_flops = sf if sf > 0 else None
             except Exception:
                 pass
             xyz, uv = step_c(params, batch_stats, image, key)
@@ -389,13 +394,7 @@ def main():
             b1_img = jax.random.uniform(
                 jax.random.key(5), (1, img, img, 3)) * 2 - 1
 
-            def b1_step(params, batch_stats, image, key):
-                out = mhent.sample_hypotheses(
-                    model, params, batch_stats, cfg, image, key, n=200,
-                    temp=0.8, mods=("xyz", "uv"))
-                return out["xyz"], out["uv"]
-
-            b1_scan = make_scan(steps, b1_step)
+            b1_scan = make_scan(steps, n200_step)
             jax.block_until_ready(b1_scan(params, batch_stats, b1_img, key))
             best = 1e9
             for r in range(2):

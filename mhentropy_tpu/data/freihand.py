@@ -76,10 +76,12 @@ class FreiHANDDataset:
                 self.verts = np.asarray(json.load(f), np.float32)
         # In-place annotation swaps (same root/count) must miss both the
         # prefix cache and SampleCache (cached.fingerprint reads this).
+        # verts included: items carry them, and the file appearing or
+        # vanishing under a cached root changes the target schema.
         self._anno_stat = tuple(
             (os.path.getmtime(p), os.path.getsize(p))
-            for p in (k_path, xyz_path)
-            if os.path.exists(p)
+            if os.path.exists(p) else None
+            for p in (k_path, xyz_path, verts_path)
         )
         n = len(self.xyz)
         split = int(n * (1.0 - eval_fraction))

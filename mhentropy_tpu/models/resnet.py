@@ -244,7 +244,11 @@ class ResNet(nn.Module):
         if self.fused_train_bn:
             from mhentropy_tpu.models import bn_pallas
 
-            norm_cls = bn_pallas.FusedTrainBN
+            # True -> "stats" (the shipping mode); a string selects
+            # explicitly ("full" is the measured-loss A/B record).
+            mode = (self.fused_train_bn
+                    if isinstance(self.fused_train_bn, str) else "stats")
+            norm_cls = partial(bn_pallas.FusedTrainBN, mode=mode)
         else:
             norm_cls = nn.BatchNorm
         norm = partial(

@@ -28,25 +28,26 @@ def interpret_mode(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call", interp)
 
 
-def _pair(features, use_running_average=False, dtype=None):
+def _pair(features, use_running_average=False, dtype=None, mode="stats"):
     fused = bn_pallas.FusedTrainBN(
         use_running_average=use_running_average, momentum=0.9,
-        epsilon=1e-5, dtype=dtype)
+        epsilon=1e-5, dtype=dtype, mode=mode)
     ref = nn.BatchNorm(
         use_running_average=use_running_average, momentum=0.9,
         epsilon=1e-5, dtype=dtype)
     return fused, ref
 
 
+@pytest.mark.parametrize("mode", ["stats", "full"])
 @pytest.mark.parametrize("shape,dtype", [
     ((4, 8, 8, 128), jnp.float32),   # direct lanes
     ((4, 8, 8, 64), jnp.bfloat16),   # folded lanes (C=64 -> 128)
     ((2, 16, 16, 256), jnp.bfloat16),
 ])
-def test_train_forward_and_stats_match_flax(shape, dtype):
+def test_train_forward_and_stats_match_flax(shape, dtype, mode):
     x = (jax.random.normal(jax.random.key(0), shape) * 2 + 0.5).astype(dtype)
     assert bn_pallas.supported(x)
-    fused, ref = _pair(shape[-1], dtype=dtype)
+    fused, ref = _pair(shape[-1], dtype=dtype, mode=mode)
     vf = fused.init(jax.random.key(1), x)
     vr = ref.init(jax.random.key(1), x)
     # Same init tree (paths and values).
@@ -67,11 +68,12 @@ def test_train_forward_and_stats_match_flax(shape, dtype):
             np.asarray(mr["batch_stats"][k]), rtol=2e-5, atol=1e-6)
 
 
-def test_train_gradients_match_flax():
+@pytest.mark.parametrize("mode", ["stats", "full"])
+def test_train_gradients_match_flax(mode):
     shape = (4, 8, 8, 128)
     x = jax.random.normal(jax.random.key(2), shape)
     w = jax.random.normal(jax.random.key(3), shape)  # loss weights
-    fused, ref = _pair(shape[-1])
+    fused, ref = _pair(shape[-1], mode=mode)
     v = ref.init(jax.random.key(1), x)
 
     def loss(mod):
@@ -98,7 +100,7 @@ def test_grad_includes_mean_var_cotangents():
     dmean/dvar terms."""
     shape = (2, 4, 4, 128)
     x = jax.random.normal(jax.random.key(4), shape)
-    fused, ref = _pair(shape[-1])
+    fused, ref = _pair(shape[-1], mode="full")
     v = ref.init(jax.random.key(1), x)
 
     def stats_loss(mod):
@@ -143,6 +145,12 @@ def test_unsupported_shapes_fall_back():
         yr, mr = ref.apply(v, x, mutable=["batch_stats"])
         np.testing.assert_allclose(np.asarray(yf), np.asarray(yr),
                                    rtol=1e-5, atol=1e-6)
+        # The fallback's running-average update must match too (momentum
+        # direction bugs would otherwise slip through on y alone).
+        jax.tree.map(
+            lambda p, q: np.testing.assert_allclose(
+                np.asarray(p), np.asarray(q), rtol=1e-5, atol=1e-7),
+            mf, mr)
 
 
 def test_resnet_flag_is_checkpoint_oblivious():

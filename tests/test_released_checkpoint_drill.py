@@ -129,12 +129,21 @@ def test_eval_released_checkpoint_cli_end_to_end(
         "--n", "4",
     ])
     # The script repoints the process compile cache (its own
-    # enable_compilation_cache); restore the suite's dir afterwards.
-    prior_cache = jax.config.jax_compilation_cache_dir
+    # enable_compilation_cache, which also raises min_compile_time to 1 s);
+    # restore EVERY knob the conftest depends on afterwards — a leaked
+    # min_compile_time=1.0 would silently stop sub-second compiles from
+    # warming the suite cache for the rest of the run.
+    prior = {k: getattr(jax.config, k) for k in (
+        "jax_compilation_cache_dir",
+        "jax_persistent_cache_min_compile_time_secs",
+        "jax_persistent_cache_min_entry_size_bytes",
+        "jax_persistent_cache_enable_xla_caches",
+    )}
     try:
         eval_released_checkpoint.main()
     finally:
-        jax.config.update("jax_compilation_cache_dir", prior_cache)
+        for k, v in prior.items():
+            jax.config.update(k, v)
 
     out = capsys.readouterr().out
     assert "evaluation split: 2 samples" in out

@@ -25,8 +25,11 @@ import os
 
 batch, img, STEPS = 32, 256, 50
 # A/B switch for the r5 fused train-mode BN kernels (models/bn_pallas.py):
-# MHENT_FUSED_BN=1 routes every BN stats/grad reduction through Pallas.
-FUSED_BN = os.environ.get("MHENT_FUSED_BN", "0") == "1"
+# MHENT_FUSED_BN=1 -> "stats" mode (fwd stats reduction only);
+# MHENT_FUSED_BN=full -> the full custom_vjp (measured loss, kept for the
+# record); 0/unset -> flax BatchNorm.
+_v = os.environ.get("MHENT_FUSED_BN", "0")
+FUSED_BN = {"0": False, "1": True}.get(_v, _v)
 cfg = MHEntConfig(
     encoder=EncoderConfig(backbone="resnet50", n_latent=(512, 512),
                           fused_train_bn=FUSED_BN),

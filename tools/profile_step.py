@@ -118,9 +118,14 @@ def run_and_profile(mode: str, logdir: str):
     from mhentropy_tpu.models.encoder import EncoderConfig
     from mhentropy_tpu.models.mhent import MHEntConfig
 
+    import os as _os
+
     n_hypo, batch, img, steps = 100, 32, 256, 20
+    _v = _os.environ.get("MHENT_FUSED_BN", "0")  # r5 BN-kernel A/B knob
     cfg = MHEntConfig(
-        encoder=EncoderConfig(backbone="resnet50", n_latent=(512, 512)),
+        encoder=EncoderConfig(backbone="resnet50", n_latent=(512, 512),
+                              fused_train_bn={"0": False, "1": True}
+                              .get(_v, _v)),
         flow=RealNVPConfig(dim=45, cond_dim=512, h_dim=512, num_steps=6),
         feat_dim=512,
         image_size=img,
