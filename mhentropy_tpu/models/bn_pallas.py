@@ -1,11 +1,24 @@
 """Fused train-mode BatchNorm stats/grad reductions as Pallas kernels.
 
-Why: the r4 train-step xplane attribution (docs/PERF.md "Train step: the
-bwd long tail") showed the 14 BN `convert_reduce_fusion`s — batch-stats in
-the forward plus the two per-channel sums in the backward — moving their
-full activation tensors at ~290 GB/s: XLA codegens the cross-row channel
-reduction as per-tile VPU shuffles, well under the 819 GB/s DMA roofline.
-~3.5 ms of the 19.96 ms train step sat in those reductions.
+VERDICT (r5, measured on chip): DISPROVEN — kept opt-in as the A/B
+record. Both modes LOSE end to end (full 27.6 / stats-only 22.4 vs
+flax-BN 19.9 ms/step, tools/bench_train.py): a Pallas call requires the
+default row-major operand layout, so every kernelized BN inserts a
+relayout copy of the full activation (xplane: 0.41 ms/step for the stem
+alone) that XLA's native reduce fusions — which consume the tiled conv
+layout in place — never pay; the full mode additionally materializes dy,
+which XLA otherwise computes inline inside both bwd fusions. Numerics
+are verified (interpret parity suite + tools/bn_tpu_check.py on-chip
+f64-referenced check); the loss is purely structural. See docs/PERF.md
+"BUILT, MEASURED, DISPROVEN".
+
+Why it was built: the r4 train-step xplane attribution (docs/PERF.md
+"Train step: the bwd long tail") showed the 14 BN
+`convert_reduce_fusion`s — batch-stats in the forward plus the two
+per-channel sums in the backward — moving their full activation tensors
+at ~290 GB/s: XLA codegens the cross-row channel reduction as per-tile
+VPU shuffles, well under the 819 GB/s DMA roofline. ~3.5 ms of the
+19.96 ms train step sat in those reductions.
 
 The fix is NOT a fused normalize (the elementwise work already fuses into
 neighbouring convs); it is doing only the REDUCTIONS in kernels that read

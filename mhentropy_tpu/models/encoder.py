@@ -35,9 +35,11 @@ class EncoderConfig(NamedTuple):
     # +6.3% headline (B=32), +14.5% eval shape (B=64); default ON.
     pallas_stage1: bool = True
     # Train-mode BN stats/grad reductions as Pallas kernels
-    # (models/bn_pallas.py; r5 on-chip A/B in docs/PERF.md). Eval paths
-    # are unaffected (eval BN math is unchanged either way).
-    fused_train_bn: bool = False
+    # (models/bn_pallas.py) — measured LOSS on chip, kept opt-in as the
+    # r5 A/B record (docs/PERF.md "BUILT, MEASURED, DISPROVEN"). Eval
+    # paths are unaffected (eval BN math is unchanged either way).
+    # False | True ("stats" mode) | "full".
+    fused_train_bn: bool | str = False
 
     def resolved_feat_dim(self) -> int:
         return self.feat_dim or resnet.FEAT_DIMS[self.backbone]

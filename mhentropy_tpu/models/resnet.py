@@ -231,12 +231,12 @@ class ResNet(nn.Module):
     # Fused Pallas stage-1 (all three bottleneck blocks VMEM-resident) on
     # the TPU inference path — see models/stage1_pallas.py and docs/PERF.md.
     pallas_stage1: bool = False
-    # Train-mode BN stats/grad reductions as Pallas kernels (one DMA-rate
-    # pass instead of XLA's VPU-shuffle-bound convert_reduce fusions) —
-    # see models/bn_pallas.py and the docs/PERF.md train-step roofline.
-    # Param/stat paths are identical to nn.BatchNorm, so checkpoints and
-    # init streams are oblivious to the flag.
-    fused_train_bn: bool = False
+    # Train-mode BN stats/grad reductions as Pallas kernels — measured
+    # LOSS on chip, kept opt-in as the r5 A/B record (models/bn_pallas.py
+    # header; docs/PERF.md "BUILT, MEASURED, DISPROVEN"). Param/stat
+    # paths are identical to nn.BatchNorm, so checkpoints and init
+    # streams are oblivious to the flag. False | True ("stats") | "full".
+    fused_train_bn: bool | str = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -228,10 +228,11 @@ def get_cfg_defaults() -> CfgNode:
     # shape/kill-switch gates pass (models/quant.sampler_supported).
     cfg.tpu.quantize_sampler = True
     # Train-mode BN stats/grad reductions as Pallas kernels
-    # (models/bn_pallas.py): one DMA-rate pass per reduction instead of
-    # XLA's VPU-shuffle-bound convert_reduce fusions. Train-only; eval BN
-    # math is identical either way. Default set by the r5 on-chip A/B
-    # (docs/PERF.md "train-mode BN kernels").
+    # (models/bn_pallas.py). MEASURED LOSS on chip (r5 A/B: 22.4-27.6 vs
+    # 19.9 ms/step — custom calls force activation relayout copies XLA's
+    # native reduces never pay; docs/PERF.md "BUILT, MEASURED,
+    # DISPROVEN"). Kept opt-in as the A/B record: False | True ("stats"
+    # fwd-only mode) | "full" (stats+grad custom_vjp).
     cfg.tpu.fused_train_bn = False
     # Decoded-image disk cache (data/common.set_decode_cache): the host
     # pipeline is PNG-decode-bound; caching turns ~3-4 ms decodes into
