@@ -673,3 +673,32 @@ def test_composed_tp_pp_train_step_matches_single_device(small_cfg, model):
         np.asarray(state_c.params["det_head"]["l0"]["w"]), atol=1e-4)
     # TP actually sharded the flow weights.
     assert not state_c.params["flow"].s_w0.sharding.is_fully_replicated
+
+
+def test_dryrun_benign_aot_filter_is_precise():
+    """The dryrun tail filter counts ONLY the characterized-benign
+    +prefer-no-* tuning-flag rejections; a real cross-machine ISA
+    mismatch (the MULTICHIP_r03 stale-cache hazard) must pass through
+    verbatim (__graft_entry__.filter_benign_aot_rejects)."""
+    import __graft_entry__ as g
+
+    benign = (
+        "E0820 21:42:44.959374 5864 cpu_aot_loader.cc:210] Loading "
+        "XLA:CPU AOT result. Target machine feature +prefer-no-gather "
+        "is not  supported on the host machine. Machine type used for "
+        "XLA:CPU compilation doesn't match the machine type for "
+        "execution. Compile machine features: [+64bit,+prefer-no-gather]"
+        " vs host machine features: [64bit]. This could lead to "
+        "execution errors such as SIGILL.\n"
+    )
+    real = benign.replace("+prefer-no-gather is not  supported",
+                          "+amx-avx512 is not  supported")
+    ok_line = "dryrun_multichip OK: 8 devices\n"
+
+    kept, n = g.filter_benign_aot_rejects(benign + benign + ok_line)
+    assert n == 2
+    assert kept == ok_line
+
+    kept, n = g.filter_benign_aot_rejects(real + benign + ok_line)
+    assert n == 1
+    assert "amx-avx512" in kept and ok_line in kept

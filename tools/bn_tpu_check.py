@@ -1,4 +1,4 @@
-"""On-chip parity + microbench for the fused train-mode BN reductions.
+"""On-chip parity check for the fused train-mode BN reductions.
 
 Interpret-mode tests (tests/test_bn_pallas.py) prove the math; this tool
 proves the MOSAIC compilation on real hardware — the r3 int8-stage-1
@@ -7,17 +7,14 @@ while interpret mode is exact, so no kernel ships without an on-chip
 parity run.
 
     python -m tools.bn_tpu_check          # parity at every train BN shape
-    python -m tools.bn_tpu_check bench    # reduction-only microbench vs XLA
 
-Parity compares against the XLA f32 reference on the same chip (both
-sides see the same bf16 inputs). The microbench scans the reduction with
-per-step varied inputs and a full-output carry (relay methodology,
-CLAUDE.md "Measurement gotchas").
+Parity compares the kernel AND the XLA f32 reduction against a float64
+host reference on the same bf16 inputs. (Speed questions go through the
+full train-step A/B — see the NOTE above __main__.)
 """
 
 import json
 import sys
-import time
 
 from mhentropy_tpu.utils.cache import enable_compilation_cache
 
@@ -93,51 +90,20 @@ def parity():
     return 0 if ok else 1
 
 
-def bench():
-    """ms per reduction pass, kernel vs XLA, biggest shape (the stem).
-
-    Gotcha found the hard way (first version of this bench): perturbing a
-    loop-invariant input with a broadcast scalar does NOT defeat hoisting
-    for a REDUCTION — XLA distributes sum(x0 + u) = sum(x0) + u*numel and
-    reads the tensor once ("8.7 TB/s"). The scan instead indexes a staged
-    POOL of distinct inputs so every step must stream a real tensor."""
-    m, c = SHAPES[0]
-    steps, pool_n = 48, 8
-    pool = (jax.random.normal(jax.random.key(0), (pool_n, m, c))
-            ).astype(jnp.bfloat16)
-    idxs = jnp.arange(steps) % pool_n
-    res = {}
-    for name, fn2 in (
-        ("kernel_stats", lambda x: bn_pallas.stats_sums(x)),
-        ("xla_stats", lambda x: (
-            (xf := x.astype(jnp.float32)).sum(0), (xf * xf).sum(0))),
-    ):
-        @jax.jit
-        def scan(pool, idxs, fn2=fn2):
-            def body(carry, i):
-                x = jax.lax.dynamic_index_in_dim(pool, i, 0, keepdims=False)
-                a, b = fn2(x)
-                return carry + a.sum() * 1e-20 + b.sum() * 1e-20, None
-
-            out, _ = jax.lax.scan(body, 0.0, idxs)
-            return out
-
-        jax.block_until_ready(scan(pool, idxs))
-        best = 1e9
-        for r in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(scan(pool, jnp.roll(idxs, r)))
-            best = min(best, (time.perf_counter() - t0) / steps)
-        res[name] = round(best * 1e3, 4)
-        gbps = m * c * 2 / best / 1e9
-        res[name + "_gbps"] = round(gbps, 1)
-    # Sanity: a v5e can't beat its ~819 GB/s HBM; past that the loop got
-    # optimised away and the numbers are void.
-    res["plausible"] = max(res["kernel_stats_gbps"],
-                           res["xla_stats_gbps"]) < 900.0
-    print(json.dumps(res))
-    return 0
+# NOTE: a reduction-only microbench was built here TWICE and deleted
+# (the tune_sampler precedent — delete rather than ship wrong):
+#   1. loop-invariant input + broadcast-scalar perturbation: XLA
+#      distributes sum(x0+u) = sum(x0) + u*N and hoists the entire read
+#      ("8.7 TB/s");
+#   2. a staged pool of 8 distinct inputs indexed per scan step: XLA
+#      hoists all 8 reductions out of the loop ("35 TB/s") while the
+#      pallas side pays a forced materialization of the dynamic slice
+#      (7.5 GB/s) — neither number describes the in-model cost.
+# Reduction timings are only meaningful inside the full train-step A/B
+# (tools/bench_train.py MHENT_FUSED_BN=0|1|full) plus the xplane
+# attribution (tools/profile_step.py train) — which is how the r5
+# verdict in docs/PERF.md "BUILT, MEASURED, DISPROVEN" was reached.
 
 
 if __name__ == "__main__":
-    sys.exit(bench() if "bench" in sys.argv[1:] else parity())
+    sys.exit(parity())
