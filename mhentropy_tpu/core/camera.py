@@ -204,7 +204,10 @@ def xyz_to_crop(
     side = target["hand_side"]
     if side.ndim == 2:
         side = side[:, 0]
-    u = jnp.where(side[:, None] == 1.0, resized_size - crop_uv[..., 0], crop_uv[..., 0])
+    # > 0.5, not == 1.0: the inverse (crop_to_original_uv) uses > 0.5, and
+    # a side flag that went through low-precision arithmetic must flip (or
+    # not) identically in both directions for the round-trip to hold.
+    u = jnp.where(side[:, None] > 0.5, resized_size - crop_uv[..., 0], crop_uv[..., 0])
     crop_uv = jnp.stack([u, crop_uv[..., 1]], -1)
     return crop_uv, crop_d
 

@@ -497,8 +497,15 @@ def mano_decode(model: ManoModel, theta: jax.Array, beta: jax.Array,
     elif skeidx == "BigHand":
         joints = joints[:, skeletons.FREIHAND2RHD][:, skeletons.RHD2BIGHAND]
         mano_joints = chain21[:, skeletons.FREIHAND2RHD][:, skeletons.RHD2BIGHAND]
-    else:  # FreiHand
+    elif skeidx == "FreiHand":
         mano_joints = chain21
+    else:
+        # Loud, not a silent FreiHand fallthrough: a typo'd or lowercase
+        # key ('rhd') would otherwise skip the remap and every 21-joint
+        # metric downstream would score a permuted skeleton. Free check —
+        # skeidx is a static jit argument.
+        raise ValueError(
+            f"unknown skeidx {skeidx!r}; expected RHD | BigHand | FreiHand")
     return {
         "beta": beta,
         "theta": theta,

@@ -142,21 +142,14 @@ def smpl_forward(
     chain_t_nl = jnp.stack(chain_t, axis=1)  # (3, 24, B)
 
     skin_t_nl = chain_t_nl - mv3(chain_r_nl, joints_nl)
-    if pallas_lbs:
-        # Fused blend kernel (core/lbs_pallas.py) — inference path only,
-        # same rationale as core/mano.py.
-        from mhentropy_tpu.core import lbs_pallas
+    # Shared blend (core/mano.py::_lbs_blend_nl — ONE implementation;
+    # SmplModel duck-types the lbs_weights field it reads). The SMPL
+    # path previously carried a third verbatim copy of this blend, the
+    # exact silent-fork class that helper exists to prevent.
+    from mhentropy_tpu.core.mano import _lbs_blend_nl
 
-        verts_nl = lbs_pallas.lbs_blend(
-            model.lbs_weights, chain_r_nl, skin_t_nl, v_posed_nl
-        )
-    else:
-        per_vert_r_nl = _einsum("vj,rcjb->rcvb", model.lbs_weights, chain_r_nl)
-        per_vert_t_nl = _einsum("vj,rjb->rvb", model.lbs_weights, skin_t_nl)
-        verts_nl = (
-            _einsum("rcvb,cvb->rvb", per_vert_r_nl, v_posed_nl)
-            + per_vert_t_nl
-        )  # (3, V, B)
+    verts_nl = _lbs_blend_nl(model, chain_r_nl, skin_t_nl, v_posed_nl,
+                             pallas_lbs)
     verts = jnp.transpose(verts_nl, (2, 1, 0))
     joints_out = jnp.transpose(chain_t_nl, (2, 1, 0))  # (B, 24, 3)
     if transl is not None:

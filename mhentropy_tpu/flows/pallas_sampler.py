@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from mhentropy_tpu.flows import realnvp
+from mhentropy_tpu.flows import pallas_common
 from mhentropy_tpu.flows.pallas_common import LANE, VMEM_BYTES, round_up
 from mhentropy_tpu.flows.priors import std_normal_logp
 from mhentropy_tpu.flows.realnvp import RealNVPConfig, RealNVPParams
@@ -45,14 +46,8 @@ def pack_weights(params: RealNVPParams, cfg: RealNVPConfig, dtype=jnp.float32):
     d, L = cfg.dim, cfg.n_layers
     dp = _round_up(d, LANE)
 
-    def pad_rows(w):  # (L, d, h) -> (L, dp, h)
-        return jnp.pad(w, ((0, 0), (0, dp - d), (0, 0))).astype(dtype)
-
-    def pad_cols(w):  # (L, h, d) -> (L, h, dp)
-        return jnp.pad(w, ((0, 0), (0, 0), (0, dp - d))).astype(dtype)
-
-    def pad_bias_d(b):  # (L, d) -> (L, 1, dp)
-        return jnp.pad(b, ((0, 0), (0, dp - d)))[:, None, :].astype(jnp.float32)
+    pad_rows, pad_cols, pad_bias_d = pallas_common.lane_pad_helpers(
+        d, dp, dtype)
 
     masks = jnp.pad(params.masks, ((0, 0), (0, dp - d)), constant_values=1.0)
     return {
@@ -199,12 +194,16 @@ def sample_fused(
     key: jax.Array,
     feat: jax.Array,
     n: int,
-    temp: float = 0.8,
+    temp: float = 0.7,
     return_log_prob: bool = False,
     images_per_tile: int = 8,
     weight_dtype=jnp.float32,
 ):
     """Drop-in fused replacement for flows.realnvp.sample over N hypotheses.
+
+    temp default matches realnvp.sample's (0.7): every "same key -> same
+    samples" path must agree even for callers that rely on defaults
+    (production callers all pass temp explicitly).
 
     Args:
         feat: (B, C) per-image conditioning features; B must divide into
@@ -217,6 +216,13 @@ def sample_fused(
         x: (n * B, D) hypothesis-major rows (reference layout); optionally
         with (n * B,) log densities.
     """
+    if cfg.dim in (2, 3):
+        # Per-joint modelling: make_cond returns B*joint_n cond rows while
+        # this kernel's tile layout assumes B rows — silently wrong
+        # conditioning, so refuse loudly (the XLA path handles these dims).
+        raise NotImplementedError(
+            "fused sampler does not support per-joint flows (dim in {2,3})"
+        )
     b = feat.shape[0]
     d = cfg.dim
     r = _round_up(n, 8)
@@ -335,11 +341,16 @@ def sample_fused_diff(
     key: jax.Array,
     feat: jax.Array,
     n: int,
-    temp: float = 1.0,
+    temp: float = 0.7,
     images_per_tile: int = 16,
 ):
     """Differentiable sample_and_log_prob: Pallas forward, XLA-remat backward.
-    Returns hypothesis-major (x (n*B, D), log_prob (n*B,))."""
+    Returns hypothesis-major (x (n*B, D), log_prob (n*B,)). temp default
+    matches realnvp.sample's."""
+    if cfg.dim in (2, 3):
+        raise NotImplementedError(
+            "fused sampler does not support per-joint flows (dim in {2,3})"
+        )
     b = feat.shape[0]
     d = cfg.dim
     cond = realnvp.make_cond(params, cfg, feat)

@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from mhentropy_tpu.flows import realnvp
+from mhentropy_tpu.flows import pallas_common
 from mhentropy_tpu.flows.pallas_common import LANE, round_up
 from mhentropy_tpu.flows.priors import std_normal_logp
 from mhentropy_tpu.flows.pallas_sampler import auto_images_per_tile
@@ -156,14 +157,7 @@ def prepare_flow(params: RealNVPParams, cfg: RealNVPConfig,
     a0 = safe(act["a0"])
     sh = {k: safe(act[k]) for k in ("s_h1", "s_h2", "t_h1", "t_h2")}
 
-    def pad_rows(w):  # (L, d, h) -> (L, dp, h)
-        return jnp.pad(w, ((0, 0), (0, dp - d), (0, 0)))
-
-    def pad_cols(w):  # (L, h, d) -> (L, h, dp)
-        return jnp.pad(w, ((0, 0), (0, 0), (0, dp - d)))
-
-    def pad_bias_d(b):  # (L, d) -> (L, 1, dp)
-        return jnp.pad(b, ((0, 0), (0, dp - d)))[:, None, :].astype(f32)
+    pad_rows, pad_cols, pad_bias_d = pallas_common.lane_pad_helpers(d, dp)
 
     def net(prefix):
         w0 = pad_rows(getattr(params, f"{prefix}_w0").astype(f32))
@@ -391,7 +385,7 @@ def sample_fused_q(
     key: jax.Array,
     feat: jax.Array,
     n: int,
-    temp: float = 0.8,
+    temp: float = 0.7,
     return_log_prob: bool = False,
     images_per_tile: int = 16,
     emulate: bool | None = None,
@@ -407,6 +401,10 @@ def sample_fused_q(
 
     Returns hypothesis-major x (n*B, D) [+ log densities of the
     QUANTIZED transform]."""
+    if cfg.dim in (2, 3):
+        raise NotImplementedError(
+            "fused sampler does not support per-joint flows (dim in {2,3})"
+        )
     if emulate is None:
         emulate = jax.default_backend() != "tpu"
     b = feat.shape[0]
@@ -460,4 +458,8 @@ def quantize_sampler(params: RealNVPParams, cfg: RealNVPConfig,
 
 
 def supported(cfg: RealNVPConfig) -> bool:
-    return jax.default_backend() == "tpu" and cfg.dim <= LANE
+    # dim in {2,3} = per-joint flows: make_cond emits B*joint_n cond rows,
+    # incompatible with the B-row tile layout (same gate as the bf16
+    # sampler's loud guard).
+    return (jax.default_backend() == "tpu" and cfg.dim <= LANE
+            and cfg.dim not in (2, 3))

@@ -437,6 +437,7 @@ def sampler_supported(model_cfg) -> bool:
 
     return (getattr(model_cfg, "regressor", None) == "realnvp"
             and model_cfg.flow.dim <= q8.LANE
+            and model_cfg.flow.dim not in (2, 3)  # per-joint cond rows
             and model_cfg.use_pallas_sampler is not False)
 
 

@@ -118,7 +118,7 @@ def test_diff_sampler_draws_like_xla_path():
     b, n = 4, 8
     feat = jax.random.normal(jax.random.key(1), (b, 16))
     key = jax.random.key(7)
-    x, lp = ps.sample_fused_diff(params, cfg, key, feat, n=n,
+    x, lp = ps.sample_fused_diff(params, cfg, key, feat, n=n, temp=1.0,
                                  images_per_tile=2)
     cond = realnvp.make_cond(params, cfg, feat)
     cproj = realnvp.cond_cache(params, cfg, cond)
@@ -165,3 +165,37 @@ def test_forced_kernel_train_step_under_grad():
     assert np.isfinite(float(val))
     assert np.abs(np.asarray(grads["flow"].s_w0)).max() > 0
     assert np.abs(np.asarray(grads["encoder"]["l1"]["w"])).max() > 0
+
+
+def test_default_temps_agree_across_sampler_paths():
+    """The 'same key -> same samples' contract must hold for callers that
+    rely on DEFAULTS too: sample_fused / sample_fused_diff default temp
+    now matches realnvp.sample's 0.7 (they drifted 0.8/1.0/0.7 before —
+    toggling the kernel path changed a seeded run's hypotheses)."""
+    import inspect
+
+    ref = inspect.signature(realnvp.sample).parameters["temp"].default
+    for fn in (ps.sample_fused, ps.sample_fused_diff):
+        got = inspect.signature(fn).parameters["temp"].default
+        assert got == ref, (fn.__name__, got, ref)
+    from mhentropy_tpu.flows import pallas_sampler_int8 as q8
+
+    got = inspect.signature(q8.sample_fused_q).parameters["temp"].default
+    assert got == ref
+
+
+def test_fused_sampler_refuses_per_joint_dims():
+    """dim in {2,3} => make_cond emits B*joint_n cond rows, incompatible
+    with the kernel's B-row tile layout — must raise loudly, and the int8
+    shape gates must exclude it."""
+    cfg = RealNVPConfig(dim=3, cond_dim=16, h_dim=32, num_steps=1,
+                        joint_n=21)
+    params = realnvp.init_params(jax.random.key(0), cfg)
+    feat = jax.random.normal(jax.random.key(1), (2, 16))
+    with pytest.raises(NotImplementedError):
+        ps.sample_fused(params, cfg, jax.random.key(2), feat, 4)
+    with pytest.raises(NotImplementedError):
+        ps.sample_fused_diff(params, cfg, jax.random.key(2), feat, 4)
+    from mhentropy_tpu.flows import pallas_sampler_int8 as q8
+
+    assert not q8.supported(cfg)
