@@ -51,6 +51,15 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _fused_bn_mode(cfg):
+    """cfg.tpu.fused_train_bn -> False | True | mode string. bool() would
+    collapse the documented "full" A/B mode to True (= "stats") silently."""
+    if "tpu" not in cfg:
+        return False
+    v = cfg.tpu.get("fused_train_bn", False)
+    return v if isinstance(v, str) else bool(v)
+
+
 def build_model_config(cfg) -> MHEntConfig:
     """YAML schema -> MHEntConfig (mirrors CrossModalHand.py:54-85)."""
     net = cfg.network
@@ -63,8 +72,7 @@ def build_model_config(cfg) -> MHEntConfig:
         sigma_act=net.acts,
         deterministic=net.deterministic,
         dtype=cfg.tpu.compute_dtype if "tpu" in cfg else "bfloat16",
-        fused_train_bn=bool(cfg.tpu.get("fused_train_bn", False))
-        if "tpu" in cfg else False,
+        fused_train_bn=_fused_bn_mode(cfg),
     )
     flow = RealNVPConfig(
         dim=45,
@@ -130,8 +138,7 @@ def build_rle_config(cfg) -> RLEConfig:
         sigma_act=net.acts,
         deterministic=net.deterministic,
         dtype=cfg.tpu.compute_dtype if "tpu" in cfg else "bfloat16",
-        fused_train_bn=bool(cfg.tpu.get("fused_train_bn", False))
-        if "tpu" in cfg else False,
+        fused_train_bn=_fused_bn_mode(cfg),
     )
     return RLEConfig(
         encoder=enc,
@@ -434,12 +441,18 @@ def make_eval_step(
 
     def eval_fn(params, batch_stats, image, target, key, *qtree):
         image, target = _prep_batch(image, target)
+        # Independent streams: with one shared key the log_p metric's
+        # q-draws and the scored hypotheses share base noise (bit-identical
+        # when test_samples == n_train_hypotheses at eval_temp=1.0) — the
+        # reported loss and EPE/diversity metrics would be computed on
+        # statistically dependent randomness.
+        k_kld, k_hypo = jax.random.split(key)
         out, _ = mhent.reverse_kld(
-            model, params, batch_stats, model_cfg, target, image, key,
+            model, params, batch_stats, model_cfg, target, image, k_kld,
             train=False,
         )
         samples = mhent.sample_hypotheses(
-            model, params, batch_stats, model_cfg, image, key,
+            model, params, batch_stats, model_cfg, image, k_hypo,
             n=n, n_quant=n_quant if n_quant is not None else n, temp=temp,
             quant=(quant_spec, qtree[0]) if quant_spec is not None else None,
         )
@@ -503,11 +516,14 @@ class Experiment:
                     "non-integrated mode requires network.p_nf (realnvp)"
                 )
             self.model_cfg = build_rle_config(cfg)
-        self.model = load_mano_model(mano_dir)
-        # Stable fingerprint of the model constants for the shared step
-        # cache ((path, mtime, size) pins the values; id() could be
-        # recycled and a bare path survives content swaps).
-        self._model_key = _mano_fingerprint(mano_dir) or "synthetic"
+        # ONE asset probe for both the model and its cache key: probing
+        # twice raced asset swaps (self.model from the old state, the
+        # shared-step-program key from the new — a poisoned cache entry).
+        # (path, mtime, size) pins the values; id() could be recycled and
+        # a bare path survives content swaps.
+        _mano_fp = _mano_fingerprint(mano_dir)
+        self.model = _load_mano_cached(_mano_fp)
+        self._model_key = _mano_fp or "synthetic"
         hypo = cfg.tpu.mesh_hypo if "tpu" in cfg else 1
         tp = int(cfg.tpu.get("tp") or 1) if "tpu" in cfg else 1
         # Use as many devices as divide the batch (a 2-image batch cannot
@@ -697,7 +713,8 @@ class Experiment:
 
     def _ensure_state(self, steps_per_epoch: int, for_training: bool = False):
         if self.state is not None:
-            if for_training and steps_per_epoch != self.steps_per_epoch:
+            if (for_training and steps_per_epoch != self.steps_per_epoch
+                    and int(self.state.step) == 0):
                 # State was initialised by an eval_loop (eval-dataset
                 # sizing): rebuild the LR schedule + opt_state with the
                 # TRAIN steps_per_epoch, or the MultiStepLR milestones
@@ -713,6 +730,18 @@ class Experiment:
                     opt_state=self.optimizer.init(self.state.params)
                 )
                 self._train_step = self._get_train_step()
+            elif for_training and steps_per_epoch != self.steps_per_epoch:
+                # Trained state: re-initialising opt_state here would wipe
+                # the Adam moments and reset the LR schedule to step 0 (the
+                # schedule position rides opt_state). Keep the existing
+                # optimizer; the milestone boundaries stay at the ORIGINAL
+                # steps_per_epoch scale, which is the lesser evil — warn.
+                self.log.warning(
+                    f"steps_per_epoch changed {self.steps_per_epoch} -> "
+                    f"{steps_per_epoch} on an already-trained state "
+                    f"(step {int(self.state.step)}); keeping the existing "
+                    f"optimizer/schedule to preserve Adam moments"
+                )
             self._apply_pending_restore()
             return
         self.steps_per_epoch = steps_per_epoch
@@ -753,10 +782,17 @@ class Experiment:
         # The RLE step uses none of these knobs — key it constant or each
         # (n, temp) pair would re-trace an identical program (~20-60 s on
         # this 1-core host).
-        key = (n, temp, quant_spec) if self.integrated else "rle"
+        if self.integrated:
+            # The instance key must carry every knob the shared skey does
+            # (minus the per-Experiment constants): a cfg.training.test_quant
+            # or cfg.tpu.fsdp mutation between eval_loop calls would
+            # otherwise be served the stale compiled step.
+            n_quant = min(self.cfg.training.get("test_quant") or n, n)
+            key = (n, temp, quant_spec, n_quant, self._fsdp, self._tp)
+        else:
+            key = "rle"
         if key not in self._eval_step:
             if self.integrated:
-                n_quant = min(self.cfg.training.get("test_quant") or n, n)
                 skey = ("eval_step", True, self._model_key,
                         repr(self.model_cfg), _mesh_fingerprint(self.mesh),
                         n, float(temp), n_quant, repr(quant_spec),
@@ -975,22 +1011,37 @@ class Experiment:
 
     def eval(self, name: str | None = None):
         if name:
+            # An EXPLICITLY requested restore must exist up front: the
+            # soft "keeping init" path below is for cfg-default paths
+            # (e.g. ho3d.yaml's ./model/ent_ho3d.pth absent from the
+            # env), but eval(name=typo) silently publishing metrics of
+            # un-restored params is a trap.
+            p = os.path.abspath(name)
+            if not (os.path.isdir(p) or os.path.isfile(p)):
+                raise FileNotFoundError(
+                    f"eval(name={name!r}): no checkpoint at {p}")
             self._pending_restore = name
         _, eval_data = self.make_datasets(which=("eval",))
         return self.eval_loop(eval_data)
 
     # ------------------------------------------------------------ checkpoints
-    def save_model(self, name: str, epoch: int | None = None):
-        import orbax.checkpoint as ocp
-
-        tag = name if epoch is None else f"{name}_{epoch}"
-        path = os.path.abspath(os.path.join(self.cfg.model_dir, tag))
-        ckpt = {
+    def _ckpt_tree(self):
+        """The one checkpoint pytree template — save_model and load_model
+        must stay in lockstep (a TrainState field added to one and not the
+        other would save checkpoints that silently fail to round-trip)."""
+        return {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
+
+    def save_model(self, name: str, epoch: int | None = None):
+        import orbax.checkpoint as ocp
+
+        tag = name if epoch is None else f"{name}_{epoch}"
+        path = os.path.abspath(os.path.join(self.cfg.model_dir, tag))
+        ckpt = self._ckpt_tree()
         with ocp.StandardCheckpointer() as saver:
             saver.save(path, ckpt, force=True)
         self.log.info(f"save model in {path}")
@@ -1018,12 +1069,7 @@ class Experiment:
             return
         import orbax.checkpoint as ocp
 
-        template = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-            "opt_state": self.state.opt_state,
-            "step": self.state.step,
-        }
+        template = self._ckpt_tree()
         with ocp.StandardCheckpointer() as loader:
             ckpt = loader.restore(path, template)
         self.state = TrainState(

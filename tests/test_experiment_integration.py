@@ -338,3 +338,42 @@ def test_eval_only_skips_train_split(tmp_path, monkeypatch):
     exp = Experiment(cfg)
     train, evald = exp.make_datasets(which=("eval",))
     assert train is None and evald is not None
+
+
+def test_eval_with_missing_checkpoint_raises(trained_run):
+    """eval(name=...) is an EXPLICIT restore request — a typo'd path must
+    raise up front, not silently publish metrics of un-restored params
+    (r5 review finding; the soft keeping-init path remains for
+    cfg-default paths like the absent ./model/ent_ho3d.pth)."""
+    cfg, exp, _, _ = trained_run
+    with pytest.raises(FileNotFoundError):
+        exp.eval(os.path.join(cfg.model_dir, "no_such_checkpoint"))
+
+
+def test_build_model_config_preserves_fused_bn_mode_string():
+    """bool() must not collapse the 'full' BN-kernel A/B mode to True
+    (= 'stats'): the mode string rides EncoderConfig verbatim."""
+    from mhentropy_tpu.train.engine import build_model_config
+    from mhentropy_tpu.utils.config import update_cfg
+
+    cfg = update_cfg("configs/smoke.yaml")
+    for v, want in ((True, True), (False, False), ("full", "full"),
+                    ("stats", "stats")):
+        cfg.tpu.fused_train_bn = v
+        assert build_model_config(cfg).encoder.fused_train_bn == want
+
+
+def test_eval_step_cache_keys_on_test_quant(trained_run):
+    """Mutating cfg.training.test_quant between eval_loop calls must build
+    a distinct eval step, not serve the stale cached program (the instance
+    key now carries n_quant like the shared-program key does)."""
+    _, exp, _, _ = trained_run
+    before = len(exp._eval_step)
+    exp._get_eval_step(4, 0.8)
+    mid = len(exp._eval_step)
+    exp.cfg.training.test_quant = 2
+    try:
+        exp._get_eval_step(4, 0.8)
+    finally:
+        exp.cfg.training.test_quant = None
+    assert len(exp._eval_step) == mid + 1 >= before + 2
