@@ -457,9 +457,15 @@ def quantize_sampler(params: RealNVPParams, cfg: RealNVPConfig,
     return prepare_flow(params, cfg, jax.device_get(act))
 
 
+def shape_ok(cfg: RealNVPConfig) -> bool:
+    """Structural gate shared with quant.sampler_supported — ONE predicate
+    so the next constraint cannot drift between the two (the per-joint
+    gate initially landed in the sampler's raise but not the quant gate,
+    leaving a window where sampler_supported claimed support and
+    sample_fused_q raised). dim in {2,3} = per-joint flows: make_cond
+    emits B*joint_n cond rows, incompatible with the B-row tile layout."""
+    return cfg.dim <= LANE and cfg.dim not in (2, 3)
+
+
 def supported(cfg: RealNVPConfig) -> bool:
-    # dim in {2,3} = per-joint flows: make_cond emits B*joint_n cond rows,
-    # incompatible with the B-row tile layout (same gate as the bf16
-    # sampler's loud guard).
-    return (jax.default_backend() == "tpu" and cfg.dim <= LANE
-            and cfg.dim not in (2, 3))
+    return jax.default_backend() == "tpu" and shape_ok(cfg)

@@ -73,9 +73,22 @@ def _block_rows(m: int, c: int, itemsize: int) -> int:
     return r
 
 
+def _backend_ok() -> bool:
+    """Kernels compile on TPU only (pallas_call on CPU raises unless
+    interpret mode — the test suite monkeypatches this predicate to reach
+    the kernel path under its interpret-mode fixture, like every sibling
+    kernel's backend gate)."""
+    return jax.default_backend() == "tpu"
+
+
 def supported(x: jax.Array) -> bool:
-    """Kernel applies: float input, feature-last, lanes fillable, and the
-    row count splits into power-of-two blocks of at least 8."""
+    """Kernel applies: TPU backend, float input, feature-last, lanes
+    fillable, and the row count splits into power-of-two blocks of at
+    least 8. Off-TPU the module falls back to the flax-identical XLA
+    stats (confirmed crash otherwise: CPU pallas_call only supports
+    interpret mode)."""
+    if not _backend_ok():
+        return False
     if x.ndim < 2 or not jnp.issubdtype(x.dtype, jnp.floating):
         return False
     c = x.shape[-1]
@@ -292,33 +305,38 @@ class FusedTrainBN(nn.Module):
                           (features,), jnp.float32)
         out_dtype = self.dtype if self.dtype is not None else \
             jnp.promote_types(x.dtype, jnp.float32)
+        if self.mode not in ("stats", "full"):
+            # Loud, not a silent stats fallback: 'Full'/'ful' typos would
+            # otherwise run stats mode while the A/B record says 'full' —
+            # the misattribution class this repo raises for elsewhere.
+            raise ValueError(
+                f"FusedTrainBN mode {self.mode!r}; expected 'stats'|'full'")
+
+        def normalize(mean, var):
+            # ONE normalize block (flax _normalize semantics: f32 math,
+            # cast at the end) shared by eval / stats-kernel / fallback.
+            mul = jax.lax.rsqrt(var + self.epsilon) * scale
+            return ((x.astype(jnp.float32) - mean) * mul
+                    + bias).astype(out_dtype)
 
         if self.use_running_average:
-            mean, var = ra_mean.value, ra_var.value
-            mul = jax.lax.rsqrt(var + self.epsilon) * scale
-            return ((x - mean) * mul + bias).astype(out_dtype)
+            return normalize(ra_mean.value, ra_var.value)
 
-        if supported(x) and not self.is_initializing():
-            if self.mode == "full":
-                y, mean, var = train_bn(
-                    x, scale, bias, self.epsilon, out_dtype)
-            else:
-                m_count = x.size // features
-                s, ss = stats_sums_diff(x)
-                mean = s / m_count
-                var = jnp.maximum(0.0, ss / m_count - mean * mean)
-                mul = jax.lax.rsqrt(var + self.epsilon) * scale
-                y = ((x.astype(jnp.float32) - mean) * mul
-                     + bias).astype(out_dtype)
+        use_kernel = supported(x) and not self.is_initializing()
+        if use_kernel and self.mode == "full":
+            y, mean, var = train_bn(x, scale, bias, self.epsilon, out_dtype)
         else:
-            # flax _compute_stats/_normalize, verbatim semantics.
-            xf = x.astype(jnp.float32)
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axes)
-            mu2 = jnp.mean(xf * xf, axes)
+            m_count = x.size // features
+            if use_kernel:
+                s, ss = stats_sums_diff(x)
+                mean, mu2 = s / m_count, ss / m_count
+            else:
+                # flax _compute_stats, verbatim semantics.
+                xf = x.astype(jnp.float32)
+                axes = tuple(range(x.ndim - 1))
+                mean, mu2 = jnp.mean(xf, axes), jnp.mean(xf * xf, axes)
             var = jnp.maximum(0.0, mu2 - mean * mean)
-            mul = jax.lax.rsqrt(var + self.epsilon) * scale
-            y = ((xf - mean) * mul + bias).astype(out_dtype)
+            y = normalize(mean, var)
         if not self.is_initializing():
             ra_mean.value = (self.momentum * ra_mean.value
                              + (1.0 - self.momentum) * mean)

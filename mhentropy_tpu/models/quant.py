@@ -436,8 +436,7 @@ def sampler_supported(model_cfg) -> bool:
     from mhentropy_tpu.flows import pallas_sampler_int8 as q8
 
     return (getattr(model_cfg, "regressor", None) == "realnvp"
-            and model_cfg.flow.dim <= q8.LANE
-            and model_cfg.flow.dim not in (2, 3)  # per-joint cond rows
+            and q8.shape_ok(model_cfg.flow)
             and model_cfg.use_pallas_sampler is not False)
 
 

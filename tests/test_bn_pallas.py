@@ -26,6 +26,9 @@ def interpret_mode(monkeypatch):
         return orig(*args, **kwargs)
 
     monkeypatch.setattr(pl, "pallas_call", interp)
+    # supported() gates on the TPU backend (a real CPU pallas_call would
+    # crash); interpret mode makes the kernel path exercisable here.
+    monkeypatch.setattr(bn_pallas, "_backend_ok", lambda: True)
 
 
 def _pair(features, use_running_average=False, dtype=None, mode="stats"):
@@ -178,3 +181,22 @@ def test_resnet_flag_is_checkpoint_oblivious():
     eb = b.apply(va, x, train=False)
     np.testing.assert_allclose(np.asarray(ea), np.asarray(eb),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_backend_gate_and_mode_validation(monkeypatch):
+    """Off-TPU, supported() is False (the XLA fallback runs — a real CPU
+    pallas_call would crash, confirmed r5); unknown mode strings raise
+    instead of silently running 'stats'."""
+    x = jnp.ones((8, 4, 4, 64))
+    monkeypatch.setattr(bn_pallas, "_backend_ok", lambda: False)
+    assert not bn_pallas.supported(x)
+    fused, ref = _pair(64)  # falls back; still flax-exact
+    v = ref.init(jax.random.key(0), x)
+    yf, _ = fused.apply(v, x, mutable=["batch_stats"])
+    yr, _ = ref.apply(v, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yr),
+                               rtol=1e-6, atol=1e-7)
+
+    bad = bn_pallas.FusedTrainBN(mode="ful")
+    with pytest.raises(ValueError):
+        bad.init(jax.random.key(0), x)
