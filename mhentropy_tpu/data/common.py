@@ -14,7 +14,6 @@ import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
-import jax.numpy as jnp
 import numpy as np
 
 # Device-staged batch memo for array-backed datasets, keyed by
@@ -321,6 +320,15 @@ def prefetch(iterator, size: int = 2):
         except BaseException as e:  # propagated to the consumer
             err.append(e)
         finally:
+            # Deterministic cleanup of the wrapped generator: an abandoned
+            # batches() generator would keep its ThreadPoolExecutor's
+            # worker threads alive until GC when the consumer breaks early.
+            close = getattr(iterator, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
             while not stop.is_set():
                 try:
                     q.put(_PrefetchDone, timeout=0.1)

@@ -117,7 +117,8 @@ class HO3DDataset:
         # Annotation content identity for the prefix-cache fingerprint:
         # in-place re-downloads with the same sample count must miss.
         anno_files = [os.path.join(self.base, "train.txt")] + [
-            os.path.join(self.gt_root, f"handJoints3D_train_{s}.npy")
+            os.path.join(self.gt_root, f"{kind}_train_{s}.npy")
+            for kind in ("handJoints3D", "ho3d_mesh")  # meshes feed 'verts'
             for s in ("4w", "8w", "left")
         ]
         self._anno_stat = tuple(

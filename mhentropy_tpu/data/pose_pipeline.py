@@ -374,13 +374,42 @@ def flip_output(output: dict, joint_pairs, width_dim, shift=False) -> dict:
     return output
 
 
-def box_transform(bbox, sf, imgwidth, imght, train):
+class _GlobalRng:
+    """Delegates to the module-global random/np.random streams — the
+    reference's exact draw sources and order, which the seeded parity
+    tests (test_pose_pipeline_parity) depend on. The PRODUCT path
+    (PoseDataset) passes a per-item common.item_rng instead: per-item
+    seeding is thread-safe and order-independent (the global streams are
+    consumed in thread-pool order under common.batches, so fixed-seed
+    runs were schedule-dependent — the hand loaders' r3 fix)."""
+
+    @staticmethod
+    def uniform(a, b):
+        return random.uniform(a, b)
+
+    @staticmethod
+    def random_sample():
+        return random.random()
+
+    @staticmethod
+    def randn():
+        return np.random.randn()
+
+    @staticmethod
+    def rand():
+        return np.random.rand()
+
+
+_GLOBAL_RNG = _GlobalRng()
+
+
+def box_transform(bbox, sf, imgwidth, imght, train, rng=_GLOBAL_RNG):
     """Random bbox scaling (transforms.py:15-34)."""
     bbox = list(bbox)
     width = bbox[2] - bbox[0]
     ht = bbox[3] - bbox[1]
     if train:
-        scale_rate = 0.25 * np.clip(np.random.randn() * sf, -sf, sf)
+        scale_rate = 0.25 * np.clip(rng.randn() * sf, -sf, sf)
         bbox[0] = max(0, bbox[0] - width * scale_rate / 2)
         bbox[1] = max(0, bbox[1] - ht * scale_rate / 2)
         bbox[2] = min(imgwidth, bbox[2] + width * scale_rate / 2)
@@ -483,13 +512,13 @@ def integral_target_3d(joints_3d, num_joints, patch_height, patch_width,
 
 
 def half_body_transform(joints, joints_vis, num_joints, upper_body_ids,
-                        aspect_ratio, pixel_std=1.0):
+                        aspect_ratio, pixel_std=1.0, rng=_GLOBAL_RNG):
     """(simple_transform.py:231-276). joints: (K, 2+) pixel coords."""
     upper, lower = [], []
     for j in range(num_joints):
         if joints_vis[j][0] > 0:
             (upper if j in upper_body_ids else lower).append(joints[j])
-    if np.random.randn() < 0.5 and len(upper) > 2:
+    if rng.randn() < 0.5 and len(upper) > 2:
         selected = upper
     else:
         selected = lower if len(lower) > 2 else upper
@@ -676,7 +705,7 @@ class SimpleTransform:
         img = _warp(src, trans, inp_w, inp_h)
         return _normalize_image(img), center_scale_to_box(center, scale)
 
-    def __call__(self, src, label):
+    def __call__(self, src, label, rng=_GLOBAL_RNG):
         bbox = list(label["bbox"])
         gt_joints = label["joints_3d"].copy()
         imgwidth, imght = label["width"], label["height"]
@@ -690,24 +719,26 @@ class SimpleTransform:
         )
         if self._train and (
             np.sum(joints_vis[:, 0]) > self.num_joints_half_body
-            and np.random.rand() < self.prob_half_body
+            and rng.rand() < self.prob_half_body
         ):
             c_half, s_half = half_body_transform(
                 gt_joints[:, :, 0], joints_vis, num_joints,
                 self.upper_body_ids, self._aspect_ratio, self.pixel_std,
+                rng=rng,
             )
             if c_half is not None:
                 center, scale = c_half, s_half
 
         if self._train:
             sf = self._scale_factor
-            scale = scale * random.uniform(1 - sf, 1 + sf)
-            r = random.uniform(-self._rot, self._rot) if random.random() <= 0.5 else 0
+            scale = scale * rng.uniform(1 - sf, 1 + sf)
+            r = (rng.uniform(-self._rot, self._rot)
+                 if rng.random_sample() <= 0.5 else 0)
         else:
             r = 0
 
         joints = gt_joints
-        if random.random() > 0.5 and self._train:
+        if rng.random_sample() > 0.5 and self._train:
             src = src[:, ::-1, :]
             joints = flip_joints_3d(joints, imgwidth, self._joint_pairs)
             center[0] = imgwidth - center[0] - 1
@@ -784,7 +815,7 @@ class SimpleTransform3D:
             center_scale_to_box(center, scale),
         )
 
-    def __call__(self, src, label):
+    def __call__(self, src, label, rng=_GLOBAL_RNG):
         bbox = list(label["bbox"])
         joint_img = label["joint_img"].copy()
         joints_vis = label["joint_vis"].copy()
@@ -804,15 +835,15 @@ class SimpleTransform3D:
 
         if self._train:
             sf = self._scale_factor
-            scale = scale * np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
+            scale = scale * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
             rf = self._rot
-            r = (np.clip(np.random.randn() * rf, -rf * 2, rf * 2)
-                 if random.random() <= 0.6 else 0)
+            r = (np.clip(rng.randn() * rf, -rf * 2, rf * 2)
+                 if rng.random_sample() <= 0.6 else 0)
         else:
             r = 0
 
         joints = gt_joints
-        if random.random() > 0.5 and self._train:
+        if rng.random_sample() > 0.5 and self._train:
             src = src[:, ::-1, :]
             joints = flip_joints_3d(joints, imgwidth, self._joint_pairs)
             center[0] = imgwidth - center[0] - 1
@@ -833,6 +864,13 @@ class SimpleTransform3D:
             joints[vis_mask, 0:2, 0], trans
         )
 
+        # Normalised uvd coords exist in BOTH modes: the st fit below
+        # needs them, and the heatmap branch's (K, H, W) tensor must not
+        # be misread as coords (loss_type='heatmap' previously doubled the
+        # heatmap values and crashed compute_st_np on the bogus reshape).
+        coord_uvd, coord_weight = integral_target_3d(
+            joints, num_joints, inp_h, inp_w, self.bbox_3d_shape[0]
+        )
         if self._loss_type == "heatmap":
             target, target_weight = gaussian_heatmap_target(
                 joints, num_joints, self._heatmap_size, self._feat_stride,
@@ -842,10 +880,8 @@ class SimpleTransform3D:
             # reshape below would broadcast (K,1,1)x(3K,) into garbage.
             target_weight = target_weight * joints_vis[:, :1, None]
         else:
-            target, target_weight = integral_target_3d(
-                joints, num_joints, inp_h, inp_w, self.bbox_3d_shape[0]
-            )
-            target_weight = target_weight * joints_vis.reshape(-1)
+            target = coord_uvd
+            target_weight = coord_weight * joints_vis.reshape(-1)
         out_bbox = center_scale_to_box(center, scale)
 
         if self._train:
@@ -854,13 +890,16 @@ class SimpleTransform3D:
             img = img.astype(np.float32)
             for ch in range(3):
                 img[:, :, ch] = np.clip(
-                    img[:, :, ch] * random.uniform(c_low, c_high), 0, 255
+                    img[:, :, ch] * rng.uniform(c_low, c_high), 0, 255
                 )
         img = _normalize_image(img, with_std=True)
 
         # [-0.5, 0.5) -> [-1, 1); depth /2000 -> /1000
-        # (simple_transform_3d.py:355).
-        target = target * 2
+        # (simple_transform_3d.py:355). Coord-space only — heatmaps keep
+        # their Gaussian scale.
+        coord_uvd = coord_uvd * 2
+        if self._loss_type != "heatmap":
+            target = coord_uvd
 
         abs_25d[:, 2] = abs_25d[:, 2] + root_cam[2]
         abs_3d = pixel2cam(abs_25d, label["f"], label["c"])
@@ -869,7 +908,7 @@ class SimpleTransform3D:
 
         rel_3d = rel_3d.reshape(-1)
         abs_25d_flat = abs_25d.reshape(-1)
-        uv = target.reshape(-1, 3)[:, :2].reshape(-1)
+        uv = coord_uvd.reshape(-1, 3)[:, :2].reshape(-1)
         st = hand_transforms.compute_st_np(rel_3d, uv)
         st_cam = hand_transforms.compute_st_np(abs_25d_flat, uv)
         # Compose the orthographic fit with the intrinsics
@@ -922,10 +961,15 @@ class PoseDataset:
     upper_body_ids = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
     lower_body_ids = (11, 12, 13, 14, 15, 16)
 
-    def __init__(self, train=True, skip_empty=True, **cfg):
+    def __init__(self, train=True, skip_empty=True, seed=0, **cfg):
         import os
 
         self._cfg = cfg
+        # Per-item augmentation RNG stream (common.item_rng discipline —
+        # the transforms' global-RNG mode stays for reference parity, but
+        # the product path must be thread-safe and epoch-varied).
+        self._seed = int(seed)
+        self._epoch = 0
         preset = cfg["PRESET"]
         self._root = cfg["ROOT"]
         self._img_prefix = cfg.get("IMG_PREFIX", "")
@@ -990,17 +1034,25 @@ class PoseDataset:
     def __len__(self):
         return len(self._items)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation RNG stream (engine.train_epoch calls
+        this on every loader that exposes it)."""
+        self._epoch = int(epoch)
+
     def __getitem__(self, idx):
         import copy
         import os
 
         import cv2
 
+        from mhentropy_tpu.data import common
+
         img_path = self._items[idx]
         img_id = int(os.path.splitext(os.path.basename(img_path))[0])
         label = copy.deepcopy(self._labels[idx])
         img = cv2.cvtColor(cv2.imread(img_path), cv2.COLOR_BGR2RGB)
-        target = self.transformation(img, label)
+        target = self.transformation(
+            img, label, rng=common.item_rng(self._seed, self._epoch, idx))
         img = target.pop("image")
         bbox = target.pop("bbox")
         return img, target, img_id, bbox

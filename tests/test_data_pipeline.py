@@ -268,3 +268,92 @@ def test_grid2d_cached_and_immutable():
     np.testing.assert_array_equal(x, np.mgrid[0:5, 0:7][1])
     with pytest.raises(ValueError):
         g1[0][0, 0] = 9  # read-only: consumers must not corrupt the cache
+
+
+def test_simple_transform_3d_heatmap_mode_works():
+    """loss_type='heatmap' previously doubled the Gaussian heatmaps and
+    crashed compute_st_np by misreading the (K,H,W) tensor as uvd coords
+    (r5 review finding). It must emit proper heatmaps AND a valid st fit."""
+    from mhentropy_tpu.data import pose_pipeline as pp
+
+    rng = np.random.RandomState(11)
+    k = 17
+
+    class _DS:
+        joint_pairs = pp.PoseDataset.joint_pairs
+        root_idx = 0
+
+    tr = pp.SimpleTransform3D(
+        _DS(), scale_factor=0, color_factor=0, occlusion=False,
+        add_dpg=False, input_size=(64, 64), output_size=(16, 16),
+        bbox_3d_shape=(2000, 2000, 2000), rot=0, sigma=2, train=False,
+        loss_type="heatmap",
+    )
+    label = {
+        "bbox": (4.0, 3.0, 60.0, 58.0),
+        "joint_img": np.stack([
+            rng.uniform(8, 56, k), rng.uniform(6, 54, k),
+            rng.uniform(-400, 400, k)], 1).astype(np.float32),
+        "joint_vis": np.ones((k, 3), np.float32),
+        "width": 64, "height": 64,
+        "f": np.array([300.0, 300.0]), "c": np.array([32.0, 32.0]),
+        "root_cam": np.array([0.0, 0.0, 800.0]),
+    }
+    src = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    out = tr(src, label)
+    assert out["target_uvd"].shape == (k, 16, 16)
+    # Gaussian peaks stay ~1.0 (the coord-space *2 must not touch them).
+    assert 0.9 < out["target_uvd"].max() <= 1.0 + 1e-6
+    assert np.isfinite(out["st"]).all() and np.isfinite(out["st_cam"]).all()
+
+
+def test_pose_dataset_aug_is_order_independent_and_epoch_varied(tmp_path):
+    """PoseDataset train augmentation is a pure function of
+    (seed, epoch, idx) — fetching items in any order (the thread pool's
+    reality) gives identical results, and set_epoch varies them (the hand
+    loaders' r3 RNG discipline, extended to the RLE stack in r5)."""
+    import json as _json
+
+    from mhentropy_tpu.data import pose_pipeline as pp
+
+    rng = np.random.RandomState(12)
+    imgs, anns = [], []
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    import imageio.v2 as iio
+
+    for i in range(3):
+        name = f"{i:012d}.jpg"
+        iio.imwrite(str(img_dir / name),
+                    rng.randint(0, 255, (80, 96, 3), np.uint8))
+        imgs.append({"id": i, "file_name": name, "width": 96, "height": 80})
+        kps = []
+        for _ in range(17):
+            kps += [float(rng.uniform(10, 86)), float(rng.uniform(10, 70)),
+                    2.0]
+        anns.append({"image_id": i, "bbox": [8, 6, 80, 66],
+                     "keypoints": kps, "category_id": 1})
+    with open(tmp_path / "ann.json", "w") as fp:
+        _json.dump({"images": imgs, "annotations": anns}, fp)
+
+    def mk():
+        return pp.PoseDataset(
+            train=True, seed=5, ROOT=str(tmp_path), IMG_PREFIX="imgs",
+            ANN="ann.json",
+            PRESET={"IMAGE_SIZE": (64, 64), "HEATMAP_SIZE": (16, 16),
+                    "SIGMA": 2},
+            AUG={"SCALE_FACTOR": 0.3, "ROT_FACTOR": 40},
+        )
+
+    a, b = mk(), mk()
+    fwd = [a[i] for i in range(3)]
+    rev = [b[i] for i in (2, 1, 0)][::-1]
+    for (ia, ta, _, _), (ib, tb, _, _) in zip(fwd, rev):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ta["target_uv"], tb["target_uv"])
+    b.set_epoch(1)
+    diff = any(
+        not np.array_equal(np.asarray(fwd[i][0]), np.asarray(b[i][0]))
+        for i in range(3)
+    )
+    assert diff, "epoch advance did not vary the augmentation"
