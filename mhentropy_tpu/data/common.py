@@ -41,6 +41,17 @@ def item_rng(seed: int, epoch: int, idx: int) -> np.random.RandomState:
         np.array([seed & 0x7FFFFFFF, epoch, idx], dtype=np.uint32))
 
 
+def item_rng_stream(seed: int, epoch: int, idx: int,
+                    stream: int) -> np.random.RandomState:
+    """A SEPARATE per-item stream (same discipline as item_rng) for
+    augmentations added after a loader shipped: drawing from the main
+    stream would shift every later draw and silently change all seeded
+    items. `stream` is a small constant per augmentation family."""
+    return np.random.RandomState(
+        np.array([seed & 0x7FFFFFFF, epoch, idx, 0x9E3779B9 ^ stream],
+                 dtype=np.uint32))
+
+
 def _collate(samples):
     """Stack (image, target) pairs — or the RLE datasets' 4-tuples
     (img, target, img_id, bbox) (custom.py:87-102), collated to

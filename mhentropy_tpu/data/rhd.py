@@ -126,6 +126,7 @@ class RHDDataset:
         image_u8: bool = False,
         device_st: bool = False,
         prefix_cache: str | None = None,
+        color_jitter: bool = True,
     ):
         """heavy_fields: which of HEAVY_FIELDS to compute and emit. None
         (default) keeps the full reference-parity target; the Experiment
@@ -164,6 +165,10 @@ class RHDDataset:
         # prefix draws no RNG, so the stream is unchanged).
         self.prefix_cache = prefix_cache
         self.seed = seed
+        # Reference parity: RHD training applies torchvision ColorJitter
+        # before ToTensor (rhddataloader.py:153-155); data/colorjitter.py
+        # reproduces the PIL-exact u8 arithmetic. Train-mode only.
+        self.color_jitter = color_jitter
         self.epoch = 0  # advanced by set_epoch (engine.train_epoch)
         self.rng = np.random.RandomState(seed)  # legacy users only
         self.root = self._find_root(data_root)
@@ -422,6 +427,20 @@ class RHDDataset:
         rot3 = np.eye(3)
         rot3[:2, :] = rot_mat
         rot_mat_inv = np.linalg.inv(rot3.T)[:, :2]
+
+        if self.aug and self.color_jitter:
+            # The reference's appearance augmentation, at its exact
+            # position: after the geometric augmentation, before ToTensor
+            # (rhddataloader.py:153-155 — ColorJitter(brightness=0.8,
+            # contrast=[0.4,1.6], saturation=[0.4,1.6], hue=0.1) on the u8
+            # image). u8-in/u8-out, so BOTH transports stay value-exact.
+            # Dedicated stream: drawing from the main item stream would
+            # shift every existing draw and change all seeded items.
+            from mhentropy_tpu.data import colorjitter
+
+            jrng = common.item_rng_stream(self.seed, self.epoch, idx, 1)
+            image_crop = colorjitter.color_jitter(
+                jrng, image_crop.astype(np.uint8)).astype(image_crop.dtype)
 
         st = None if self.device_st else T.compute_st_np(pose3d_normed, uv_out)
         if self.image_u8:

@@ -357,3 +357,56 @@ def test_pose_dataset_aug_is_order_independent_and_epoch_varied(tmp_path):
         for i in range(3)
     )
     assert diff, "epoch advance did not vary the augmentation"
+
+
+def test_colorjitter_ops_match_pil_exactly():
+    """Each op reproduces the torchvision PIL backend bit-exactly:
+    brightness/contrast/saturation are truncating PIL blends (verified:
+    round-half-up was off by one on ~37% of pixels), hue is PIL's own HSV
+    round trip."""
+    from PIL import Image, ImageEnhance, ImageStat
+
+    from mhentropy_tpu.data import colorjitter as cj
+
+    rng = np.random.RandomState(21)
+    for _ in range(5):
+        a = rng.randint(0, 256, (24, 24, 3), np.uint8)
+        im = Image.fromarray(a)
+        f = float(rng.uniform(0.2, 1.8))
+        np.testing.assert_array_equal(
+            cj.adjust_brightness(a, f),
+            np.asarray(ImageEnhance.Brightness(im).enhance(f)))
+        np.testing.assert_array_equal(
+            cj.adjust_contrast(a, f),
+            np.asarray(ImageEnhance.Contrast(im).enhance(f)))
+        np.testing.assert_array_equal(
+            cj.adjust_saturation(a, f),
+            np.asarray(ImageEnhance.Color(im).enhance(f)))
+        h = float(rng.uniform(-0.1, 0.1))
+        hsv = np.array(im.convert("HSV"))
+        hsv[..., 0] = ((hsv[..., 0].astype(np.int16)
+                        + np.int16(int(h * 255)) % 256) % 256).astype(np.uint8)
+        want = np.asarray(Image.fromarray(hsv, "HSV").convert("RGB"))
+        np.testing.assert_array_equal(cj.adjust_hue(a, h), want)
+    # Identity factors are a no-op for the blend ops.
+    a = rng.randint(0, 256, (8, 8, 3), np.uint8)
+    for op in (cj.adjust_brightness, cj.adjust_contrast,
+               cj.adjust_saturation):
+        np.testing.assert_array_equal(op(a, 1.0), a)
+    np.testing.assert_array_equal(cj.adjust_hue(a, 0.0),
+                                  cj.adjust_hue(a, 0.0))
+
+
+def test_colorjitter_param_semantics_and_determinism():
+    from mhentropy_tpu.data import colorjitter as cj
+
+    rng = np.random.RandomState(3)
+    order, (b, c, s, h) = cj.sample_params(rng)
+    assert sorted(order.tolist()) == [0, 1, 2, 3]
+    assert 0.2 <= b <= 1.8 and 0.4 <= c <= 1.6 and 0.4 <= s <= 1.6
+    assert -0.1 <= h <= 0.1
+    img = np.random.RandomState(4).randint(0, 256, (16, 16, 3), np.uint8)
+    a = cj.color_jitter(np.random.RandomState(9), img)
+    b2 = cj.color_jitter(np.random.RandomState(9), img)
+    np.testing.assert_array_equal(a, b2)
+    assert a.dtype == np.uint8 and not np.array_equal(a, img)

@@ -42,8 +42,15 @@ def test_rhd_loader_end_to_end(rhd_root):
     np.testing.assert_allclose(np.linalg.norm(p[12] - p[11]), 1.0, rtol=1e-5)
     # 3-state vis values only.
     assert set(np.unique(target["vis"])).issubset({0.0, 1.0, 2.0})
-    # The deterministic patch occluder blacked out a disc.
-    assert (image.sum(-1) == 0).sum() > 100
+    # The deterministic patch occluder blacked out a disc. Checked with
+    # jitter off: the reference applies ColorJitter AFTER the patch
+    # (rhddataloader.py:153), so jittered train pixels are not pure
+    # black (contrast blends toward the image mean) — parity our loader
+    # now shares.
+    image_nj, _ = rhd.load(rhd_root, mode="training", color_jitter=False)[1]
+    assert (image_nj.sum(-1) == 0).sum() > 100
+    # And the jitter is actually wired: same item differs with it on.
+    assert not np.array_equal(image, image_nj)
     # The fitted ortho camera reprojects the pose onto crop_uv reasonably.
     uv = p[:, :2] * target["st"][0] + target["st"][1:]
     vis1 = target["vis"] == 1.0
