@@ -70,14 +70,25 @@ class InferenceServer:
                  max_batch: int = 8, n_hypo: int | None = None,
                  temp: float = 0.8, quantize: bool = False,
                  quantize_min_batch: int = 8,
-                 transports: tuple = ("f32", "u8")):
+                 transports: tuple = ("f32", "u8"),
+                 mano_dir: str = "./mano/"):
+        import sys as _sys
+
         import jax
 
         from mhentropy_tpu.train import engine
 
         self.cfg = cfg
         self.model_cfg = engine.build_model_config(cfg)
-        self.model = engine.load_mano_model("./mano/")
+        self.model = engine.load_mano_model(mano_dir)
+        if engine._mano_fingerprint(mano_dir) is None:
+            # Loud: with a real checkpoint restored, decoding through the
+            # synthetic stand-in returns plausible-looking garbage with
+            # HTTP 200 (tools/export.py warns the same way).
+            print(f"WARNING: no MANO assets under {mano_dir!r} — serving "
+                  f"with the SYNTHETIC stand-in model; real-checkpoint "
+                  f"outputs will be garbage (pass --mano)",
+                  file=_sys.stderr, flush=True)
         self.n_hypo = int(n_hypo or cfg.training.test_samples)
         self.temp = float(temp)
         self.max_batch = int(max_batch)
@@ -112,6 +123,13 @@ class InferenceServer:
             self.transports = tuple(t for t in self.transports if t != "u8")
         self.quantize = bool(quantize)
         self.quantize_min_batch = int(quantize_min_batch)
+        if self.quantize and self.max_batch < self.quantize_min_batch:
+            print(f"WARNING: --quantize requested but max_batch "
+                  f"{self.max_batch} < quantize_min_batch "
+                  f"{self.quantize_min_batch}: every bucket will serve "
+                  f"bf16 (int8 LOSES below ~B=8 — raise max_batch or "
+                  f"lower --quantize-min-batch to engage int8)",
+                  file=_sys.stderr, flush=True)
         self._quant = None  # (spec, qtree)
         self._quant_ready = False  # calibrated on real data yet?
         self._key = jax.random.key(int(time.time()) & 0x7FFFFFFF)
@@ -271,7 +289,20 @@ class InferenceServer:
             pad = np.zeros((bucket - b, *images.shape[1:]), images.dtype)
             images = np.concatenate([images, pad])
         self._key, sub = jax.random.split(self._key)
-        if self._quantized_bucket(bucket):
+        t_req = float(self.temp if temp is None else temp)
+        use_quant = self._quantized_bucket(bucket)
+        if use_quant and t_req > max(1.0, self.temp):
+            # The FlowQTree is calibrated at max(1, self.temp)
+            # (quantize_sampler_into); beyond that the int8 first-layer
+            # clip saturates and quality degrades SILENTLY — serve this
+            # request bf16 instead.
+            import sys as _sys
+
+            print(f"serve: temp {t_req} exceeds the int8 calibration "
+                  f"ceiling {max(1.0, self.temp)}; serving this request "
+                  f"bf16", file=_sys.stderr, flush=True)
+            use_quant = False
+        if use_quant:
             if not self._quant_ready:
                 self._calibrate(images, ready=True)
             xyz, uv = self._fn(bucket, True)(
@@ -324,6 +355,18 @@ def _http_serve(server: InferenceServer, host: str, port: int):
                 self.end_headers()
                 return
             def bad(msg):
+                # Drain the request body first: responding with unread
+                # data in the socket RSTs the connection on many stacks
+                # and the client sees ECONNRESET instead of this JSON.
+                try:
+                    left = int(self.headers.get("Content-Length", 0))
+                    while left > 0:
+                        chunk = self.rfile.read(min(left, 1 << 20))
+                        if not chunk:
+                            break
+                        left -= len(chunk)
+                except (ValueError, OSError):
+                    pass
                 body = json.dumps({"error": msg}).encode()
                 self.send_response(400)
                 self.send_header("Content-Length", str(len(body)))
@@ -388,6 +431,9 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8711)
     ap.add_argument("--quantize", action="store_true",
                     help="int8 W8A8 encoder (calibrates on first batch)")
+    ap.add_argument("--mano", default="./mano/",
+                    help="MANO asset dir (MANO_RIGHT.pkl); absent -> "
+                         "synthetic stand-in with a loud warning")
     ap.add_argument("--quantize-min-batch", type=int, default=8,
                     help="smallest bucket served int8 (smaller stay bf16; "
                          "int8 loses at B=1 — docs/PERF.md)")
@@ -404,6 +450,7 @@ def main(argv=None):
         quantize=args.quantize, quantize_min_batch=args.quantize_min_batch,
         transports=("f32", "u8") if args.transport == "both"
         else (args.transport,),
+        mano_dir=args.mano,
     )
     print("warming buckets:", _buckets(server.max_batch), flush=True)
     server.warmup()

@@ -59,7 +59,37 @@ def _default_vary(args):
         None,
     )
     if idx is None:
-        return lambda i, a: a
+        # Integer-array fallback: nudge by (i+1) instead of silently
+        # replaying identical args — fixed inputs are served from the
+        # relay's execution cache and time as ~0 (the r2 "0.14 ms
+        # resnet50" hazard this helper exists to prevent).
+        iidx = next(
+            (
+                i
+                for i, a in enumerate(args)
+                if hasattr(a, "dtype")
+                and jnp.issubdtype(a.dtype, jnp.integer)
+                and not jnp.issubdtype(a.dtype, jnp.bool_)
+            ),
+            None,
+        )
+        if iidx is None:
+            raise ValueError(
+                "time_fn: no array argument to vary per call — fixed "
+                "(program, args) pairs are served from the relay's "
+                "execution cache and time as ~0; pass vary= explicitly "
+                "if this backend genuinely has no such cache"
+            )
+
+        def vary_int(i, a):
+            x = a[iidx]
+            # Wrapping add keeps u8 pixel semantics valid and varies
+            # every element.
+            return (a[:iidx]
+                    + ((x + x.dtype.type((i % 3) + 1)).astype(x.dtype),)
+                    + a[iidx + 1:])
+
+        return vary_int
 
     def vary(i, a):
         x = a[idx]
@@ -107,13 +137,19 @@ def _scan_harness(fn, steps: int):
     @jax.jit
     def scan(args, key):
         def body(carry, k):
-            varied = (
-                args[0]
-                + jax.random.uniform(k, (1,), jnp.float32).astype(
-                    args[0].dtype
-                )
-                * args[0].dtype.type(1e-3),
-            ) + tuple(args[1:])
+            x0 = args[0]
+            if jnp.issubdtype(x0.dtype, jnp.floating):
+                x0 = x0 + (jax.random.uniform(k, (1,), jnp.float32)
+                           * 1e-3).astype(x0.dtype)
+            else:
+                # Integer inputs (int8 kernels, u8 transport): a float
+                # perturbation truncates to 0 and the body hoists out of
+                # the scan (the CLAUDE.md 438k->"832k" class). Wrapping
+                # integer nudge instead.
+                x0 = (x0 + jax.random.randint(
+                    k, (1,), 1, 4, jnp.int32).astype(x0.dtype)
+                ).astype(x0.dtype)
+            varied = (x0,) + tuple(args[1:])
             out = fn(*varied)
             return carry + jnp.sum(out.astype(jnp.float32)) * 1e-20, None
 

@@ -25,11 +25,24 @@ def _finger_chains(points: np.ndarray):
         yield np.concatenate([points[start:end], points[0:1]], axis=0)
 
 
-def plot_pose2d(ax, uv: np.ndarray, colors=COLORS_PRED, image=None, s=8):
-    """2D skeleton overlay (viz.py:133-235)."""
+def plot_pose2d(ax, uv: np.ndarray, colors=COLORS_PRED, image=None, s=8,
+                norm: str = "auto"):
+    """2D skeleton overlay (viz.py:133-235).
+
+    norm: the image's value convention — "pm1" ([-1,1] dataset
+    normalisation), "unit" ([0,1]), "u8" (raw 0-255), or "auto" (guess).
+    The guess cannot distinguish a BRIGHT [-1,1] crop (all pixels >= 0)
+    from a genuine [0,1] image — pass norm explicitly for debug overlays
+    where brightness fidelity matters."""
     if image is not None:
         img = np.asarray(image)
-        if img.min() < 0:  # [-1,1] normalised
+        if norm == "pm1":
+            img = (img + 1.0) / 2.0
+        elif norm == "u8":
+            img = img.astype(np.float32) / 255.0
+        elif norm == "unit":
+            img = img.astype(np.float32)
+        elif img.min() < 0:  # auto: [-1,1] normalised
             img = (img + 1.0) / 2.0
         elif img.max() > 1.0 or img.dtype == np.uint8:
             # Raw 0-255 pixels (the default u8 transport) — clipping

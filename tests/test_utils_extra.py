@@ -2,6 +2,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mhentropy_tpu.core import camera
 from mhentropy_tpu.train import metrics
@@ -206,3 +207,24 @@ def test_compilation_cache_dir_splits_by_backend(monkeypatch, tmp_path):
     d = seen["jax_compilation_cache_dir"]
     assert d.endswith(f"-{jax.default_backend()}")
     assert cache.cpu_fingerprint() in d
+
+
+def test_time_fn_varies_integer_inputs(monkeypatch):
+    """u8/int inputs must still vary per call (a float nudge truncates to
+    zero and the relay's execution cache — or scan hoisting — reports
+    impossible numbers; r5 review finding, confirmed by execution)."""
+    from mhentropy_tpu.utils import profiling
+
+    seen = []
+
+    def fn(x):
+        seen.append(np.asarray(x).sum())
+        return jnp.asarray(np.asarray(x, np.float32).sum())
+
+    img = np.full((4, 4), 7, np.uint8)
+    profiling.time_fn(fn, jnp.asarray(img), iters=3, warmup=1)
+    assert len(set(seen)) > 1, "integer input was not varied per call"
+
+    with pytest.raises(ValueError):
+        profiling.time_fn(lambda d: jnp.zeros(()), {"not": "an array"},
+                          iters=2, warmup=0)

@@ -169,8 +169,17 @@ def main():
         calib = jax.random.uniform(
             jax.random.key(3),
             (args.batch, args.image_size, args.image_size, 3)) * 2 - 1
-        quant_arg = quant.quantize_encoder(
+        spec, qtree = quant.quantize_encoder(
             params["encoder"], batch_stats, cfg.encoder, calib)
+        if quant.sampler_supported(cfg):
+            # Match the serve/engine quantized defaults: the int8 fused
+            # sampler rides the same qtree (+5.1% measured) — exporting
+            # encoder-only silently left an unexplained gap vs the
+            # serving path.
+            spec, qtree = quant.quantize_sampler_into(
+                spec, qtree, params, cfg.flow, calib,
+                temp=max(1.0, args.temp))
+        quant_arg = (spec, qtree)
     blob = export_sampler(model, cfg, params, batch_stats, args.batch,
                           n=args.n, temp=args.temp, quant=quant_arg)
     with open(args.out, "wb") as f:
