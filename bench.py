@@ -14,10 +14,14 @@ the line always prints.
 Sections, in value order after the headline:
   - int8: the quantized serving path (encoder + fused sampler PTQ).
   - eval_shape: N=200, B=64 — the README-table eval configuration.
+  - int8_eval_shape: the quantized eval-table shape (same calibration).
   - train: ms/step for the scanned train step (tools/bench_train.py math).
   - per_call: one dispatch per step from Python; includes ~3 ms host
     dispatch overhead per step and understates chip throughput ~45%
-    (measured r2: 438k vs 789k) — least informative, so last.
+    (measured r2: 438k vs 789k).
+  - serve_b1: B=1 N=200 device ms/frame (the serve.py per-frame cost).
+A section that starts but raises records "<name>_failed" in the skipped
+list (stderr carries the repr), so null fields are always attributable.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is against the BASELINE.json target of 20k hypotheses/sec/chip.
@@ -131,7 +135,10 @@ def main():
         ca = scan_c.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        xla_step_flops = float(ca.get("flops", 0.0)) or None
+        _flops = float(ca.get("flops", 0.0))
+        # Strictly positive: cost_analysis can report a -1 "unknown"
+        # sentinel, which would ride into model_flops/MFU as garbage.
+        xla_step_flops = _flops if _flops > 0 else None
     except Exception:
         xla_step_flops = None
     # XLA's count cannot see inside Pallas custom calls — add the fused
@@ -178,9 +185,9 @@ def main():
     # measured with the same scanned methodology, calibrated on the bench
     # image. Recorded as extra fields — "value" stays the exact bf16 path.
     int8_rate, int8_error = None, None
-    int8_quant = None  # (spec, qtree, scan_q) kept for the eval-shape rerun
+    int8_quant = None  # (spec, qtree) reused by int8_eval_shape (retraced)
     if os.environ.get("MHENT_BENCH_INT8", "1") != "1":
-        pass
+        skipped.append("int8 (disabled)")
     elif afford("int8"):
         try:
             from mhentropy_tpu.models import quant
@@ -194,17 +201,27 @@ def main():
                 spec, qtree = quant.quantize_sampler_into(
                     spec, qtree, params, cfg.flow, image, temp=0.8)
 
-            @jax.jit
-            def scan_q(params, batch_stats, qtree, image, key):
-                def body(carry, k):
-                    img_k = image + jax.random.uniform(k, (1,)) * 1e-6
-                    out = mhent.sample_hypotheses(
-                        model, params, batch_stats, cfg, img_k, k, n=n_hypo,
-                        temp=0.8, mods=("xyz", "uv"), quant=(spec, qtree))
-                    return carry + (out["xyz"].sum() + out["uv"].sum()) * 1e-20, None
+            def make_quant_scan(n, spec, qtree):
+                # Same anti-hoisting/anti-DCE shape as make_scan — ONE
+                # definition for the headline-int8 and eval-shape reruns.
+                @jax.jit
+                def scan_q(params, batch_stats, qtree, image, key):
+                    def body(carry, k):
+                        img_k = image + jax.random.uniform(k, (1,)) * 1e-6
+                        out = mhent.sample_hypotheses(
+                            model, params, batch_stats, cfg, img_k, k, n=n,
+                            temp=0.8, mods=("xyz", "uv"),
+                            quant=(spec, qtree))
+                        return carry + (out["xyz"].sum()
+                                        + out["uv"].sum()) * 1e-20, None
 
-                acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, steps))
-                return acc
+                    acc, _ = jax.lax.scan(
+                        body, 0.0, jax.random.split(key, steps))
+                    return acc
+
+                return scan_q
+
+            scan_q = make_quant_scan(n_hypo, spec, qtree)
 
             jax.block_until_ready(scan_q(params, batch_stats, qtree, image, key))
             best = []
@@ -215,7 +232,7 @@ def main():
                 jax.block_until_ready(acc)
                 best.append(n_hypo * batch * steps / (time.perf_counter() - t0))
             int8_rate = max(best)
-            int8_quant = (spec, qtree)
+            int8_quant = (spec, qtree, make_quant_scan)
         except Exception as e:  # record, never mask as an opt-out
             int8_error = repr(e)[:200]
             print(f"int8 bench failed: {int8_error}", file=sys.stderr)
@@ -248,6 +265,7 @@ def main():
                 best.append(200 * 64 * steps / (time.perf_counter() - t0))
             eval_rate = max(best)
         except Exception as e:
+            skipped.append("eval_shape_failed")
             print(f"eval_shape bench failed: {e!r:.200}", file=sys.stderr)
 
     # int8 eval-table shape (the 1.93M claim lived only in builder notes
@@ -259,21 +277,10 @@ def main():
         skipped.append("int8_eval_shape")
     elif (n_hypo, batch) != (200, 64) and afford("int8_eval_shape"):
         try:
-            spec, qtree = int8_quant
+            spec, qtree, make_quant_scan = int8_quant
             qev_img = jax.random.uniform(
                 jax.random.key(4), (64, img, img, 3)) * 2 - 1
-
-            @jax.jit
-            def scan_q_ev(params, batch_stats, qtree, image, key):
-                def body(carry, k):
-                    img_k = image + jax.random.uniform(k, (1,)) * 1e-6
-                    out = mhent.sample_hypotheses(
-                        model, params, batch_stats, cfg, img_k, k, n=200,
-                        temp=0.8, mods=("xyz", "uv"), quant=(spec, qtree))
-                    return carry + (out["xyz"].sum() + out["uv"].sum()) * 1e-20, None
-
-                acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, steps))
-                return acc
+            scan_q_ev = make_quant_scan(200, spec, qtree)
 
             jax.block_until_ready(
                 scan_q_ev(params, batch_stats, qtree, qev_img, key))
@@ -286,6 +293,7 @@ def main():
                 best.append(200 * 64 * steps / (time.perf_counter() - t0))
             int8_eval_rate = max(best)
         except Exception as e:
+            skipped.append("int8_eval_shape_failed")
             print(f"int8_eval_shape bench failed: {e!r:.200}", file=sys.stderr)
 
     # Train step (tools/bench_train.py methodology: state threaded through
@@ -346,6 +354,7 @@ def main():
                 best = min(best, (time.perf_counter() - t0) / TR_STEPS)
             train_ms = best * 1e3
         except Exception as e:
+            skipped.append("train_failed")
             print(f"train bench failed: {e!r:.200}", file=sys.stderr)
 
     # Per-call dispatch (AOT executable reused across calls — a plain
@@ -381,6 +390,7 @@ def main():
                     n_hypo * batch * steps / (time.perf_counter() - t0))
             per_call = max(best)
         except Exception as e:
+            skipped.append("per_call_failed")
             print(f"per_call bench failed: {e!r:.200}", file=sys.stderr)
 
     # B=1 serving latency (bf16 — serve.py's quantize_min_batch=8 default
@@ -405,6 +415,7 @@ def main():
                 best = min(best, (time.perf_counter() - t0) / steps)
             serve_b1_ms = best * 1e3
         except Exception as e:
+            skipped.append("serve_b1_failed")
             print(f"serve_b1 bench failed: {e!r:.200}", file=sys.stderr)
 
     # MFU vs the chip's bf16 matmul peak (v5e: 197 TFLOP/s; other chips

@@ -5,7 +5,6 @@ config, seed, build the experiment, dispatch on training.mode
 (baseline_VAE -> train, eval -> evaluate a checkpoint).
 """
 
-import jax
 
 from mhentropy_tpu.train.engine import Experiment
 from mhentropy_tpu.utils.config import parse_args

@@ -702,3 +702,18 @@ def test_dryrun_benign_aot_filter_is_precise():
     kept, n = g.filter_benign_aot_rejects(real + benign + ok_line)
     assert n == 1
     assert "amx-avx512" in kept and ok_line in kept
+
+    # The sneaky case: leading clause names prefer-no-gather but the
+    # feature lists carry a REAL ISA diff too (relay-written entries,
+    # CLAUDE.md cache-dir lesson #2) — must pass through verbatim.
+    sneaky = benign.replace(
+        "Compile machine features: [+64bit,+prefer-no-gather]",
+        "Compile machine features: [+64bit,+prefer-no-gather,+amx-avx512]")
+    kept, n = g.filter_benign_aot_rejects(sneaky + ok_line)
+    assert n == 0
+    assert "amx-avx512" in kept
+
+    # Unparsable feature lists stay visible rather than being trusted.
+    truncated = benign.split("Compile machine")[0] + "\n"
+    kept, n = g.filter_benign_aot_rejects(truncated)
+    assert n == 0 and "cpu_aot_loader" in kept

@@ -47,6 +47,11 @@ def make_kernels():
     def call(body, in_dtype, out_dtype):
         @jax.jit
         def f(x, w):
+            # Enforce the probed input dtype here: the parameter was
+            # previously dead (the caller's array dtypes silently won),
+            # which would mis-measure if someone probes a new dtype.
+            x = x.astype(in_dtype)
+            w = w.astype(in_dtype)
             return pl.pallas_call(
                 body,
                 grid=(GRID,),
