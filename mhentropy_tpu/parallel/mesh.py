@@ -57,7 +57,14 @@ def make_mesh(n_devices: int | None = None, hypo: int = 1, tp: int = 1,
         )
     devices = devices[:n_devices]
     grp = hypo * tp * pp
-    assert n_devices % grp == 0, (n_devices, hypo, tp, pp)
+    if n_devices % grp != 0:
+        # Friendly (and -O-proof) like the shortage error above; a bare
+        # assert vanished under python -O and surfaced as an opaque
+        # numpy reshape error.
+        raise ValueError(
+            f"make_mesh: hypo*tp*pp = {hypo}*{tp}*{pp} = {grp} does not "
+            f"divide n_devices={n_devices}; pick sizes whose product "
+            f"divides the device count (fit_devices helps)")
     shape = (n_devices // grp, hypo, tp, pp)
     try:
         # Topology-aware layout: enumeration-order reshape puts mesh
@@ -97,9 +104,15 @@ def hypo_batch_spec() -> P:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Device-put a host batch with the leading axis sharded over 'data'."""
+    """Device-put a host batch with the leading axis sharded over 'data'.
+
+    ONE device_put for the whole tree: a per-leaf tree_map costs a relay
+    dispatch per target field (~20 fields/batch, milliseconds each
+    through the axon relay — the tax multihost.global_batch_from_local
+    documents and avoids)."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.device_put(tree, jax.tree_util.tree_map(
+        lambda _: sh, tree))
 
 
 def fsdp_sharding(mesh: Mesh, tree, min_size: int = 4096):
@@ -250,17 +263,17 @@ def shard_tree(tree, shardings):
 
 
 def fit_devices(batch_size: int, hypo: int = 1, tp: int = 1,
-                n_available: int | None = None) -> int:
-    """Largest usable device count: a multiple of `hypo*tp` whose data axis
-    divides the batch. Never exceeds n_available — an over-subscribed
-    hypo*tp is reported here, not as a confusing make_mesh reshape error."""
+                pp: int = 1, n_available: int | None = None) -> int:
+    """Largest usable device count: a multiple of `hypo*tp*pp` whose data
+    axis divides the batch. Never exceeds n_available — an over-subscribed
+    hypo*tp*pp is reported here, not as a confusing make_mesh error."""
     if n_available is None:
         n_available = len(jax.devices())
-    grp = hypo * tp
+    grp = hypo * tp * pp
     if grp > n_available:
         raise ValueError(
-            f"fit_devices: hypo*tp = {hypo}*{tp} = {grp} exceeds the "
-            f"{n_available} available device(s)")
+            f"fit_devices: hypo*tp*pp = {hypo}*{tp}*{pp} = {grp} exceeds "
+            f"the {n_available} available device(s)")
     for n in range(n_available, 0, -1):
         if n % grp == 0 and batch_size % (n // grp) == 0:
             return n

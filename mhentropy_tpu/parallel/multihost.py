@@ -14,6 +14,8 @@ loop runs everywhere from a dev box to a v5e pod.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -50,7 +52,17 @@ def initialize(coordinator_address: str | None = None,
             # a single-process run. `is not None`, NOT truthiness:
             # process_id=0 (host 0 of every pod) is falsy.
             raise
-        # Auto-detect on a single-process dev box: run undistributed.
+        # Auto-detect on a single-process dev box: run undistributed —
+        # but NOT when the environment says this is a real cluster
+        # (coordinator env vars / TPU pod metadata): swallowing a
+        # transient coordinator failure there would silently degrade the
+        # pod to N independent single-process runs, the exact bug this
+        # function was rewritten to eliminate.
+        cluster_vars = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                        "MEGASCALE_COORDINATOR_ADDRESS",
+                        "CLOUD_TPU_TASK_ID", "TPU_WORKER_HOSTNAMES")
+        if any(os.environ.get(v) for v in cluster_vars):
+            raise
 
 
 def host_shard_indices(n: int, process_index: int | None = None,
@@ -68,6 +80,15 @@ def host_shard_valid(n: int, process_index: int | None = None,
     """Boolean mask over host_shard_indices: False where the slice wrapped
     past the dataset end (pure padding for shape parity across hosts)."""
     return _host_slice(n, process_index, process_count)[1]
+
+
+def wrap_padded(n: int, process_count: int) -> bool:
+    """True when ANY host's shard wraps (ceil(n/pc)*pc != n). Depends only
+    on global facts, never on process_index — key-presence decisions made
+    from this are identical on every host (the r5 fix: a local
+    local_valid.all() test diverged the target pytree structure across
+    hosts whenever only the last host wrapped)."""
+    return (-(-n // process_count)) * process_count != n
 
 
 def _host_slice(n, process_index, process_count):
@@ -122,6 +143,14 @@ def multihost_batches(
         np.random.RandomState(seed).shuffle(order)
     local_idx, local_valid = _host_slice(len(order), None, None)
     local_order = order[local_idx]
+    # HOST-INDEPENDENT wrap predicate: deciding key presence from THIS
+    # host's local_valid made the target pytree structure diverge across
+    # hosts whenever only the last host wrapped (n % pc != 0) — different
+    # compiled programs per process, a pod hang with collectives inside
+    # the step. Every host computes the same global fact.
+    # Derived from the slice LAYOUT (per_host is identical on every host
+    # by construction), so a test-patched _host_slice stays consistent.
+    any_host_wraps = len(local_idx) * pc != len(order)
 
     view = _IndexedView(dataset, local_order)
     pos = 0
@@ -145,15 +174,17 @@ def multihost_batches(
             local_valid[np.minimum(rows, len(local_valid) - 1)],
             False,
         ).astype(np.float32)
-        # Key-presence is decided up front for the wrap-duplicate case
-        # (any wrap duplicate anywhere -> every batch carries 'valid'),
-        # because a mid-epoch pytree structure change would retrace the
-        # jitted eval step — minutes through the remote-compile relay on
-        # a real pod. Caveat: when local_valid.all() is True and the
-        # underlying loader's pad_remainder path adds 'valid' only to its
-        # own final padded batch, that tail batch still introduces the
-        # key once (one retrace, at most once per stream).
-        if "valid" in target or not local_valid.all():
+        # Key-presence is decided up front from the HOST-INDEPENDENT
+        # wrap predicate (any wrap duplicate anywhere -> every batch on
+        # EVERY host carries 'valid'), because (a) a mid-epoch pytree
+        # structure change would retrace the jitted eval step — minutes
+        # through the remote-compile relay on a real pod — and (b) a
+        # cross-host structure mismatch compiles different programs per
+        # process. Caveat: when no host wraps and the underlying loader's
+        # pad_remainder path adds 'valid' only to its own final padded
+        # batch, that tail batch still introduces the key once (one
+        # retrace, at most once per stream, identical on every host).
+        if "valid" in target or any_host_wraps:
             target = dict(target)
             target["valid"] = (
                 np.asarray(target.get("valid", 1.0), np.float32) * vrow)

@@ -242,7 +242,6 @@ def sample_pipelined(
         )
     d = cfg.dim
     z0 = jax.random.normal(key, (batch_rows, d)) * temp
-    cproj = None
     if cfg.effective_cond_dim() > 0:
         cond = realnvp.make_cond(params, cfg, feat)
         cproj = realnvp.cond_cache(params, cfg, cond)

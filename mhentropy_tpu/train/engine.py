@@ -526,11 +526,15 @@ class Experiment:
         self._model_key = _mano_fp or "synthetic"
         hypo = cfg.tpu.mesh_hypo if "tpu" in cfg else 1
         tp = int(cfg.tpu.get("tp") or 1) if "tpu" in cfg else 1
+        pp = int(cfg.tpu.get("pp") or 1) if "tpu" in cfg else 1
         # Use as many devices as divide the batch (a 2-image batch cannot
         # shard over 8 virtual devices).
-        n_dev = mesh_lib.fit_devices(cfg.training.batch_size, hypo=hypo, tp=tp)
-        self.mesh = mesh_lib.make_mesh(n_devices=n_dev, hypo=hypo, tp=tp)
+        n_dev = mesh_lib.fit_devices(cfg.training.batch_size, hypo=hypo,
+                                     tp=tp, pp=pp)
+        self.mesh = mesh_lib.make_mesh(n_devices=n_dev, hypo=hypo, tp=tp,
+                                       pp=pp)
         self._tp = tp > 1
+        self._pp = pp > 1
 
         os.makedirs(cfg.model_dir, exist_ok=True)
         self.log = get_logger(
@@ -699,11 +703,11 @@ class Experiment:
         key = ("train_step", self.integrated, self._model_key,
                repr(self.model_cfg), _mesh_fingerprint(self.mesh),
                self._opt_fingerprint(self.steps_per_epoch), self._fsdp,
-               self._tp)
+               self._tp, self._pp)
         if self.integrated:
             build = lambda: make_train_step(  # noqa: E731
                 self.model, self.model_cfg, self.optimizer, self.mesh,
-                fsdp=self._fsdp, tp=self._tp,
+                fsdp=self._fsdp, tp=self._tp, pipe=self._pp,
             )
         else:
             build = lambda: make_rle_train_step(  # noqa: E731

@@ -211,6 +211,10 @@ def get_cfg_defaults() -> CfgNode:
     cfg.tpu.mesh_hypo = 1  # hypothesis-axis mesh size for eval sharding
     cfg.tpu.fsdp = False  # ZeRO-3: shard train state over the data axis
     cfg.tpu.tp = 1  # model-axis mesh size (Megatron-style tensor parallel)
+    # pipe-axis mesh size: GPipe the training flow draw over 'pipe'
+    # (parallel/pipeline.py; realnvp regressor only — the step raises
+    # loudly otherwise). Composes with tp/fsdp/mesh_hypo.
+    cfg.tpu.pp = 1
     cfg.tpu.autoresume = False  # resume from the newest epoch ckpt in model_dir
     cfg.tpu.compute_dtype = "bfloat16"  # backbone compute dtype
     cfg.tpu.data_dir = None  # dataset root; None -> synthetic fixture

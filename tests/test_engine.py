@@ -717,3 +717,21 @@ def test_dryrun_benign_aot_filter_is_precise():
     truncated = benign.split("Compile machine")[0] + "\n"
     kept, n = g.filter_benign_aot_rejects(truncated)
     assert n == 0 and "cpu_aot_loader" in kept
+
+
+def test_multihost_valid_key_presence_is_host_independent():
+    """The 'valid' target key's presence must be decided from a global
+    fact, not the local shard: with n=10 over 4 hosts only host 3 wraps,
+    and a local predicate gave hosts 0-2 a DIFFERENT target pytree
+    structure (different compiled programs per process — a pod hang with
+    collectives in the step). wrap_padded never sees process_index."""
+    from mhentropy_tpu.parallel import multihost as mh
+
+    assert mh.wrap_padded(10, 4)  # ceil(10/4)*4 = 12 != 10
+    assert not mh.wrap_padded(12, 4)
+    assert not mh.wrap_padded(8, 1)
+    # Consistency with the per-host masks it summarises:
+    wraps = [not mh.host_shard_valid(10, pi, 4).all() for pi in range(4)]
+    assert any(wraps) == mh.wrap_padded(10, 4)
+    wraps = [not mh.host_shard_valid(12, pi, 4).all() for pi in range(4)]
+    assert any(wraps) == mh.wrap_padded(12, 4)
