@@ -2,7 +2,6 @@
 flow hypotheses -> MANO decode -> reprojection loss / BH metrics, all jitted.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -10,7 +9,6 @@ import numpy as np
 import pytest
 
 from mhentropy_tpu.core import mano
-from mhentropy_tpu.core.mano import ManoConfig
 from mhentropy_tpu.data import synthetic
 from mhentropy_tpu.flows.realnvp import RealNVPConfig
 from mhentropy_tpu.models import mhent

@@ -1,7 +1,6 @@
 """Fused Pallas sampler correctness vs the XLA scan path (interpret mode on
 the CPU test platform; the same kernel compiles on TPU — see bench.py)."""
 
-import math
 
 import jax
 import jax.experimental.pallas as pl

@@ -2,7 +2,6 @@
 mode on the CPU test platform (the on-TPU A/B is in docs/PERF.md).
 """
 
-import functools
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,6 @@ from mhentropy_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 import jax
-import jax.numpy as jnp
 
 from mhentropy_tpu.core import mano
 from mhentropy_tpu.flows.realnvp import RealNVPConfig

@@ -15,7 +15,6 @@ the absolute us.
 Usage: python -m tools.mosaic_int8_probe [lower|time]
 """
 
-import functools
 import json
 import sys
 import time

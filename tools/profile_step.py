@@ -18,7 +18,6 @@ category), and the device timeline gap analysis (idle stretches > 50 us).
 
 import collections
 import glob
-import json
 import os
 import sys
 

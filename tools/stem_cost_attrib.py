@@ -17,7 +17,6 @@ variants attribute the cost. One JSON line per variant.
 Usage: python -m tools.stem_cost_attrib    (TPU)
 """
 
-import functools
 import json
 import sys
 import time

@@ -18,7 +18,6 @@ worth building; docs/PERF.md records the verdict.
 Usage: python -m tools.stem_probe   (TPU; prints one JSON line per side)
 """
 
-import functools
 import json
 import sys
 import time
