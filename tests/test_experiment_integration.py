@@ -204,6 +204,23 @@ def test_experiment_tp_mesh_wiring(tmp_path):
     assert exp.mesh.size <= 8
 
 
+def test_experiment_pp_mesh_wiring(tmp_path):
+    """cfg.tpu.pp (r5) plumbs through fit_devices/make_mesh to a 'pipe'
+    axis and flags the train step pipelined (no compile — the pipelined
+    numerics are pinned by test_engine's composed tp+pp test and
+    test_pipeline)."""
+    from mhentropy_tpu.train.engine import Experiment
+    from mhentropy_tpu.utils.config import update_cfg
+
+    cfg = update_cfg("configs/smoke.yaml")
+    cfg.model_dir = str(tmp_path / "run")
+    cfg.tpu.pp = 2
+    exp = Experiment(cfg)
+    assert exp.mesh.shape["pipe"] == 2
+    assert exp._pp
+    assert exp.mesh.size <= 8
+
+
 def test_experiment_rle_mode_smoke(tmp_path):
     """The non-integrated BasicEnc + p_nf RLE experiment path end to end
     (CrossModalHand.py:86-105, 262-346 dispatch): train an epoch on the
