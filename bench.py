@@ -14,11 +14,13 @@ the line always prints.
 Sections, in value order after the headline:
   - int8: the quantized serving path (encoder + fused sampler PTQ).
   - eval_shape: N=200, B=64 — the README-table eval configuration.
-  - int8_eval_shape: the quantized eval-table shape (same calibration).
   - train: ms/step for the scanned train step (tools/bench_train.py math).
   - per_call: one dispatch per step from Python; includes ~3 ms host
     dispatch overhead per step and understates chip throughput ~45%
     (measured r2: 438k vs 789k).
+  - int8_eval_shape: the quantized eval-table shape (same calibration as
+    the int8 section). Ranked after the r4-era fields so a tight budget
+    preserves round-over-round comparability first.
   - serve_b1: B=1 N=200 device ms/frame (the serve.py per-frame cost).
 A section that starts but raises records "<name>_failed" in the skipped
 list (stderr carries the repr), so null fields are always attributable.
@@ -268,34 +270,6 @@ def main():
             skipped.append("eval_shape_failed")
             print(f"eval_shape bench failed: {e!r:.200}", file=sys.stderr)
 
-    # int8 eval-table shape (the 1.93M claim lived only in builder notes
-    # until r5): the quantized scan retraced at (N=200, B=64), reusing the
-    # calibration from the int8 section above (activation scales are
-    # shape-independent; engine/serve reuse calibrations the same way).
-    int8_eval_rate = None
-    if int8_quant is None:
-        skipped.append("int8_eval_shape")
-    elif (n_hypo, batch) != (200, 64) and afford("int8_eval_shape"):
-        try:
-            spec, qtree, make_quant_scan = int8_quant
-            qev_img = jax.random.uniform(
-                jax.random.key(4), (64, img, img, 3)) * 2 - 1
-            scan_q_ev = make_quant_scan(200, spec, qtree)
-
-            jax.block_until_ready(
-                scan_q_ev(params, batch_stats, qtree, qev_img, key))
-            best = []
-            for r in range(3):
-                t0 = time.perf_counter()
-                acc = scan_q_ev(params, batch_stats, qtree, qev_img,
-                                jax.random.fold_in(key, 90 + r))
-                jax.block_until_ready(acc)
-                best.append(200 * 64 * steps / (time.perf_counter() - t0))
-            int8_eval_rate = max(best)
-        except Exception as e:
-            skipped.append("int8_eval_shape_failed")
-            print(f"int8_eval_shape bench failed: {e!r:.200}", file=sys.stderr)
-
     # Train step (tools/bench_train.py methodology: state threaded through
     # the scan carry, per-step perturbed images). Roughly a double-size
     # compile (fwd+bwd).
@@ -392,6 +366,34 @@ def main():
         except Exception as e:
             skipped.append("per_call_failed")
             print(f"per_call bench failed: {e!r:.200}", file=sys.stderr)
+
+    # int8 eval-table shape (the 1.93M claim lived only in builder notes
+    # until r5): the quantized scan retraced at (N=200, B=64), reusing the
+    # calibration from the int8 section above (activation scales are
+    # shape-independent; engine/serve reuse calibrations the same way).
+    int8_eval_rate = None
+    if int8_quant is None:
+        skipped.append("int8_eval_shape")
+    elif (n_hypo, batch) != (200, 64) and afford("int8_eval_shape"):
+        try:
+            spec, qtree, make_quant_scan = int8_quant
+            qev_img = jax.random.uniform(
+                jax.random.key(4), (64, img, img, 3)) * 2 - 1
+            scan_q_ev = make_quant_scan(200, spec, qtree)
+
+            jax.block_until_ready(
+                scan_q_ev(params, batch_stats, qtree, qev_img, key))
+            best = []
+            for r in range(3):
+                t0 = time.perf_counter()
+                acc = scan_q_ev(params, batch_stats, qtree, qev_img,
+                                jax.random.fold_in(key, 90 + r))
+                jax.block_until_ready(acc)
+                best.append(200 * 64 * steps / (time.perf_counter() - t0))
+            int8_eval_rate = max(best)
+        except Exception as e:
+            skipped.append("int8_eval_shape_failed")
+            print(f"int8_eval_shape bench failed: {e!r:.200}", file=sys.stderr)
 
     # B=1 serving latency (bf16 — serve.py's quantize_min_batch=8 default
     # keeps B=1 unquantized), N=200: device ms/frame via the scanned
