@@ -53,15 +53,19 @@ def initialize(coordinator_address: str | None = None,
             # process_id=0 (host 0 of every pod) is falsy.
             raise
         # Auto-detect on a single-process dev box: run undistributed —
-        # but NOT when the environment says this is a real cluster
-        # (coordinator env vars / TPU pod metadata): swallowing a
-        # transient coordinator failure there would silently degrade the
-        # pod to N independent single-process runs, the exact bug this
-        # function was rewritten to eliminate.
-        cluster_vars = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-                        "MEGASCALE_COORDINATOR_ADDRESS",
-                        "CLOUD_TPU_TASK_ID", "TPU_WORKER_HOSTNAMES")
-        if any(os.environ.get(v) for v in cluster_vars):
+        # but NOT when the environment says this is a real MULTI-host
+        # cluster: swallowing a transient coordinator failure there would
+        # silently degrade the pod to N independent single-process runs,
+        # the exact bug this function was rewritten to eliminate.
+        # Multi-host signals only: an explicit coordinator address, or a
+        # comma-separated TPU_WORKER_HOSTNAMES list (the axon relay's
+        # sitecustomize sets TPU_WORKER_HOSTNAMES=localhost on this
+        # SINGLE-host box — a bare single entry is not a pod).
+        if any(os.environ.get(v) for v in (
+                "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS")):
+            raise
+        if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
             raise
 
 

@@ -537,8 +537,21 @@ def test_multihost_initialize_explicit_host0_must_raise(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", boom)
     with pytest.raises(RuntimeError):
         multihost.initialize(process_id=0)
-    # Pure auto-detect on a dev box still degrades gracefully.
+    # Pure auto-detect on a dev box still degrades gracefully — including
+    # under the ambient axon sitecustomize, which sets
+    # TPU_WORKER_HOSTNAMES=localhost on this SINGLE-host box (caught by
+    # running the suite under the driver's exact env, r5).
     multihost.initialize()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    multihost.initialize()
+    # A real multi-host signal must NOT be swallowed on the auto path.
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    with pytest.raises(RuntimeError):
+        multihost.initialize()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    with pytest.raises(RuntimeError):
+        multihost.initialize()
 
 
 def test_multihost_batches_masks_wrap_duplicates_without_pad(
